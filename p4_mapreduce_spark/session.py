@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference engine hand-rolls its control plane (TCP job queue, UDP
+heartbeats, fault timers — ``mapreduce/manager/__main__.py:64-175`` in
+the reference tree). Spark owns all of that; the only knobs we set here
+are the ones that matter for plan quality at scale:
+
+- **AQE on** (runtime re-planning: partition coalescing, skew-join
+  splitting, dynamic join-strategy switching). At 100 TB this is the
+  difference between a fixed 200-partition shuffle and right-sized
+  partitions per stage.
+- **shuffle partitions** sized for the local test harness (32 cores);
+  on a real cluster this is overridden to ~2-3x total cores and AQE
+  coalesces down.
+- **Arrow** for every pandas UDF / toPandas boundary (vectorized
+  columnar transfer instead of pickled rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "p4-mapreduce-spark"
+
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count: at our test
+    scale factors a partition is well under ``maxPartitionBytes`` so
+    more buckets would just add task overhead; AQE coalesces further.
+    On a 1000-executor cluster the caller passes a larger value (or
+    relies on AQE's ``advisoryPartitionSizeInBytes`` to split).
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        # --- adaptive execution: runtime re-planning -------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing -------------------------------------------
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        # --- python<->jvm boundary ------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- determinism for oracle checks ----------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as long and convert in the loader
+        # (same micros truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local mode: keep the UI off (faster startup, no port fights)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver-generated star schema.
+
+Tables (``TESTDATA.md``): TPC-H-ish ``region nation customer supplier
+part orders lineitem``, an ``events`` stream table, and the
+LLM-pipeline tables ``documents`` / ``embeddings``.
+
+Scan-path notes for 100 TB:
+
+- We read plain ``spark.read.parquet`` and rely on Catalyst for column
+  pruning + predicate pushdown — every registered query is written so
+  filters sit directly on scan columns (verify with
+  ``plans.explain.assert_pushed_filters``).
+- At cluster scale the same tables would be partitioned directories
+  (e.g. ``orders/o_orderdate=.../``); ``load`` takes any path, so
+  partition pruning comes for free when the layout has it.
+- No ``.cache()`` here: the engine is stateless per query, and caching
+  60 KB locally would hide scan-pushdown regressions in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot
+    represent; with ``spark.sql.legacy.parquet.nanosAsLong`` it scans
+    as a long, and we truncate to microseconds here — bit-identical to
+    DuckDB's nanos→micros truncation, so oracle hashes line up.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every table; returns name -> DataFrame."""
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view (for the SQL-flavored queries)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,27 @@
+"""Shared fixtures: one SparkSession per test run, oracle helpers."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from p4_mapreduce_spark.session import get_spark  # noqa: E402
+
+# Small by default so the suite stays fast; set SPARK_GRAFT_TEST_SF_DIR
+# to sf0.01 to rehearse the driver's correctness gate exactly.
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="p4-mapreduce-spark-tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return TEST_SF_DIR

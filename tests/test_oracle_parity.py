@@ -1,0 +1,29 @@
+"""The correctness gate, locally: every registered query with an
+oracle must hash-match DuckDB on the same parquet (driver bar)."""
+
+from __future__ import annotations
+
+import pytest
+
+from p4_mapreduce_spark.registry import load_all
+from tests.oracle import compare_frames, run_oracle
+
+REGISTRY = load_all()
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(spec.oracle, sf_dir)
+    compare_frames(spark_pdf, oracle_pdf, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
