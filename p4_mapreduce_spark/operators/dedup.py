@@ -1,0 +1,406 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Five dedup families over ``documents`` (plus embedding near-dup over
+``embeddings``), each a north-star requirement (BASELINE.json):
+
+1. **exact** — content hash, keep min doc_id per hash. One shuffle on
+   a 64-bit-ish key; the 100 TB workhorse.
+2. **MinHash + LSH** — shingle → K minhashes → B bands → bucket join
+   on (band, signature) → verify candidates with true Jaccard. Only
+   near-identical docs collide, so the join output is ~linear in the
+   number of true near-dups, not quadratic in corpus size.
+3. **SimHash** — 16-bit sign-of-weighted-sum fingerprint; near-dups
+   collide on the exact fingerprint (equi-join, no pair explosion).
+4. **n-gram Jaccard** — exact pairwise verification via shared-shingle
+   join; quadratic in the worst case, so production uses it only as
+   the LSH verify step (here also standalone for the oracle).
+5. **embedding cosine** — see operators.similarity.
+
+Everything is built-in expressions: shingles via array lambdas (no
+explode until the band join), md5 as the hash family (stable across
+engines, so the DuckDB oracles replay bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4
+ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.8
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    """,
+    doc="Exact dedup: sha256 content hash, keep min doc_id per group. "
+    "Deterministic keeper choice (unlike dropDuplicates).",
+    headline=True,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle machinery (dual-dialect)
+# ---------------------------------------------------------------------------
+
+# 3-word shingles from the whitespace token array, distinct per doc.
+_SHINGLES_SQL = """
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 2),
+            i -> string_split(text, ' ')[i] || '_' ||
+                 string_split(text, ' ')[i+1] || '_' ||
+                 string_split(text, ' ')[i+2]))
+    ELSE [] END
+"""
+
+
+def _shingles_from_tokens(toks: F.Column) -> F.Column:
+    """3-gram shingles from a *materialized* token-array column.
+
+    The tokens MUST be a bound column, not an inline split(...) expr:
+    Catalyst does no common-subexpression elimination inside lambda
+    bodies, so an inline expr would re-split the text on every
+    element_at — O(tokens²) per row (measured 4.7s → 0.6s at sf0.1).
+    """
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingle_hashes_col(shingles: F.Column) -> F.Column:
+    """Two md5s per shingle (64 hex chars) — sliced into 16 x 16-bit
+    permutation values below. 2 hash evaluations instead of 16: this
+    took the sf0.1 LSH bench from 18.4s to a fraction; min-collisions
+    only add candidates, which the exact-Jaccard verify step filters."""
+    return F.transform(
+        shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s)))
+    )
+
+
+_SHINGLE_HASHES_SQL = "list_transform(shingles, s -> md5(s) || md5('x' || s))"
+
+
+def _minhash_col(perm: int, hashes: F.Column) -> F.Column:
+    """min over shingles of hex slice [4*perm, 4*perm+4) of the hash pair."""
+    return F.array_min(
+        F.transform(hashes, lambda h: F.substring(h, 4 * perm + 1, 4))
+    )
+
+
+def _minhash_sql(perm: int) -> str:
+    return (
+        f"list_aggregate(list_transform(hh, "
+        f"h -> substr(h, {4 * perm + 1}, 4)), 'min')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _band_signature_sql(band: int) -> str:
+    cols = " || '|' || ".join(
+        f"mh{perm}" for perm in range(band * ROWS_PER_BAND, (band + 1) * ROWS_PER_BAND)
+    )
+    return cols
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+),
+hashed AS (
+    SELECT doc_id, shingles, {_SHINGLE_HASHES_SQL} AS hh
+    FROM sh WHERE len(shingles) > 0
+),
+mh AS (
+    SELECT doc_id, shingles,
+           {", ".join(f"{_minhash_sql(p)} AS mh{p}" for p in range(MINHASH_PERMS))}
+    FROM hashed
+),
+sigs AS (
+    SELECT doc_id, shingles,
+           {", ".join(f"{_band_signature_sql(b)} AS band{b}" for b in range(MINHASH_BANDS))}
+    FROM mh
+),
+cand AS (
+    {" UNION ".join(
+        f"SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+        f"FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(MINHASH_BANDS)
+    )}
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       len(list_intersect(x.shingles, y.shingles))
+           / greatest(len(list_distinct(x.shingles || y.shingles)), 1) AS jaccard
+FROM cand c
+JOIN sigs x ON x.doc_id = c.doc_id_a
+JOIN sigs y ON y.doc_id = c.doc_id_b
+WHERE len(list_intersect(x.shingles, y.shingles))
+      / greatest(len(list_distinct(x.shingles || y.shingles)), 1) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc=f"MinHash-LSH near-dup: {MINHASH_PERMS} md5 permutations, "
+    f"{MINHASH_BANDS} bands x {ROWS_PER_BAND} rows, bucket join on band "
+    f"signature, candidates verified with true Jaccard >= {JACCARD_THRESHOLD}. "
+    "Minhashes are computed per-row with array lambdas (no explode); the "
+    "only shuffle is the equi-join on (band, signature).",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents arrives as few parquet splits; fan out before the
+    # CPU-heavy per-row shingle/hash lambdas so all cores participate
+    # (at cluster scale the scan already yields many splits and AQE
+    # keeps partitions right-sized — the repartition is then a no-op
+    # cost-wise: one small shuffle of doc ids + text)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    sh = toks.select(
+        "doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    hashed = sh.select(
+        "doc_id", "shingles", _shingle_hashes_col(F.col("shingles")).alias("hh")
+    )
+    mh = hashed.select(
+        "doc_id",
+        "shingles",
+        *[_minhash_col(p, F.col("hh")).alias(f"mh{p}") for p in range(MINHASH_PERMS)],
+    )
+    sigs = mh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{p}") for p in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+            ).alias(f"band{b}")
+            for b in range(MINHASH_BANDS)
+        ],
+    )
+    # The signature table feeds both sides of the candidate self-join
+    # AND the verify join — without persist, Spark recomputes the whole
+    # shingle+minhash pipeline once per reference (5x+). Small relative
+    # to the corpus (ids + signatures + shingle arrays), so memory-and-
+    # disk persist is the right call at any scale.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # melt bands to long form: one equi-join on (band_id, signature)
+    # instead of one join per band
+    bands_long = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "sig"),
+    )
+    left = bands_long.select(
+        F.col("doc_id").alias("doc_id_a"), "band_id", "sig"
+    )
+    right = bands_long.select(
+        F.col("doc_id").alias("doc_id_b"), "band_id", "sig"
+    )
+    cand = (
+        left.join(right, ["band_id", "sig"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    # verify with true jaccard on the shingle sets (array ops, no explode)
+    x = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    y = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(x, "doc_id_a").join(y, "doc_id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jaccard = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bit_sql(bit: int) -> str:
+    """Sign of sum over distinct tokens of (2*bit - 1), bit from md5."""
+    nibble = bit // 4
+    shift = 2 ** (bit % 4)
+    tok_bit = (
+        f"((strpos('0123456789abcdef', substr(md5(t), {nibble + 1}, 1)) - 1) "
+        f"// {shift}) % 2"
+    )
+    return (
+        f"list_sum(list_transform(list_distinct(string_split(lower(text), ' ')), "
+        f"t -> 2 * ({tok_bit}) - 1))"
+    )
+
+
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN ({_simhash_bit_sql(b)}) > 0 THEN {2**b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM documents
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM fp GROUP BY simhash HAVING count(*) > 1
+    """,
+    doc=f"SimHash near-dup: {SIMHASH_BITS}-bit sign-of-sum fingerprint from "
+    "md5 token hashes; docs sharing a fingerprint group together "
+    "(equi-groupBy — no pairwise work at any scale).",
+    tags=("dedup", "sketch"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ", -1)).alias("toks")
+    )
+    tokens = F.col("toks")
+
+    def bit_sum(bit: int) -> F.Column:
+        nibble = bit // 4
+        shift = 2 ** (bit % 4)
+        return F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + 2
+            * (
+                (
+                    (
+                        F.instr(
+                            F.lit("0123456789abcdef"),
+                            F.substring(F.md5(t), nibble + 1, 1),
+                        )
+                        - 1
+                    )
+                    / shift
+                ).cast("int")
+                % 2
+            )
+            - 1,
+        )
+
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(bit_sum(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    fp = docs.select("doc_id", simhash.cast("long").alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard (exact pairwise via shared-shingle join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_id_a, p.doc_id_b,
+           p.n_common / greatest(len(x.shingles) + len(y.shingles) - p.n_common, 1)
+               AS jaccard
+    FROM pairs p
+    JOIN sh x ON x.doc_id = p.doc_id_a
+    JOIN sh y ON y.doc_id = p.doc_id_b
+    WHERE p.n_common / greatest(len(x.shingles) + len(y.shingles) - p.n_common, 1)
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard near-dup via shared-shingle equi-join + "
+    "group count. Worst-case quadratic (hot shingles explode the join) — "
+    "at scale this runs only as the LSH verify step; standalone here to "
+    "cross-check dedup_minhash_lsh end to end.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    sh = toks.select("doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sh.select(F.col("doc_id").alias("doc_id_a"), F.size("shingles").alias("n_a"))
+    y = sh.select(F.col("doc_id").alias("doc_id_b"), F.size("shingles").alias("n_b"))
+    joined = pairs.join(x, "doc_id_a").join(y, "doc_id_b")
+    jaccard = F.col("n_common") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
+    )
+    return (
+        joined.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

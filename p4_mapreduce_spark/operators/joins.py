@@ -1,0 +1,354 @@
+"""Join operators: every join family, Spark-first.
+
+The reference engine has no joins at all — it is a single-input
+map/group/reduce pipeline (SURVEY.md §2.4) — so this module is pure
+north-star surface: inner/outer/semi/anti/cross, broadcast vs
+shuffle strategies, multi-way star joins, a range join, and a
+merge-based as-of join.
+
+Scale posture (the part that matters at 100 TB):
+
+- **Broadcast the small side.** region/nation/supplier/part are
+  classic broadcast dims; `F.broadcast` pins it where the stats
+  wouldn't (Catalyst auto-broadcasts under
+  ``spark.sql.autoBroadcastJoinThreshold`` anyway, and AQE converts
+  shuffle joins to broadcast at runtime when the built side turns out
+  small).
+- **Fact-fact joins shuffle on the key** (sort-merge or shuffled
+  hash); skew is handled by AQE skew-join splitting
+  (``spark.sql.adaptive.skewJoin.enabled`` — on in our session).
+- **Range joins**: never ship the naive cross product at scale —
+  pre-filter to the band's selectivity or bucket both sides on the
+  band width so the join becomes equi + residual (documented on
+  ``range_join_band`` below).
+- **As-of joins**: implemented as union + ordered window scan — one
+  shuffle on (key), no nested loop, the same plan Flink/kdb-style
+  engines use. This is THE scalable as-of strategy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.functions.deterministic import fix, fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# Multi-way star joins (TPC-H Q3/Q5 shapes) — the headline join paths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {fsum_sql(fix_sql('l_extendedprice * (1 - l_discount)'))} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: dim-filtered star join -> agg -> top-k by revenue. "
+    "customer is broadcast; orders–lineitem shuffles on orderkey.",
+    headline=True,
+    tags=("join", "aggregation", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1999-03-15 00:00:00").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {fsum_sql(fix_sql('l_extendedprice * (1 - l_discount)'))} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5: 6-way star join, three broadcast dims, agg by nation.",
+    headline=True,
+    tags=("join", "aggregation"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_inner",
+    oracle=f"""
+    SELECT p_brand,
+           count(*) AS n_items,
+           {fsum_sql('l_quantity')} AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact⋈dim inner join with an explicit broadcast hint.",
+    tags=("join",),
+)
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), fsum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="LEFT OUTER join preserving unmatched nations (NULL supplier).",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    return nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left").select(
+        "n_name", "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+    WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+         e AS (SELECT user_id  AS k, count(*) AS n_events FROM events GROUP BY 1)
+    SELECT coalesce(o.k, e.k) AS entity_id, o.n_orders, e.n_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+    doc="FULL OUTER join of two aggregated keyspaces (orders vs events).",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, "k", "full").select(
+        F.coalesce(o["k"], e["k"]).alias("entity_id"), "n_orders", "n_events"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+    doc="LEFT SEMI join (EXISTS): customers with at least at least one 450k+ order. "
+    "Ships only the key, dedups the probe side — no row explosion.",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): complement of join_semi.",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    doc="CROSS join of two tiny relations (5 regions x 3 statuses).",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_name")
+    status = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# ---------------------------------------------------------------------------
+# Range join: equi-key + value band. At 100 TB the band term must not
+# degenerate into a nested loop: we pre-filter the probe side to the
+# band's selectivity here; the general recipe is to bucket both sides
+# by floor(value / band_width) (maps the band to <=3 equi-buckets) so
+# Spark plans a shuffle join + residual filter instead of BNLJ.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_band",
+    oracle="""
+    SELECT o.o_orderkey, e.event_id, o.o_totalprice, e.value
+    FROM (SELECT * FROM orders WHERE o_totalprice < 3000) o
+    JOIN events e
+      ON e.value >= o.o_totalprice * 0.01 - 2.0
+     AND e.value <= o.o_totalprice * 0.01 + 2.0
+    """,
+    doc="Non-equi band join (value within ±2 of scaled price).",
+    tags=("join", "range"),
+)
+def range_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") < 3000)
+    e = load(spark, sf_dir, "events")
+    lo = o.o_totalprice * 0.01 - 2.0
+    hi = o.o_totalprice * 0.01 + 2.0
+    return (
+        o.join(F.broadcast(e), (e.value >= lo) & (e.value <= hi))
+        .select("o_orderkey", "event_id", "o_totalprice", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each click, the latest purchase by the same user at
+# or before the click. Implemented merge-style: tag + union + ordered
+# window carry-forward — one shuffle on user_id, linear work, no
+# nested loop; this is the plan that survives 100 TB event streams.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+    SELECT user_id, ts, event_id, value, is_purchase,
+           last_value(CASE WHEN is_purchase = 1 THEN event_id END IGNORE NULLS)
+               OVER w AS last_purchase_id,
+           last_value(CASE WHEN is_purchase = 1 THEN value END IGNORE NULLS)
+               OVER w AS last_purchase_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase DESC, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       last_purchase_id, last_purchase_value
+FROM carried WHERE is_purchase = 0
+"""
+
+
+@register(
+    "asof_join_clicks_purchases",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join via union + window carry-forward (merge-join plan).",
+    headline=True,
+    tags=("join", "asof", "window"),
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    # purchases sort before clicks at equal ts so a same-instant purchase
+    # is visible to the click (matches the oracle's ORDER BY).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_id = F.when(F.col("is_purchase") == 1, F.col("event_id"))
+    purchase_val = F.when(F.col("is_purchase") == 1, F.col("value"))
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_purchase",
+        F.last(purchase_id, ignorenulls=True).over(w).alias("last_purchase_id"),
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+    return carried.where(F.col("is_purchase") == 0).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "last_purchase_id",
+        "last_purchase_value",
+    )

@@ -1,0 +1,265 @@
+"""Similarity search over the embeddings table (ANN surface).
+
+Three tiers, as a real 100 TB pipeline would stage them:
+
+1. **brute-force top-k** for a query set: broadcast the queries,
+   linear scan the corpus, per-query top-k via window. Bandwidth-bound
+   and embarrassingly parallel — the correct baseline and the exact
+   answer the approximate tiers are judged against.
+2. **LSH-bucketed (random hyperplanes)**: sign-bit sketch against
+   fixed hyperplanes → bucket equi-join. Hyperplane constants are
+   seeded and baked into both the Spark plan and the DuckDB oracle,
+   so the "random" projection is reproducible everywhere.
+3. **IVF-style coarse quantization** using the ``label`` column as the
+   centroid assignment (the table ships pre-clustered): probe only
+   the query's cluster. Demonstrates the partition-pruning shape —
+   at scale the table is written partitioned by cluster id and the
+   probe prunes file groups.
+
+All cosine math is the dual-dialect fold from functions.vector — the
+DuckDB oracle executes the identical IEEE operation sequence.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.functions.vector import (
+    EMBEDDING_DIM,
+    as_double,
+    cosine,
+    cosine_sql,
+    dot,
+    dot_sql,
+)
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+TOP_K = 10
+
+# Fixed random hyperplanes (seeded) shared by plan and oracle.
+_rng = random.Random(42)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(EMBEDDING_DIM)] for _ in range(8)
+]
+
+
+def _query_ids_sql() -> str:
+    return ", ".join(str(i) for i in QUERY_IDS)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({_query_ids_sql()})),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {cosine_sql('qe', 'e.embedding')} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {len(QUERY_IDS)} query vectors: "
+    "broadcast queries x linear corpus scan + per-query window top-k. "
+    "The exact-answer baseline every ANN tier is measured against.",
+    headline=True,
+    tags=("similarity", "vector"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, emb.vec_id != q.query_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+def _hyperplane_array_sql(h: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in h) + "]"
+
+
+def _bucket_sql(col: str) -> str:
+    bits = []
+    for i, h in enumerate(HYPERPLANES):
+        d = dot_sql(col, f"{_hyperplane_array_sql(h)}")
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN {2**i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_col(col: F.Column) -> F.Column:
+    cd = as_double(col)
+    acc = F.lit(0)
+    for i, h in enumerate(HYPERPLANES):
+        plane = F.array(*[F.lit(v) for v in h]).cast("array<double>")
+        bit = F.when(dot(cd, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+          WHERE vec_id IN ({_query_ids_sql()})),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {cosine_sql('qe', 'e.embedding')} AS cosine_sim
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="LSH-bucketed ANN: 8 seeded random hyperplanes → 8-bit sign "
+    "sketch → candidates share the bucket (equi-join; scans ~1/256 of "
+    "the corpus per query instead of all of it). Approximate by design; "
+    "the oracle replays the identical bucketing.",
+    tags=("similarity", "vector", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    q = b.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS probe
+               FROM embeddings WHERE vec_id IN ({_query_ids_sql()})),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {cosine_sql('qe', 'e.embedding')} AS cosine_sim
+        FROM q JOIN embeddings e ON e.label = q.probe AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc="IVF-style probe: the label column is the coarse centroid "
+    "assignment; search only the query's cluster. At scale the table "
+    "is partitioned by cluster id and this equi-join prunes partitions.",
+    tags=("similarity", "vector"),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("probe"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, emb.label == q.probe)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               {cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, cosine_sim, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY cosine_sim DESC, vec_id_a, vec_id_b) AS rk
+        FROM pairs
+    ) WHERE rk <= 25
+    """,
+    doc="Embedding near-dup: pairwise cosine within each coarse cluster "
+    "(label) — blocking keeps it out of the quadratic regime — top-25 "
+    "most-similar pairs. With a real near-dup corpus you'd threshold "
+    "instead of top-k.",
+    tags=("dedup", "similarity", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = a.join(b, (a.label_a == b.label_b) & (a.vec_id_a < b.vec_id_b)).select(
+        "vec_id_a", "vec_id_b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
+    )
+    w = Window.orderBy(F.col("cosine_sim").desc(), "vec_id_a", "vec_id_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 25)
+        .select("vec_id_a", "vec_id_b", "cosine_sim", "rk")
+    )

@@ -1,0 +1,189 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+North-star surface (BASELINE.json): token counting, language ID,
+quality scoring, document fingerprinting — all as built-in JVM
+expressions over ``documents.text`` (no Python UDFs in the hot path;
+at 100 TB a row-at-a-time Python tokenizer is the difference between
+minutes and days).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+# A BPE-ish pretokenizer: word pieces, digit runs, or single symbols.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # romanized placeholders
+}
+
+
+@register(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS INTEGER)
+               AS n_bpe_tokens,
+           length(text) AS n_chars_measured,
+           {fix_sql("length(text) / greatest(len(string_split(text, ' ')), 1)", 6)}
+               AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex pretokens + "
+    "chars-per-token ratio.",
+    headline=True,
+    tags=("text", "scalar"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " ", -1))
+    bpe_tokens = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        fix(F.length("text") / F.greatest(ws_tokens, F.lit(1)), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{markers}], t)))"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           CAST({_lang_score_sql("en")} AS INTEGER) AS score_en,
+           CAST({_lang_score_sql("es")} AS INTEGER) AS score_es,
+           CAST({_lang_score_sql("fr")} AS INTEGER) AS score_fr,
+           CAST({_lang_score_sql("de")} AS INTEGER) AS score_de,
+           CASE WHEN {_lang_score_sql("es")} > {_lang_score_sql("en")} THEN 'es'
+                WHEN {_lang_score_sql("fr")} > {_lang_score_sql("en")} THEN 'fr'
+                WHEN {_lang_score_sql("de")} > {_lang_score_sql("en")} THEN 'de'
+                ELSE 'en' END AS lang_pred
+    FROM documents
+    """,
+    doc="Language ID heuristic: stopword-marker hit counts per language, "
+    "argmax with a fixed tie order. (The synthetic corpus is English-ish "
+    "regardless of its lang label; the operator is the point.)",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ", -1)
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+    pred = (
+        F.when(score("es") > score("en"), "es")
+        .when(score("fr") > score("en"), "fr")
+        .when(score("de") > score("en"), "de")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        score("fr").alias("score_fr"),
+        score("de").alias("score_de"),
+        pred.alias("lang_pred"),
+    )
+
+
+_PUNCT_RATIO_SQL = (
+    "len(regexp_extract_all(text, '[^a-z0-9 ]')) / greatest(length(text), 1)"
+)
+_STOPWORD_RATIO_SQL = (
+    "len(list_filter(string_split(lower(text), ' '), "
+    "t -> list_contains(['the','a','of','and','is','to','in'], t))) "
+    "/ greatest(len(string_split(text, ' ')), 1)"
+)
+_QUALITY_SQL = (
+    "CASE WHEN length(text) >= 100 THEN 1.0 ELSE length(text) / 100.0 END "
+    f"* (1.0 - {_PUNCT_RATIO_SQL})"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INTEGER) AS n_punct,
+           {fix_sql(_PUNCT_RATIO_SQL, 6)} AS punct_ratio,
+           {fix_sql(_STOPWORD_RATIO_SQL, 6)} AS stopword_ratio,
+           {fix_sql(_QUALITY_SQL, 6)} AS quality_score
+    FROM documents
+    """,
+    doc="Document quality scoring: length score x (1 - punct ratio), "
+    "plus stopword ratio — the C4/Gopher-style heuristic family.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9 ]"), 0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stopwords = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "is", "to", "in")])
+    tokens = F.split(F.lower("text"), " ", -1)
+    stop_hits = F.size(F.filter(tokens, lambda t: F.array_contains(stopwords, t)))
+    stop_ratio = stop_hits / F.greatest(F.size(F.split(F.col("text"), " ", -1)), F.lit(1))
+    length_score = F.when(n_chars >= 100, F.lit(1.0)).otherwise(n_chars / F.lit(100.0))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        fix(punct_ratio, 6).alias("punct_ratio"),
+        fix(stop_ratio, 6).alias("stopword_ratio"),
+        fix(length_score * (F.lit(1.0) - punct_ratio), 6).alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_fingerprint,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS normalized_sha256,
+           substr(md5(array_to_string(string_split(text, ' ')[1:8], ' ')), 1, 16)
+               AS prefix_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprints: raw md5, whitespace-normalized sha256, "
+    "and a first-8-words prefix fingerprint (cheap clustering key).",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    first8 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " ", -1), 1, 8))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_fingerprint"),
+        F.sha2(normalized, 256).alias("normalized_sha256"),
+        F.substring(F.md5(first8), 1, 16).alias("prefix_fingerprint"),
+    )

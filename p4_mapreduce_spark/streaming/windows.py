@@ -1,0 +1,191 @@
+"""Event-time windowing: tumbling / sliding / session, batch + streaming.
+
+The reference is batch-only (SURVEY.md §2.4); this is north-star
+surface. Each window shape ships twice:
+
+- a **batch** DataFrame (registered query + DuckDB oracle — DuckDB can
+  verify the window algebra exactly);
+- a **streaming** builder (``readStream`` → watermark → windowed agg)
+  exercised in tests with an ``availableNow`` trigger against the
+  batch result, which is precisely Structured Streaming's semantics
+  contract: a streaming query must converge to its batch equivalent.
+
+Scale notes: watermarks bound state (without one, session state grows
+forever); tumbling/sliding aggs are partial-aggregated before the
+shuffle like any groupBy; session windows shuffle once on user_id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.functions.deterministic import fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+SESSION_GAP_SECONDS = 1800.0
+
+# Streaming reads need the schema up front (no inference): ts arrives
+# as nanos (long) exactly like the batch loader sees it.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           {fsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time windows per event type (batch form of "
+    "the streaming agg; window start == hour truncation).",
+    headline=True,
+    tags=("streaming", "window", "aggregation"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, value,
+               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS slide_bucket
+        FROM events
+    ),
+    expanded AS (
+        SELECT event_type, value,
+               unnest([slide_bucket, slide_bucket - INTERVAL 30 MINUTE])
+                   AS window_start
+        FROM base
+    )
+    SELECT window_start, event_type, count(*) AS n,
+           {fsum_sql('value')} / count(*) AS avg_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    doc="Sliding windows (1h long, 30min slide): every event lands in "
+    "two overlapping windows; avg value per window x type.",
+    tags=("streaming", "window", "aggregation"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (fsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           {fsum_sql('value')} AS session_value
+    FROM sessions GROUP BY 1, 2
+    """,
+    doc="Session windows (30min inactivity gap) via lag + cumulative-sum "
+    "session ids — the batch equivalent of session_window(ts, '30 min').",
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(prev_ts.isNull(), 1).otherwise(
+        F.when(
+            F.col("ts").cast("double") - prev_ts.cast("double") > SESSION_GAP_SECONDS,
+            1,
+        ).otherwise(0)
+    )
+    flagged = ev.select("user_id", "ts", "event_id", "value", new_session.alias("new_session"))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id", "ts", "value", F.sum("new_session").over(w2).alias("session_id")
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            fsum("value").alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming builders (tested with availableNow trigger vs the batch form)
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos→micros cast."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_tumbling_counts with a 1h watermark.
+
+    The watermark bounds state: windows older than (max event time - 1h)
+    finalize and evict; late events beyond it are dropped.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data dedup: dropDuplicatesWithinWatermark on event_id."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return ev.dropDuplicatesWithinWatermark(["event_id"])

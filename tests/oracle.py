@@ -64,10 +64,10 @@ def _canon_value(v) -> str:
 
 def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
     cols = sorted(df.columns)
-    rows = [
-        tuple(_canon_value(row[c]) for c in cols)
-        for _, row in df.iterrows()
-    ]
+    # per-column extraction (NOT iterrows, which upcasts mixed-type rows
+    # to a common dtype and turns ints into floats)
+    col_values = [df[c].tolist() for c in cols]
+    rows = [tuple(_canon_value(v) for v in vals) for vals in zip(*col_values)]
     rows.sort()
     return cols, rows
 

@@ -1,0 +1,84 @@
+"""Plan-shape assertions: the 100 TB discipline, checked at sf0.001.
+
+Results being right is necessary; these tests pin that the *plans*
+are the ones that survive scale — filters pushed into the parquet
+scan, dims broadcast, aggregates partial-aggregated map-side, no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+from p4_mapreduce_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregate,
+    assert_pushed_filters,
+    plan_string,
+)
+from p4_mapreduce_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["filter_project"].fn(spark, sf_dir)
+    plan = assert_pushed_filters(df)
+    # the three predicates land in PushedFilters, not a post-scan Filter only
+    assert "GreaterThanOrEqual(l_quantity" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    # scan must not read columns q1 never touches
+    assert "l_partkey" not in plan.split("ReadSchema")[-1]
+    assert "l_comment" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    assert_partial_aggregate(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+
+
+def test_q3_broadcasts_dim(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = assert_broadcast_join(df)
+    # star join with broadcast dims: the fact table shuffles at most
+    # once for the agg (plus the final sort's range partitioning) —
+    # broadcast exchanges don't count
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.count("Exchange rangepartitioning") <= 1, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = REGISTRY["global_sort_topk"].fn(spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-k should plan TakeOrderedAndProject (heap per "
+        f"partition + driver merge), not a full sort:\n{plan}"
+    )
+
+
+def test_minhash_no_shingle_explode(spark, sf_dir):
+    """Minhash signatures are computed with per-row array lambdas; the
+    plan must never explode the shingle arrays (per-shingle rows are
+    what kill shingle pipelines at scale). The only Generate allowed
+    is the 4-rows-per-doc band melt."""
+    df = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert "explode(shingles" not in plan, plan
+
+
+def test_semi_join_plans_semi(spark, sf_dir):
+    plan = plan_string(REGISTRY["join_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_wordcount_partial_agg(spark, sf_dir):
+    assert_partial_aggregate(REGISTRY["mr_wordcount"].fn(spark, sf_dir))

@@ -1,0 +1,58 @@
+"""Structured Streaming semantics: streaming result == batch result.
+
+Runs the streaming builders with an availableNow trigger into a memory
+sink and compares against the registered batch-equivalent queries —
+Structured Streaming's core contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from p4_mapreduce_spark.streaming.windows import (
+    stream_tumbling_counts,
+    streaming_dedup_within_watermark,
+    streaming_tumbling_counts,
+)
+
+
+def _run_available_now(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name == "tumbling" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream_df = streaming_tumbling_counts(spark, sf_dir)
+    q = _run_available_now(stream_df, "tumbling")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in stream_tumbling_counts(spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_runs(spark, sf_dir):
+    stream_df = streaming_dedup_within_watermark(spark, sf_dir)
+    q = _run_available_now(stream_df, "dedup_stream")
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+        from p4_mapreduce_spark.sources.tables import load
+
+        batch_n = load(spark, sf_dir, "events").select("event_id").distinct().count()
+        assert n == batch_n
+    finally:
+        q.stop()
