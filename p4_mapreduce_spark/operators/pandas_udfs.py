@@ -1,0 +1,145 @@
+"""Pandas-UDF surface: the sanctioned Python path.
+
+The reference's UDF mechanism is a line-pipe subprocess per task
+(SURVEY.md §2.1 O7 — replayed via RDD.pipe in plans.job). The native
+engine's Python escape hatch is Arrow-batched pandas UDFs: one FFI
+hop per ~10k-row batch instead of per row (~10-100x the throughput of
+row-at-a-time Python UDFs; still ~10x slower than staying JVM-side,
+which is why only genuinely-Python logic lands here).
+
+All three UDF shapes are exercised with *deterministic integer-space*
+math so even the Python results hash-match the DuckDB oracles:
+scalar (rolling hash), grouped-agg (weighted mean via integer cents),
+grouped-map / applyInPandas (per-user gap medians on integer micros).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+
+@register(
+    "pudf_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}
+           ) AS rolling_hash
+    FROM documents
+    """,
+    doc=f"Scalar pandas UDF: Karp-Rabin rolling hash (base {HASH_BASE}, "
+    f"mod {HASH_MOD}) over the document text — genuinely iterative "
+    "per-row logic, Arrow-batched; exact integer math so the DuckDB "
+    "list_reduce oracle replays it bit-for-bit.",
+    tags=("udf", "text"),
+)
+def pudf_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def rolling_hash(texts: pd.Series) -> pd.Series:
+        def h(s: str) -> int:
+            acc = 0
+            for ch in s:
+                acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+            return acc
+
+        return texts.map(h)
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select("doc_id", rolling_hash("text").alias("rolling_hash"))
+
+
+@register(
+    "pudf_grouped_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * (user_id + 1)) AS BIGINT)
+               AS weighted_cents,
+           CAST(sum(user_id + 1) AS BIGINT) AS total_weight
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-agg pandas UDF: weighted sums computed in integer cents "
+    "(exact, order-independent) — the recipe for Python aggregation "
+    "that still hash-matches a SQL engine.",
+    tags=("udf", "aggregation"),
+)
+def pudf_grouped_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("long")
+    def weighted_cents(value: pd.Series, weight: pd.Series) -> int:
+        cents = (value * 100).round().astype("int64")
+        return int((cents * weight).sum())
+
+    @pandas_udf("long")
+    def total_weight(weight: pd.Series) -> int:
+        return int(weight.sum())
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "weight", F.col("user_id") + F.lit(1)
+    )
+    return ev.groupBy("event_type").agg(
+        weighted_cents("value", "weight").alias("weighted_cents"),
+        total_weight("weight").alias("total_weight"),
+    )
+
+
+@register(
+    "pudf_user_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="applyInPandas (grouped map): per-user inter-event gap stats on "
+    "integer microseconds — arbitrary per-group Python (sort + diff) "
+    "with exact-integer outputs.",
+    tags=("udf", "window"),
+)
+def pudf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # Arrow hands timestamps to pandas as datetime64[ns]
+        us = pdf["ts"].astype("int64") // 1000  # nanos -> micros
+        gaps = us.diff().dropna().astype("int64")
+        if gaps.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "min_gap_us", "max_gap_us", "total_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "min_gap_us": [int(gaps.min())],
+                "max_gap_us": [int(gaps.max())],
+                "total_gap_us": [int(gaps.sum())],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        schema="user_id bigint, n_gaps bigint, min_gap_us bigint, "
+        "max_gap_us bigint, total_gap_us bigint",
+    )

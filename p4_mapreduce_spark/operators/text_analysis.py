@@ -187,3 +187,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(normalized, 256).alias("normalized_sha256"),
         F.substring(F.md5(first8), 1, 16).alias("prefix_fingerprint"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM words WHERE word <> ''
+        GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM words WHERE word <> ''
+        GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               floor((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document: term frequency x ln(N/df), "
+    "built from two shuffles (tf, df) + a broadcast corpus count — "
+    "the classic inverted-index scoring pipeline.",
+    tags=("text", "aggregation", "window"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            fix(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "word", "tfidf", "rk")
+    )

@@ -40,9 +40,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # is a dict); grouped as SURVEY.md §2 groups them.
 _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.relational",
+    "p4_mapreduce_spark.operators.tpch_more",
     "p4_mapreduce_spark.operators.joins",
     "p4_mapreduce_spark.operators.windows",
     "p4_mapreduce_spark.operators.setops",
+    "p4_mapreduce_spark.operators.aggregates",
+    "p4_mapreduce_spark.operators.subqueries",
+    "p4_mapreduce_spark.operators.nested",
+    "p4_mapreduce_spark.operators.pandas_udfs",
     "p4_mapreduce_spark.functions.scalar_queries",
     "p4_mapreduce_spark.operators.mapreduce_compat",
     "p4_mapreduce_spark.operators.text_analysis",

@@ -189,3 +189,36 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     """Late-data dedup: dropDuplicatesWithinWatermark on event_id."""
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return ev.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user (count, value-cents sum) kept in explicit GroupState.
+
+    This is the escape hatch for operators Structured Streaming lacks
+    (custom sessionization, decaying counters, online sketches). State
+    is per-key and partitioned — at 100 TB the state store shards with
+    the shuffle, bounded by watermark-driven timeouts (here: none,
+    since the test source is finite).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "value_cents": [cents]}
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, value_cents bigint",
+        stateStructType="count bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

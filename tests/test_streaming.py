@@ -56,3 +56,47 @@ def test_streaming_dedup_runs(spark, sf_dir):
         assert n == batch_n
     finally:
         q.stop()
+
+
+def test_streaming_stateful_counts(spark, sf_dir):
+    from p4_mapreduce_spark.streaming.windows import streaming_stateful_user_counts
+
+    stream_df = streaming_stateful_user_counts(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        # last update per user == batch totals
+        got = {
+            r["user_id"]: (r["n_events"], r["value_cents"])
+            for r in spark.sql(
+                """SELECT user_id, n_events, value_cents FROM (
+                       SELECT *, row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY n_events DESC) rn
+                       FROM stateful_counts) WHERE rn = 1"""
+            ).collect()
+        }
+        import pyspark.sql.functions as F
+
+        from p4_mapreduce_spark.sources.tables import load
+
+        batch = {
+            r["user_id"]: (r["n"], r["cents"])
+            for r in load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
