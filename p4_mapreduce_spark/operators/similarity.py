@@ -75,7 +75,11 @@ def _query_ids_sql() -> str:
     tags=("similarity", "vector"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    # embeddings arrives as one split; fan out so the cosine scan uses
+    # every core (at cluster scale the scan is already multi-split)
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

@@ -117,3 +117,30 @@ def test_job_api_pipe_reference_executables(spark, tmp_path):
         line.rstrip("\n") for line in open(WC_GOLDEN, encoding="utf-8")
     )
     assert sorted(ours) == golden
+
+
+def test_job_api_pipe_grep_executables(spark, tmp_path):
+    """RDD.pipe with the reference's python grep executables, including
+    its shell=True argv quirk: the query argument is never delivered,
+    so grep always runs its default 'product' (SURVEY.md §2.1 O7)."""
+    grep_map = f"{REF}/exec/grep_map.py"
+    grep_reduce = f"{REF}/exec/grep_reduce.py"
+    out_dir = str(tmp_path / "out")
+    outputs = run_job(
+        spark,
+        Job(
+            input_directory=INPUT_DIR,
+            output_directory=out_dir,
+            mapper_executable=grep_map,
+            reducer_executable=grep_reduce,
+            num_mappers=4,
+            num_reducers=1,
+        ),
+    )
+    ours = []
+    for p in outputs:
+        ours.extend(line.rstrip("\n") for line in open(p, encoding="utf-8"))
+    golden = sorted(
+        line.rstrip("\n") for line in open(GREP_GOLDEN, encoding="utf-8")
+    )
+    assert sorted(ours) == golden
