@@ -125,3 +125,50 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return assets.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(greatest(length(text) // 4, 1) AS BIGINT) AS frame_bytes,
+           md5(substr(text, CAST(f * greatest(length(text) // 4, 1) + 1 AS INTEGER),
+                      CAST(greatest(length(text) // 4, 1) AS INTEGER))) AS frame_hash
+    FROM documents, unnest(generate_series(0, 3)) AS t(f)
+    WHERE length(text) >= 4
+    """,
+    doc="Frame sampling (video-style 1→N): each asset yields 4 evenly "
+    "spaced payload frames via mapInPandas — the batch-UDTF shape for "
+    "decode/frame-extract pipelines. Deterministic fake sampler (byte "
+    "slices + md5) so the oracle replays it; a real decoder plugs into "
+    "the same batch iterator.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def sample_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if len(data) < 4:
+                    continue
+                flen = max(len(data) // 4, 1)
+                for f in range(4):
+                    chunk = data[f * flen : f * flen + flen]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["frame_bytes"].append(flen)
+                    rows["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        sample_frames,
+        schema="doc_id bigint, frame_idx int, frame_bytes bigint, frame_hash string",
+    )

@@ -1,0 +1,145 @@
+"""Second-ring relational coverage: window first/last, date arithmetic,
+more string functions, INTERSECT ALL, approximate percentiles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / last_value / nth_value with an explicit full "
+    "frame and total order — the deterministic form (default frames "
+    "make last_value a footgun).",
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS review_date,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
+    FROM orders
+    """,
+    doc="Date arithmetic: interval add, add_months, last_day, quarter, "
+    "day-of-week. Date results are emitted as midnight timestamps in "
+    "both dialects: DATE columns canonicalize differently across the "
+    "two engines' pandas paths, and DuckDB's dayofweek is 0-based "
+    "(Sunday=0) vs Spark's 1-based.",
+    tags=("scalar", "date"),
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.add_months(d, 3).cast("timestamp").alias("review_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+@register(
+    "string_extra",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name) AS name_rev,
+           translate(p_name, 'aeiou', '12345') AS name_translated,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           left(p_name, 4) AS name_left4,
+           right(p_name, 4) AS name_right4,
+           repeat('-', p_size % 5 + 1) AS size_bar,
+           CAST(starts_with(p_name, 'small') AS BOOLEAN) AS is_small_named
+    FROM part
+    """,
+    doc="More string surface: reverse, translate, lpad, left/right, "
+    "repeat, starts_with.",
+    tags=("scalar", "string"),
+)
+def string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "aeiou", "12345").alias("name_translated"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.expr("right(p_name, 4)").alias("name_right4"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5 + 1).cast("int")).alias("size_bar"),
+        F.col("p_name").startswith("small").alias("is_small_named"),
+    )
+
+
+@register(
+    "intersect_all_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 20000
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL (bag semantics — multiplicity = min of the two "
+    "sides), complementing the set-semantics intersect.",
+    tags=("setop",),
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 20000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "approx_percentiles",
+    oracle=None,  # sketch-based: engine-specific numerics, rows-only check
+    doc="approx_percentile (KLL/GK sketches): the 100 TB path for "
+    "quantiles — single pass, bounded memory, mergeable across "
+    "partitions. Exact counterpart: exact_median_via_window.",
+    tags=("aggregation", "sketch"),
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -40,6 +40,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # is a dict); grouped as SURVEY.md §2 groups them.
 _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.relational",
+    "p4_mapreduce_spark.operators.relational_extra",
     "p4_mapreduce_spark.operators.tpch_more",
     "p4_mapreduce_spark.operators.joins",
     "p4_mapreduce_spark.operators.windows",

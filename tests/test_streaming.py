@@ -100,3 +100,42 @@ def test_streaming_stateful_counts(spark, sf_dir):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from p4_mapreduce_spark.streaming.windows import streaming_stream_stream_join
+
+    q = (
+        streaming_stream_stream_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0]["n"]
+        import pyspark.sql.functions as F
+
+        from p4_mapreduce_spark.sources.tables import load
+
+        ev = load(spark, sf_dir, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+        )
+        want = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).count()
+        assert got == want
+    finally:
+        q.stop()
