@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.mapreduce_compat",
     "p4_mapreduce_spark.operators.text_analysis",
     "p4_mapreduce_spark.operators.dedup",
+    "p4_mapreduce_spark.operators.graph",
     "p4_mapreduce_spark.operators.similarity",
     "p4_mapreduce_spark.operators.multimodal",
     "p4_mapreduce_spark.streaming.windows",
