@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.functions.scalar_queries",
     "p4_mapreduce_spark.operators.mapreduce_compat",
     "p4_mapreduce_spark.operators.text_analysis",
+    "p4_mapreduce_spark.operators.pipeline_ops",
     "p4_mapreduce_spark.operators.dedup",
     "p4_mapreduce_spark.operators.graph",
     "p4_mapreduce_spark.operators.similarity",
