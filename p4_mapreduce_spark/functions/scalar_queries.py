@@ -26,7 +26,7 @@ from p4_mapreduce_spark.sources.tables import load
            length(p_name) AS name_len,
            substring(p_name, 1, 3) AS name_prefix,
            replace(p_name, ' ', '_') AS name_snake,
-           concat(p_brand, ':', p_type) AS brand_type,
+           concat_ws(':', p_brand, p_type) AS brand_type,
            strpos(p_name, 'e') AS first_e,
            regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
            CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget

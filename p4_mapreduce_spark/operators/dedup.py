@@ -135,6 +135,30 @@ def _minhash_sql(perm: int) -> str:
 # 2. MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+# Bounded persist cache for the LSH signature table: at most ONE entry,
+# keyed by (spark application, sf_dir). A bare .persist() per call
+# would leak a cached copy for the session's lifetime; no persistence
+# would recompute the signature pipeline 5x per query.
+_SIGS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _persist_sigs_bounded(spark: SparkSession, sf_dir: str, sigs: "DataFrame") -> "DataFrame":
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIGS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for old_key, old_df in list(_SIGS_CACHE.items()):
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass  # old session may be gone
+        del _SIGS_CACHE[old_key]
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    _SIGS_CACHE[key] = sigs
+    return sigs
+
 
 def _band_signature_sql(band: int) -> str:
     cols = " || '|' || ".join(
@@ -223,13 +247,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # The signature table feeds both sides of the candidate self-join
-    # AND the verify join — without persist, Spark recomputes the whole
-    # shingle+minhash pipeline once per reference (5x+). Small relative
-    # to the corpus (ids + signatures + shingle arrays), so memory-and-
-    # disk persist is the right call at any scale.
-    from pyspark import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # AND the verify join — without persistence, Spark recomputes the
+    # whole shingle+minhash pipeline once per reference (5x+). The
+    # persist lives in a bounded module cache (max one entry, evicted
+    # on session or sf_dir change) so repeated invocations reuse it
+    # without leaking one cached copy per call.
+    sigs = _persist_sigs_bounded(spark, sf_dir, sigs)
     # melt bands to long form: one equi-join on (band_id, signature)
     # instead of one join per band
     bands_long = sigs.select(

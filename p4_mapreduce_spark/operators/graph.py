@@ -6,10 +6,11 @@ graph). This is genuinely iterative — not SQL-expressible without
 recursion — so it registers as a rows-only query; correctness is
 pinned by a union-find cross-check in tests.
 
-Algorithm: large-star/small-star-style label propagation. Every node
-starts labeled with itself; each round joins labels across edges and
-takes the min over the neighborhood; converges in O(log d) rounds
-(graph diameter d — near-dup clusters are tiny, so 2-4 rounds).
+Algorithm: min-label propagation. Every node starts labeled with
+itself; each round joins labels across edges and takes the min over
+the neighborhood; converges in O(diameter) rounds (near-dup clusters
+are tiny and dense, so typically 2-4). Non-convergence within
+``max_iter`` raises rather than returning silently-wrong labels.
 
 Scale notes: each round is one shuffle on node id. The loop runs on
 the driver but touches only DataFrame lineage; ``localCheckpoint``
@@ -27,12 +28,14 @@ from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components of an undirected edge list.
 
     ``edges``: DataFrame[src: long, dst: long]. Returns
     DataFrame[node: long, component: long] where component is the
-    minimum node id in the node's component.
+    minimum node id in the node's component. Raises ``RuntimeError``
+    if labels haven't converged after ``max_iter`` rounds (components
+    with diameter > max_iter would otherwise come back split).
     """
     sym = edges.selectExpr("src", "dst").union(
         edges.selectExpr("dst AS src", "src AS dst")
@@ -62,8 +65,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter too large); raise max_iter"
+    )
 
 
 @register(

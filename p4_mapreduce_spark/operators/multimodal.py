@@ -48,8 +48,11 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         )
     if not payload:
         return [0.0, 0.0, 0.0]
-    n = float(len(payload))
-    return [n, float(payload[0]), float(payload[-1])]
+    # byte length (matches octet_length) but code points for the first/
+    # last "pixel" (matches the oracle's ascii(substr(text, ...)), and
+    # stays correct when the text isn't pure ASCII)
+    text = payload.decode("utf-8")
+    return [float(len(payload)), float(ord(text[0])), float(ord(text[-1]))]
 
 
 def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,9 +143,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Frame sampling (video-style 1→N): each asset yields 4 evenly "
     "spaced payload frames via mapInPandas — the batch-UDTF shape for "
-    "decode/frame-extract pipelines. Deterministic fake sampler (byte "
-    "slices + md5) so the oracle replays it; a real decoder plugs into "
-    "the same batch iterator.",
+    "decode/frame-extract pipelines. Deterministic fake sampler so the "
+    "oracle replays it: frames are sliced on decoded characters (the "
+    "oracle's substr is character-based) and hashed as their UTF-8 "
+    "bytes (DuckDB's md5 of VARCHAR hashes UTF-8) — exact for "
+    "non-ASCII text too. A real decoder plugs into the same iterator.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,16 +161,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                if len(data) < 4:
+                text = bytes(payload).decode("utf-8")
+                if len(text) < 4:
                     continue
-                flen = max(len(data) // 4, 1)
+                flen = max(len(text) // 4, 1)
                 for f in range(4):
-                    chunk = data[f * flen : f * flen + flen]
+                    chunk = text[f * flen : f * flen + flen]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(f)
                     rows["frame_bytes"].append(flen)
-                    rows["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+                    rows["frame_hash"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(

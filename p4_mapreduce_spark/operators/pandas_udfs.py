@@ -79,7 +79,11 @@ def pudf_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pudf_grouped_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("long")
     def weighted_cents(value: pd.Series, weight: pd.Series) -> int:
-        cents = (value * 100).round().astype("int64")
+        import numpy as np
+
+        # floor(x*100 + 0.5), NOT .round(): pandas rounds half-even
+        # while the oracle (and the rest of the engine) rounds half-up
+        cents = np.floor(value * 100 + 0.5).astype("int64")
         return int((cents * weight).sum())
 
     @pandas_udf("long")

@@ -90,7 +90,10 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _big_customers(spark, sf_dir).exceptAll(_building_customers(spark, sf_dir)).distinct()
+    # subtract() is EXCEPT (set) semantics; exceptAll().distinct() is NOT
+    # equivalent when the left side has duplicates of a row the right
+    # side also has
+    return _big_customers(spark, sf_dir).subtract(_building_customers(spark, sf_dir))
 
 
 @register(

@@ -261,9 +261,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, (a.label_a == b.label_b) & (a.vec_id_a < b.vec_id_b)).select(
         "vec_id_a", "vec_id_b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
     )
-    w = Window.orderBy(F.col("cosine_sim").desc(), "vec_id_a", "vec_id_b")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 25)
-        .select("vec_id_a", "vec_id_b", "cosine_sim", "rk")
+    # global top-25 via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps + driver merge); the rank window then runs on 25
+    # rows, never on the full pair set (a global row_number over all
+    # pairs would funnel everything through one task)
+    order = [F.col("cosine_sim").desc(), F.col("vec_id_a"), F.col("vec_id_b")]
+    top = pairs.orderBy(*order).limit(25)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id_a", "vec_id_b", "cosine_sim", "rk"
     )

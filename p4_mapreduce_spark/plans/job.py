@@ -33,9 +33,6 @@ the reference's rotated round-robin bucketing lives in
 from __future__ import annotations
 
 import itertools
-import os
-import shutil
-import tempfile
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
 
@@ -107,20 +104,34 @@ def run_job(spark: SparkSession, job: Job) -> list[str]:
     else:
         reduced = grouped.map(_format_kv).pipe(job.reducer_executable)
 
-    # ---- sink: saveAsTextFile then deterministic outputfileNN rename.
-    # On a cluster this rename is a cheap FS metadata op (e.g. HDFS
-    # rename); data itself is written by executors, never the driver.
-    staging = tempfile.mkdtemp(prefix="p4mr-job-")
-    staging_out = os.path.join(staging, "out")
+    # ---- sink: saveAsTextFile into a staging dir UNDER the output
+    # directory, then deterministic outputfileNN renames through the
+    # Hadoop FileSystem API. Staging must live on the job's (shared)
+    # output filesystem — a driver-local temp dir would silently lose
+    # executor-written parts on any non-local master — and the FS API
+    # renames are cheap metadata ops on HDFS/local alike.
+    out_dir = job.output_directory.rstrip("/")
+    staging_out = f"{out_dir}/_staging"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    staging_path = HPath(staging_out)
+    fs = staging_path.getFileSystem(hconf)
+    if fs.exists(staging_path):
+        fs.delete(staging_path, True)
     reduced.saveAsTextFile(staging_out)
-    os.makedirs(job.output_directory, exist_ok=True)
-    outputs: list[str] = []
     parts = sorted(
-        f for f in os.listdir(staging_out) if f.startswith("part-")
+        st.getPath().getName()
+        for st in fs.listStatus(staging_path)
+        if st.getPath().getName().startswith("part-")
     )
+    outputs: list[str] = []
     for i, part in enumerate(parts):
-        dest = os.path.join(job.output_directory, f"outputfile{i:02d}")
-        shutil.move(os.path.join(staging_out, part), dest)
+        dest = f"{out_dir}/outputfile{i:02d}"
+        dest_path = HPath(dest)
+        if fs.exists(dest_path):
+            fs.delete(dest_path, False)
+        fs.rename(HPath(f"{staging_out}/{part}"), dest_path)
         outputs.append(dest)
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.delete(staging_path, True)
     return outputs

@@ -15,7 +15,7 @@ contract (``queries()`` / ``oracle_sql()``).
 
 from __future__ import annotations
 
-import importlib
+import importlib.util
 from collections.abc import Callable
 from dataclasses import dataclass, field
 

@@ -28,10 +28,10 @@ def read_text_dir(
 ) -> DataFrame:
     """Read a directory of text files as ``DataFrame[value: string]``.
 
-    ``num_partitions`` mirrors the reference's ``num_mappers`` knob: it
-    caps/raises parallelism for the map stage. Unlike the reference we
-    repartition by range of (file, line) only when explicitly asked —
-    Spark's byte-range splits are the right default at scale.
+    ``num_partitions`` mirrors the reference's ``num_mappers`` knob: a
+    plain round-robin repartition that caps/raises map-stage
+    parallelism. Spark's byte-range splits are the right default at
+    scale; pass ``num_partitions`` only to mirror a reference job.
     """
     df = spark.read.text(input_dir)
     if with_filename:
