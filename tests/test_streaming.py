@@ -139,3 +139,39 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed stream must not reprocess data:
+    run an availableNow stream to a file sink twice with the same
+    checkpoint; the second run finds no new input and output stays
+    exactly-once."""
+    from p4_mapreduce_spark.streaming.windows import read_events_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: no new files -> no new rows
+    second = spark.read.parquet(out).count()
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    expected = load(spark, sf_dir, "events").count()
+    assert first == expected
+    assert second == expected
