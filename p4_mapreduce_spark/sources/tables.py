@@ -51,6 +51,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the caller may hand us a session without UTC set (the driver
+    # does): timestamp rendering and date_trunc/window bucketing are
+    # session-TZ dependent in Spark, while the DuckDB oracle is naive —
+    # any other TZ would shift every timestamp result
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div, not float: nanos epochs (~1.7e18) exceed double precision
