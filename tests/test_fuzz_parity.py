@@ -1,0 +1,155 @@
+"""Predicate fuzzing: random filter trees, Spark vs DuckDB (mini-SQLancer).
+
+Hypothesis builds random predicate ASTs over lineitem; each AST is
+rendered to BOTH a PySpark Column and a SQL string, then the filtered
+aggregate (count + normalized sums) must hash-match. This catches
+whole classes of divergence (literal typing, NULL logic, operator
+precedence, tri-valued boolean edges) that hand-written queries miss.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from p4_mapreduce_spark.functions.deterministic import fsum, fsum_sql
+from p4_mapreduce_spark.sources.tables import load
+from tests.conftest import TEST_SF_DIR
+from tests.oracle import compare_frames
+
+# --- predicate AST ----------------------------------------------------------
+
+NUM_COLS = {
+    "l_quantity": (1, 50),
+    "l_extendedprice": (900.0, 100000.0),
+    "l_discount": (0.0, 0.1),
+    "l_linenumber": (1, 7),
+}
+STR_COLS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def leaf(draw):
+    kind = draw(st.sampled_from(["num_cmp", "str_eq", "between", "isin"]))
+    if kind == "num_cmp":
+        col = draw(st.sampled_from(sorted(NUM_COLS)))
+        lo, hi = NUM_COLS[col]
+        val = round(draw(st.floats(min_value=lo, max_value=hi, allow_nan=False)), 2)
+        op = draw(st.sampled_from(CMP_OPS))
+        return ("num_cmp", col, op, val)
+    if kind == "str_eq":
+        col = draw(st.sampled_from(sorted(STR_COLS)))
+        val = draw(st.sampled_from(STR_COLS[col]))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return ("str_eq", col, op, val)
+    if kind == "between":
+        col = draw(st.sampled_from(sorted(NUM_COLS)))
+        lo, hi = NUM_COLS[col]
+        a = round(draw(st.floats(min_value=lo, max_value=hi, allow_nan=False)), 2)
+        b = round(draw(st.floats(min_value=lo, max_value=hi, allow_nan=False)), 2)
+        return ("between", col, min(a, b), max(a, b))
+    col = draw(st.sampled_from(sorted(STR_COLS)))
+    vals = draw(st.lists(st.sampled_from(STR_COLS[col]), min_size=1, max_size=2))
+    return ("isin", col, tuple(sorted(set(vals))))
+
+
+predicate = st.recursive(
+    leaf(),
+    lambda children: st.one_of(
+        st.tuples(st.just("and"), children, children),
+        st.tuples(st.just("or"), children, children),
+        st.tuples(st.just("not"), children),
+    ),
+    max_leaves=6,
+)
+
+
+def to_spark(node) -> F.Column:
+    tag = node[0]
+    if tag == "num_cmp":
+        _, col, op, val = node
+        c = F.col(col)
+        return {
+            "<": c < val, "<=": c <= val, ">": c > val,
+            ">=": c >= val, "=": c == val, "<>": c != val,
+        }[op]
+    if tag == "str_eq":
+        _, col, op, val = node
+        return (F.col(col) == val) if op == "=" else (F.col(col) != val)
+    if tag == "between":
+        _, col, a, b = node
+        return F.col(col).between(a, b)
+    if tag == "isin":
+        _, col, vals = node
+        return F.col(col).isin(*vals)
+    if tag == "and":
+        return to_spark(node[1]) & to_spark(node[2])
+    if tag == "or":
+        return to_spark(node[1]) | to_spark(node[2])
+    return ~to_spark(node[1])
+
+
+def to_sql(node) -> str:
+    tag = node[0]
+    if tag == "num_cmp":
+        _, col, op, val = node
+        return f"({col} {op} {val!r})"
+    if tag == "str_eq":
+        _, col, op, val = node
+        return f"({col} {op} '{val}')"
+    if tag == "between":
+        _, col, a, b = node
+        return f"({col} BETWEEN {a!r} AND {b!r})"
+    if tag == "isin":
+        _, col, vals = node
+        inlist = ", ".join(f"'{v}'" for v in vals)
+        return f"({col} IN ({inlist}))"
+    if tag == "and":
+        return f"({to_sql(node[1])} AND {to_sql(node[2])})"
+    if tag == "or":
+        return f"({to_sql(node[1])} OR {to_sql(node[2])})"
+    return f"(NOT {to_sql(node[1])})"
+
+
+@pytest.fixture(scope="module")
+def fuzz_ctx(spark):
+    li = load(spark, TEST_SF_DIR, "lineitem")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{TEST_SF_DIR}/lineitem.parquet'"
+    )
+    yield li, con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicate)
+def test_random_predicates_agree(fuzz_ctx, node):
+    li, con = fuzz_ctx
+    spark_pdf = (
+        li.where(to_spark(node))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fsum("l_quantity").alias("sum_qty"),
+            fsum("l_extendedprice").alias("sum_price"),
+        )
+        .toPandas()
+    )
+    oracle_pdf = con.execute(
+        f"""SELECT count(*) AS n,
+                   {fsum_sql('l_quantity')} AS sum_qty,
+                   {fsum_sql('l_extendedprice')} AS sum_price
+            FROM lineitem WHERE {to_sql(node)}"""
+    ).fetch_df()
+    compare_frames(spark_pdf, oracle_pdf, name=f"fuzz:{to_sql(node)}")
