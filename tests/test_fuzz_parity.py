@@ -153,3 +153,80 @@ def test_random_predicates_agree(fuzz_ctx, node):
             FROM lineitem WHERE {to_sql(node)}"""
     ).fetch_df()
     compare_frames(spark_pdf, oracle_pdf, name=f"fuzz:{to_sql(node)}")
+
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicate, st.lists(st.sampled_from(GROUP_COLS), min_size=1, max_size=2, unique=True))
+def test_random_groupby_agree(fuzz_ctx, node, group_cols):
+    li, con = fuzz_ctx
+    spark_pdf = (
+        li.where(to_spark(node))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fsum("l_quantity").alias("sum_qty"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .toPandas()
+    )
+    cols = ", ".join(group_cols)
+    oracle_pdf = con.execute(
+        f"""SELECT {cols}, count(*) AS n,
+                   {fsum_sql('l_quantity')} AS sum_qty,
+                   min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+            FROM lineitem WHERE {to_sql(node)}
+            GROUP BY {cols}"""
+    ).fetch_df()
+    compare_frames(spark_pdf, oracle_pdf, name=f"fuzz_groupby:{to_sql(node)}")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(predicate, st.sampled_from(["inner", "left", "left_semi", "left_anti"]))
+def test_random_join_agree(fuzz_ctx, node, how):
+    li, con = fuzz_ctx
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM '{TEST_SF_DIR}/orders.parquet'"
+    )
+    import __spark_entry__  # ensure registry side effects don't matter here
+    from p4_mapreduce_spark.sources.tables import load as _load
+
+    orders = _load(li.sparkSession, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    filtered = li.where(to_spark(node)).select("l_orderkey", "l_quantity")
+    joined = filtered.join(orders, filtered.l_orderkey == orders.o_orderkey, how)
+    if how in ("left_semi", "left_anti"):
+        spark_pdf = joined.agg(
+            F.count(F.lit(1)).alias("n"), fsum("l_quantity").alias("sum_qty")
+        ).toPandas()
+        sql_op = "EXISTS" if how == "left_semi" else "NOT EXISTS"
+        oracle_pdf = con.execute(
+            f"""SELECT count(*) AS n, {fsum_sql('l_quantity')} AS sum_qty
+                FROM lineitem
+                WHERE {to_sql(node)} AND {sql_op} (
+                    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)"""
+        ).fetch_df()
+    else:
+        spark_pdf = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderkey").alias("n_matched"),
+        ).toPandas()
+        jk = "JOIN" if how == "inner" else "LEFT JOIN"
+        oracle_pdf = con.execute(
+            f"""SELECT count(*) AS n, count(o_orderkey) AS n_matched
+                FROM (SELECT * FROM lineitem WHERE {to_sql(node)}) l
+                {jk} orders ON o_orderkey = l_orderkey"""
+        ).fetch_df()
+    compare_frames(spark_pdf, oracle_pdf, name=f"fuzz_join:{how}:{to_sql(node)}")
