@@ -143,3 +143,74 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT o_orderkey, metric, value FROM (
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+        FROM orders
+    )
+    """,
+    doc="Unpivot (wide→long) via stack(): the melt operation — plan-level "
+    "row expansion, no shuffle.",
+    tags=("projection", "pivot"),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               floor((c_acctbal + 100.0) * 100 + 0.5) / 100 AS c_acctbal,
+               c_mktsegment, TRUE AS is_updated
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    kept AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+               c.c_mktsegment, FALSE AS is_updated
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM updates
+    """,
+    doc="MERGE/upsert emulation (CDC apply without Delta): anti-join the "
+    "current snapshot against the change set, union the changes — the "
+    "classic SCD pattern on plain parquet. Change set here is derived "
+    "deterministically (every 10th customer gets +100 balance).",
+    tags=("join", "cdc"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.floor((F.col("c_acctbal") + 100.0) * 100 + F.lit(0.5)) / 100).alias(
+            "c_acctbal"
+        ),
+        "c_mktsegment",
+        F.lit(True).alias("is_updated"),
+    )
+    kept = cust.join(
+        updates.select("c_custkey"), "c_custkey", "left_anti"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(False).alias("is_updated"),
+    )
+    return kept.unionByName(updates)
