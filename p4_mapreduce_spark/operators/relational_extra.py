@@ -214,3 +214,31 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("is_updated"),
     )
     return kept.unionByName(updates)
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT p_type, p_partkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           CAST(count(*) OVER (PARTITION BY p_type) AS BIGINT) AS n_in_type
+    FROM part
+    WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice, p_partkey)
+    """,
+    doc="Distribution window functions: percent_rank ((rank-1)/(n-1)) "
+    "and cume_dist (rank/n) — integer-ratio divisions, bit-identical "
+    "across engines given the total order.",
+    tags=("window", "stats"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    wc = Window.partitionBy("p_type")
+    return p.select(
+        "p_type",
+        "p_partkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_in_type"),
+    )
