@@ -82,3 +82,39 @@ def test_semi_join_plans_semi(spark, sf_dir):
 
 def test_wordcount_partial_agg(spark, sf_dir):
     assert_partial_aggregate(REGISTRY["mr_wordcount"].fn(spark, sf_dir))
+
+
+# Queries where a broadcast nested-loop join is the intended plan: a
+# deliberate cross join of tiny relations, single-row stat/count frames
+# joined to everything, the band range join, or the brute-force ANN
+# scan (5 broadcast query vectors x corpus, non-equi by design).
+_BNLJ_ALLOWED = {
+    "join_cross",
+    "cte_chain",
+    "text_tfidf_top_terms",
+    "ann_bruteforce_topk",
+    "range_join_band",
+}
+
+
+def test_all_plans_healthy(spark, sf_dir):
+    """Whole-registry plan audit: no cartesian products, no
+    row-at-a-time Python UDFs, no unexpected nested-loop joins, no
+    runaway shuffle counts — the 'is this still Spark-shaped' gate."""
+    from p4_mapreduce_spark.registry import load_all
+
+    problems = []
+    for name, spec in sorted(load_all().items()):
+        plan = plan_string(spec.fn(spark, sf_dir), mode="simple")
+        if "CartesianProduct" in plan:
+            problems.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            problems.append((name, "row-at-a-time Python UDF"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            problems.append((name, "unexpected BroadcastNestedLoopJoin"))
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        if shuffles > 6:
+            problems.append((name, f"{shuffles} shuffles"))
+    assert not problems, problems
