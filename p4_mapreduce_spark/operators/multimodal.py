@@ -151,11 +151,19 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    return sample_frames_df(assets)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes bigint, frame_hash string"
+
+
+def sample_frames_df(assets: DataFrame) -> DataFrame:
+    """Apply the frame sampler to any DataFrame[doc_id, payload binary]."""
 
     def sample_frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
@@ -175,7 +183,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return assets.mapInPandas(
-        sample_frames,
-        schema="doc_id bigint, frame_idx int, frame_bytes bigint, frame_hash string",
-    )
+    return assets.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
