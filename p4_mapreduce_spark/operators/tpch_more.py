@@ -331,3 +331,556 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fsum(fix(F.col("volume"))).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13: customer order-count distribution — outer join with "
+    "a join-time residual predicate, then a double aggregation.",
+    tags=("join", "aggregation"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey, floor(sum(l_quantity) * 100 + 0.5) / 100 / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {fsum_sql('l_extendedprice')} AS total_price,
+           count(*) AS n_items
+    FROM lineitem JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: per-part average quantity (the correlated "
+    "scalar subquery, decorrelated into an aggregate + self-join) "
+    "filtering small-quantity line items.",
+    tags=("join", "subquery", "aggregation"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)) / 100 / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            fsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT floor(sum(c_acctbal) * 100 + 0.5) / 100 / count(*) AS v
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           {fsum_sql('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22: above-average-balance customers with no recent "
+    "orders — scalar subquery + anti join + agg.",
+    tags=("join", "subquery", "aggregation"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5)) / 100 / F.count(F.lit(1))).alias("v")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("v"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q8_NATION_SUM = fsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")
+_Q8_SHARE = fix_sql(f"({_Q8_NATION_SUM}) / ({fsum_sql('volume')})", 6)
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {fix_sql('l_extendedprice * (1 - l_discount)')} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT o_year, {_Q8_SHARE} AS mkt_share
+    FROM volumes GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8: market share — conditional share ratio per year over "
+    "a 7-way star join (two nation roles).",
+    tags=("join", "aggregation"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    volumes = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            fix(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        volumes.groupBy("o_year")
+        .agg(
+            fix(fsum(nation_vol) / fsum("volume"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice AS price,
+               s_name, s_acctbal, n_name
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    min_cost AS (
+        SELECT l_partkey, min(price) AS min_price FROM offers GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, min_price
+    FROM offers
+    JOIN min_cost ON offers.l_partkey = min_cost.l_partkey AND price = min_price
+    JOIN part ON p_partkey = offers.l_partkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region — "
+    "the correlated MIN subquery decorrelated into a per-key aggregate "
+    "joined back to the offer set (lineitem stands in for partsupp, "
+    "which the schema omits). The part filter is applied before the "
+    "min computation in the Spark plan — semantics-preserving because "
+    "the MIN is per-partkey, and it prunes the aggregate input. The "
+    "offers subtree appears twice; Spark's ReuseExchange dedups the "
+    "scan+join work at runtime.",
+    tags=("join", "subquery", "aggregation"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_f = load(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    supp_geo = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("price"))
+        .join(F.broadcast(part_f.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_geo), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "price", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = offers.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("price") == F.col("min_price")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "min_price",
+        )
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {fsum_sql(fix_sql('l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity'))} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%ring%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit per supplier-nation per year over a "
+    "star join; 0.1 * p_retailprice * l_quantity stands in for the "
+    "missing ps_supplycost. Dims (filtered part, supplier, nation) "
+    "broadcast; the only shuffles are the fact-fact orderkey join and "
+    "the final group-by.",
+    tags=("join", "aggregation"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_f = load(spark, sf_dir, "part").where(F.col("p_name").like("%ring%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    amount = fix(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(fsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_values",
+    oracle=f"""
+    WITH vals AS (
+        SELECT l_partkey AS partkey,
+               {fsum_sql(fix_sql('l_extendedprice * (1 - l_discount)'))} AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, value FROM vals
+    WHERE value > (SELECT {fsum_sql('value')} FROM vals) * 0.0005
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape: per-part value from one region's suppliers, "
+    "kept only when above a fraction of the grand total — the scalar "
+    "subquery in HAVING becomes a single-row broadcast joined to the "
+    "per-part aggregate (lineitem revenue stands in for the missing "
+    "partsupp stock value). The vals subtree appears twice; "
+    "ReuseExchange dedups it.",
+    tags=("join", "subquery", "aggregation"),
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp_asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp_asia), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("value"))
+    )
+    total = vals.agg(fix(F.sum("value")).alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("total") * 0.0005)
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               {fsum_sql(fix_sql('l_extendedprice * (1 - l_discount)'))} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: top supplier by quarterly revenue — the view + "
+    "scalar MAX becomes a per-supplier aggregate with a single-row "
+    "max frame broadcast back onto it (ties kept, like the spec). "
+    "MAX over floor-normalized doubles is exact, so the equality is "
+    "engine-stable.",
+    tags=("join", "subquery", "aggregation"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier counts per (brand, type, "
+    "size) with a NOT IN supplier exclusion — anti join against a "
+    "broadcast exclusion list (s_suppkey is non-null, so anti == NOT "
+    "IN), then count(distinct) over the association pairs (lineitem "
+    "stands in for partsupp).",
+    tags=("join", "aggregation", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_f = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promo_volume_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 100.0)
+    ORDER BY s_name, s_acctbal
+    """,
+    doc="TPC-H Q20 shape: the nested semi-join chain — suppliers in "
+    "one nation that shipped over 100 units of PROMO parts in 1997. "
+    "Aggregate-with-HAVING feeds a left-semi join; l_quantity is "
+    "integral so the float sum is exact with no normalization needed "
+    "(lineitem volume stands in for the missing partsupp availqty).",
+    tags=("join", "subquery", "aggregation"),
+)
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    promo_parts = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    heavy = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100.0)
+        .select("l_suppkey")
+    )
+    nation7 = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation7), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_2', 'NATION_7')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape: suppliers who alone were late on "
+    "multi-supplier finished orders — EXISTS + correlated NOT EXISTS "
+    "over the same fact table, i.e. a semi join and an anti join with "
+    "non-equi residuals on the orderkey-partitioned lineitem "
+    "('late' = shipped >90 days after order date; the schema has no "
+    "commit/receipt dates).",
+    tags=("join", "subquery", "aggregation"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders_f = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    nations = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_2", "NATION_7")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    base = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(F.col("l_shipdate") > deadline)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l2_orderkey") == base.l_orderkey)
+            & (F.col("l2_suppkey") != base.l_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == base.l_orderkey)
+            & (F.col("l3_suppkey") != base.l_suppkey)
+            & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

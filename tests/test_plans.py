@@ -94,6 +94,9 @@ _BNLJ_ALLOWED = {
     "text_tfidf_top_terms",
     "ann_bruteforce_topk",
     "range_join_band",
+    "q11_important_values",  # single-row total joined to per-part aggregate
+    "q15_top_supplier",  # single-row max-revenue frame joined to revenues
+    "q22_global_sales_opportunity",  # single-row avg-balance frame vs customer
 }
 
 
