@@ -144,3 +144,157 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# out of 256 hash buckets: upsample src0/src1, downsample the long tail
+_MIX_WEIGHTS = {"src0": 256, "src1": 192, "src2": 128, "src3": 64}
+_MIX_DEFAULT = 32
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE {arms} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, doc_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+               {_mix_case_sql()} AS weight
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           min(CASE WHEN bucket < weight THEN doc_id END) AS min_kept_doc_id,
+           max(CASE WHEN bucket < weight THEN doc_id END) AS max_kept_doc_id
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Domain-mixture sampling: per-source target rates applied as "
+    "content-hash bucket thresholds (256 md5 buckets) — the LLM-corpus "
+    "re-weighting step. Hash-threshold (not random) keeps the sample "
+    "reproducible across runs/engines and monotone under corpus growth "
+    "(a kept doc stays kept when rates rise). One scan, one shuffle "
+    "(the per-source rollup); the sampling itself is a stateless "
+    "per-row filter, so at 100 TB it pipelines with the scan.",
+    tags=("pipeline", "sampling"),
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hexpos = lambda i: (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), i, 1),
+        )
+        - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    weight = F.lit(_MIX_DEFAULT)
+    for s, w in sorted(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("source") == s, w).otherwise(weight)
+    kept = bucket < weight
+    return (
+        docs.select("source", "doc_id", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.min(F.when(F.col("kept"), F.col("doc_id"))).alias("min_kept_doc_id"),
+            F.max(F.when(F.col("kept"), F.col("doc_id"))).alias("max_kept_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name, count(*) AS n_violations
+    FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_partkey', count(*)
+    FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey', count(*)
+    FROM orders WHERE NOT EXISTS (
+        SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'lineitem_bad_values',
+           CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                           OR l_extendedprice <= 0.0 OR l_quantity <= 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents_empty_text',
+           CAST(sum(CASE WHEN text IS NULL OR len(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    """,
+    doc="Pre-training data-quality audit: referential integrity "
+    "(anti-join counts: lineitem→orders, lineitem→part, "
+    "orders→customer) and value-range / empty-text checks, one row per "
+    "check. Value checks fuse into a single conditional-sum pass per "
+    "table; dim-side anti joins broadcast, the fact-fact orphan check "
+    "shuffles once on the key.",
+    tags=("pipeline", "join", "aggregation"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    row = lambda name, df: df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(name).alias("check_name"), "n_violations"
+    )
+    orphan_order = row(
+        "lineitem_orphan_orderkey",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+    )
+    orphan_part = row(
+        "lineitem_orphan_partkey",
+        li.join(
+            F.broadcast(load(spark, sf_dir, "part")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_anti",
+        ),
+    )
+    orphan_cust = row(
+        "orders_orphan_custkey",
+        orders.join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    bad_values = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0)
+                | (F.col("l_discount") > 1.0)
+                | (F.col("l_extendedprice") <= 0.0)
+                | (F.col("l_quantity") <= 0.0),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations")
+    ).select(F.lit("lineitem_bad_values").alias("check_name"), "n_violations")
+    empty_text = (
+        load(spark, sf_dir, "documents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                ).otherwise(0)
+            ).alias("n_violations")
+        )
+        .select(F.lit("documents_empty_text").alias("check_name"), "n_violations")
+    )
+    return orphan_order.unionAll(orphan_part).unionAll(orphan_cust).unionAll(
+        bad_values
+    ).unionAll(empty_text)
