@@ -833,16 +833,23 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s_name
     """,
     doc="TPC-H Q21 shape: suppliers who alone were late on "
-    "multi-supplier finished orders — EXISTS + correlated NOT EXISTS "
-    "over the same fact table, i.e. a semi join and an anti join with "
-    "non-equi residuals on the orderkey-partitioned lineitem "
-    "('late' = shipped >90 days after order date; the schema has no "
-    "commit/receipt dates).",
+    "multi-supplier finished orders ('late' = shipped >90 days after "
+    "order date; the schema has no commit/receipt dates). The spec's "
+    "EXISTS + correlated NOT EXISTS (the oracle SQL) are per-order "
+    "facts, so instead of two lineitem self-joins the engine computes "
+    "them in one pass: aggregate per (order, supplier), then per "
+    "order — an order qualifies when it has >1 supplier and exactly "
+    "one late supplier, contributing its late-line count to that "
+    "supplier. One lineitem scan, no self-joins; the naive semi/anti "
+    "form was 5x slower at 8x sf0.1 because Catalyst pushed the semi "
+    "join below the orders join, self-joining unfiltered lineitem.",
     tags=("join", "subquery", "aggregation"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    orders_f = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    orders_f = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     nations = load(spark, sf_dir, "nation").where(
         F.col("n_name").isin("NATION_2", "NATION_7")
     )
@@ -851,36 +858,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
-    deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    base = (
-        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
-        .where(F.col("l_shipdate") > deadline)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    ).cast("int")
+    lines = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_lines"), F.max("late").alias("any_late")
     )
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+        F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("n_late_lines").alias("n_late_lines"),
     )
     return (
-        base.join(
-            l2,
-            (F.col("l2_orderkey") == base.l_orderkey)
-            & (F.col("l2_suppkey") != base.l_suppkey),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == base.l_orderkey)
-            & (F.col("l3_suppkey") != base.l_suppkey)
-            & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
-            "left_anti",
-        )
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )

@@ -64,6 +64,11 @@ def get_spark(
         # timestamp type, so read as long and convert in the loader
         # (same micros truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local mode: one JVM hosts the driver AND all executor
+        # threads — the 1g default heap OOMs multi-million-row
+        # shuffles across 32 threads. Only read at JVM launch; on a
+        # real cluster executors size their own heaps instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # local mode: keep the UI off (faster startup, no port fights)
         .config("spark.ui.enabled", "false")
     )

@@ -28,22 +28,43 @@ from p4_mapreduce_spark.session import get_spark
 from p4_mapreduce_spark.sources.tables import load
 
 BASE_SF = "/root/testdata/sf0.1"
-PROBES = ["mr_wordcount", "dedup_exact", "dedup_minhash_lsh", "q1_pricing_summary"]
+PROBES = [
+    "mr_wordcount",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+]
 KEY_OFFSET = 10_000_000
+SMALL_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "embeddings")
 
 
 def build_scaled(spark, k: int, out_dir: str) -> None:
+    """K-fold union with orderkey offsets: lineitem and orders scale
+    together (referential integrity preserved, so the fact-fact join
+    probes stay honest); dims stay fixed, like a real star schema
+    growing in facts."""
     docs = load(spark, BASE_SF, "documents")
     li = load(spark, BASE_SF, "lineitem")
+    orders = load(spark, BASE_SF, "orders")
     docs_k = None
     li_k = None
+    ord_k = None
     for i in range(k):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
         l = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_OFFSET))
+        o = orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_OFFSET))
         docs_k = d if docs_k is None else docs_k.union(d)
         li_k = l if li_k is None else li_k.union(l)
+        ord_k = o if ord_k is None else ord_k.union(o)
     docs_k.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     li_k.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    ord_k.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    for t in SMALL_TABLES:
+        shutil.copy(
+            os.path.join(BASE_SF, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
+        )
 
 
 def main() -> None:
