@@ -53,6 +53,13 @@ def roundtrip_csv(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return spark.read.schema(df.schema).option("header", "true").csv(path)
 
 
+def roundtrip_orc(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Write+read ORC — the other columnar format Spark ships natively;
+    same pushdown/pruning machinery as parquet (shown in test plans)."""
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 def roundtrip_json(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """JSON-lines writer/reader with explicit schema on read."""
     df.write.mode("overwrite").json(path)

@@ -9,6 +9,7 @@ from p4_mapreduce_spark.sources.tables import load
 from p4_mapreduce_spark.sources.writers import (
     roundtrip_csv,
     roundtrip_json,
+    roundtrip_orc,
     write_bucketed_table,
     write_partitioned_parquet,
 )
@@ -36,6 +37,17 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got_json.collect())) == want
     assert got_csv.schema == nation.schema
     assert got_json.schema == nation.schema
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves values/schema, and filters push into the
+    ORC scan just like parquet."""
+    orders = load(spark, sf_dir, "orders")
+    back = roundtrip_orc(spark, orders, str(tmp_path / "orders_orc"))
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+    plan = plan_string(back.where(F.col("o_orderstatus") == "F"))
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0], plan
 
 
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
