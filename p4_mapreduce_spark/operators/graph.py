@@ -100,3 +100,80 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "members",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, n_iter: int = 10
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``edges``: DataFrame[src: long, dst: long]. Returns
+    DataFrame[node: long, rank: double] (the un-normalized Spark-example
+    formulation: rank = (1-d) + d * sum(incoming rank/out_degree); sink
+    nodes keep received mass). Deterministic in structure but float
+    reduction order varies per engine, so callers register rows-only.
+
+    Scale notes: each round is one shuffle (join ranks to edges on src,
+    aggregate contributions on dst). The edge list is checkpointed once;
+    each round's rank frame is localCheckpoint-ed to truncate lineage —
+    the same iterative-Spark discipline as connected_components above.
+    """
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@register(
+    "graph_pagerank_purchases",
+    oracle=None,  # iterative float fixpoint — reduction order varies per engine
+    doc="PageRank over the customer↔supplier purchase graph (edges = "
+    "distinct (c_custkey, l_suppkey) pairs via orders, symmetrized so "
+    "rank flows both ways; supplier node ids offset by 10^9 to keep "
+    "the id spaces disjoint). 10 fixed rounds, damping 0.85 — the "
+    "second iterative operator next to connected components; one "
+    "shuffle per round, lineage truncated per round. Rows-only: "
+    "correctness pinned against a pure-Python power iteration in "
+    "tests.",
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges).select("node", "rank")

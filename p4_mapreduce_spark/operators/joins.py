@@ -352,3 +352,58 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_id",
         "last_purchase_value",
     )
+
+
+@register(
+    "join_skew_split_hot_keys",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {fsum_sql('l_extendedprice')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Manual skew-split join: the salting recipe from SCALE.md as a "
+    "real operator. Hot join keys (here: orderkeys with >5 lines) are "
+    "routed through a broadcast join of just their matching build rows "
+    "while the cold long tail takes the normal shuffle join; the union "
+    "then aggregates. Result is identical to the plain join (the "
+    "oracle IS the plain join) — only the physical routing differs. "
+    "This is what AQE's skewJoin does adaptively; the explicit form is "
+    "for when skew is known ahead of time (power-law keys in logs, "
+    "null-heavy foreign keys) and for engines/settings without AQE.",
+    tags=("join", "skew", "aggregation"),
+)
+def join_skew_split_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hot_keys = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 5)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    li_hot = li.join(
+        F.broadcast(hot_keys), li.l_orderkey == F.col("hot_key"), "left_semi"
+    )
+    li_cold = li.join(
+        F.broadcast(hot_keys), li.l_orderkey == F.col("hot_key"), "left_anti"
+    )
+    orders_hot = orders.join(
+        F.broadcast(hot_keys), orders.o_orderkey == F.col("hot_key"), "left_semi"
+    )
+    joined_hot = li_hot.join(
+        F.broadcast(orders_hot), li.l_orderkey == orders.o_orderkey
+    )
+    joined_cold = li_cold.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined_hot.select("o_orderpriority", "l_extendedprice")
+        .unionAll(joined_cold.select("o_orderpriority", "l_extendedprice"))
+        .groupBy("o_orderpriority")
+        .agg(
+            fsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -58,3 +58,46 @@ def test_synthetic_chain_and_triangle(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def _pagerank_py(edge_list, damping=0.85, n_iter=10):
+    """Pure-Python reference for the same fixed-iteration formulation."""
+    from collections import defaultdict
+
+    out_deg = defaultdict(int)
+    nodes = set()
+    for s, d in edge_list:
+        out_deg[s] += 1
+        nodes.update((s, d))
+    ranks = {n: 1.0 for n in nodes}
+    for _ in range(n_iter):
+        mass = defaultdict(float)
+        for s, d in edge_list:
+            mass[d] += ranks[s] / out_deg[s]
+        ranks = {n: (1 - damping) + damping * mass[n] for n in nodes}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark):
+    from p4_mapreduce_spark.operators.graph import pagerank
+
+    # star (hub 1) + chain + a sink, directed
+    edge_list = [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    want = _pagerank_py(edge_list)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+
+
+def test_pagerank_purchase_graph_shape(spark, sf_dir):
+    from p4_mapreduce_spark.registry import load_all
+
+    pr = load_all()["graph_pagerank_purchases"].fn(spark, sf_dir).collect()
+    assert len(pr) > 0
+    ranks = [r["rank"] for r in pr]
+    # every node has positive rank; symmetric graph conserves total
+    # mass at n*(1-d) + d*n = n (no sinks), within float slack
+    assert min(ranks) > 0
+    assert abs(sum(ranks) - len(pr)) < 1e-6 * len(pr)
