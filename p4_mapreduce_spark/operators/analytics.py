@@ -1,0 +1,330 @@
+"""Behavioral / product-analytics operators: funnel, cohort retention,
+histogram, sequence packing, correlation, stratified sampling.
+
+The event-log and corpus analytics a warehouse engine is asked for
+beyond plain rollups (reference scope: SURVEY.md §2.4 taxonomy rows for
+aggregation/window; these are the composite shapes built from them):
+
+- **funnel**: staged per-user min-timestamps, then ordered-stage
+  conditional counting — one shuffle on user_id, one global reduce.
+- **cohort retention**: the classic triangle (cohort month × months
+  since first activity) from a single fact table.
+- **histogram**: fixed-width value bucketing; bucket math is pure
+  arithmetic so it fuses into the scan (no width_bucket dependency —
+  identical in any dialect).
+- **sequence packing**: greedy token-budget windows per (source, shard)
+  — the batch-assembly step after :mod:`pipeline_ops`'s chunking.
+- **corr/covar**: recomposed from normalized sums like
+  ``stats_moments`` (builtin corr's reduction order never hash-matches).
+- **stratified sample**: deterministic hash-ordered top-k per stratum.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.functions.deterministic import fsum, fsum_sql
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                              AND t_purchase >= t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+    doc="Ordered funnel (view → click → purchase): per-user min "
+    "timestamp per stage, then conditional stage counting with the "
+    "order constraint (a later stage only counts if it happened at or "
+    "after the user's earlier stage). One shuffle on user_id, then a "
+    "single-row global reduce — the standard two-phase funnel that "
+    "scales linearly in events regardless of funnel depth.",
+    tags=("events", "funnel", "aggregation"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+    )
+    stage_min = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") >= F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") >= F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag(reached_view).alias("n_view"),
+        flag(reached_click).alias("n_view_click"),
+        flag(reached_purchase).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS active_month
+        FROM orders
+    ), cohorts AS (
+        SELECT o_custkey, active_month,
+               min(active_month) OVER (PARTITION BY o_custkey) AS cohort_month
+        FROM months
+    )
+    SELECT cohort_month,
+           CAST((year(active_month) - year(cohort_month)) * 12
+              + (month(active_month) - month(cohort_month)) AS INTEGER)
+               AS months_since,
+           count(*) AS n_active_customers
+    FROM cohorts GROUP BY cohort_month, months_since
+    """,
+    doc="Cohort retention triangle: cohort = month of first order per "
+    "customer (window min over o_custkey — no self-join), months_since "
+    "as pure integer year/month arithmetic (months_between's float "
+    "return is a cross-engine trap), count of distinct active "
+    "customers per (cohort, offset) cell. Distinct-months first shrinks "
+    "the window input to ≤ |customer|×|months| rows; two shuffles "
+    "total (custkey window, final rollup).",
+    tags=("events", "cohort", "window", "aggregation"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    months = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("active_month"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey")
+    cohorts = months.withColumn("cohort_month", F.min("active_month").over(w))
+    months_since = (
+        (F.year("active_month") - F.year("cohort_month")) * 12
+        + (F.month("active_month") - F.month("cohort_month"))
+    ).cast("int")
+    return (
+        cohorts.select("cohort_month", months_since.alias("months_since"))
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+_HIST_STEP = 25_000.0
+_HIST_BUCKETS = 24
+
+
+@register(
+    "histogram_order_values",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT o_totalprice,
+               least(greatest(CAST(floor(o_totalprice / {_HIST_STEP}) AS INTEGER),
+                              0), {_HIST_BUCKETS - 1}) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           bucket * {_HIST_STEP} AS bucket_lo,
+           count(*) AS n_orders,
+           {fsum_sql('o_totalprice')} AS sum_value
+    FROM bucketed GROUP BY bucket
+    """,
+    doc=f"Fixed-width histogram of order values ({_HIST_BUCKETS} buckets "
+    f"of {_HIST_STEP:.0f}, clamped ends): bucket id is pure floor "
+    "arithmetic (no width_bucket builtin — the expression is dialect-"
+    "portable and fuses into the scan), so the whole histogram is one "
+    "scan + one {_HIST_BUCKETS}-key shuffle. The equi-width recipe "
+    "behind every profiler's value-distribution panel.",
+    tags=("aggregation", "histogram", "stats"),
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("o_totalprice") / _HIST_STEP).cast("int"), F.lit(0)
+        ),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        o.select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * _HIST_STEP).alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n_orders"),
+            fsum("o_totalprice").alias("sum_value"),
+        )
+        .select("bucket", "bucket_lo", "n_orders", "sum_value")
+    )
+
+
+_PACK_BUDGET = 4096.0
+_PACK_SHARDS = 8
+
+
+@register(
+    "seq_pack_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, shard, doc_id, n_tokens,
+               CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) / {_PACK_BUDGET}) AS BIGINT) AS window_id
+        FROM toks
+    )
+    SELECT source, shard, window_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM packed GROUP BY source, shard, window_id
+    """,
+    doc=f"Sequence packing for training-batch assembly: docs are packed "
+    f"in doc_id order into ~{_PACK_BUDGET:.0f}-token windows via an "
+    "exclusive running token sum (window_id = floor(cum_before / "
+    "budget)), so every window except a shard's last is filled past "
+    "budget by at most one doc. The running sum is sequential, so it "
+    "runs per (source, shard = doc_id % "
+    f"{_PACK_SHARDS}) — shards pack independently and in parallel; at "
+    "100 TB, shard count scales with the cluster and packing stays "
+    "embarrassingly parallel (one shuffle to co-locate shards).",
+    tags=("text", "pipeline", "window"),
+)
+def seq_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = toks.withColumn(
+        "window_id", F.floor(cum_before / _PACK_BUDGET).cast("long")
+    )
+    return packed.groupBy("source", "shard", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("window_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+@register(
+    "corr_discount_tax",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           (({fsum_sql('l_discount * l_tax', 4)})
+             - ({fsum_sql('l_discount')}) * ({fsum_sql('l_tax')}) / count(*))
+             / count(*) AS covar_pop,
+           (({fsum_sql('l_discount * l_tax', 4)})
+             - ({fsum_sql('l_discount')}) * ({fsum_sql('l_tax')}) / count(*))
+             / (sqrt(({fsum_sql('l_discount * l_discount', 4)})
+                     - ({fsum_sql('l_discount')}) * ({fsum_sql('l_discount')}) / count(*))
+                * sqrt(({fsum_sql('l_tax * l_tax', 4)})
+                       - ({fsum_sql('l_tax')}) * ({fsum_sql('l_tax')}) / count(*)))
+             AS corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pearson correlation + population covariance of discount vs tax "
+    "per returnflag, recomposed from normalized sums (Σx, Σy, Σxy, Σx², "
+    "Σy²) exactly like stats_moments — the corr/covar_pop builtins' "
+    "reduction order never hash-matches across engines. Small-magnitude "
+    "columns (≤0.1) keep the sum-of-products float error orders of "
+    "magnitude under the 1e-4 normalization boundary even at 1e9 rows "
+    "per group. Five partial sums fuse into one aggregate pass.",
+    tags=("aggregation", "stats"),
+)
+def corr_discount_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = fsum("l_discount")
+    sy = fsum("l_tax")
+    sxy = fsum(F.col("l_discount") * F.col("l_tax"), 4)
+    sxx = fsum(F.col("l_discount") * F.col("l_discount"), 4)
+    syy = fsum(F.col("l_tax") * F.col("l_tax"), 4)
+    cov_num = sxy - sx * sy / n
+    corr = cov_num / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (cov_num / n).alias("covar_pop"),
+        corr.alias("corr"),
+    )
+
+
+_SAMPLE_K = 100
+
+
+@register(
+    "stratified_sample_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_sampled,
+           min(c_custkey) AS min_custkey,
+           max(c_custkey) AS max_custkey,
+           {fsum_sql('c_acctbal')} AS sample_bal
+    FROM ranked WHERE rn <= {_SAMPLE_K} GROUP BY c_mktsegment
+    """,
+    doc=f"Stratified sampling: exactly {_SAMPLE_K} rows per stratum "
+    "(market segment), chosen by md5-hash order — deterministic across "
+    "runs and engines, unlike rand()-based sampleBy, and stable under "
+    "row-order changes. Spark plans WindowGroupLimit (per-partition "
+    "top-k heaps before the shuffle), so the full table is never "
+    "sorted; the validated sample rolls up per stratum.",
+    tags=("sampling", "window", "aggregation"),
+)
+def stratified_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    sampled = c.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _SAMPLE_K
+    )
+    return sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+        fsum("c_acctbal").alias("sample_bal"),
+    )
