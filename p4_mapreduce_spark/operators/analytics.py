@@ -156,7 +156,7 @@ _HIST_BUCKETS = 24
     f"of {_HIST_STEP:.0f}, clamped ends): bucket id is pure floor "
     "arithmetic (no width_bucket builtin — the expression is dialect-"
     "portable and fuses into the scan), so the whole histogram is one "
-    "scan + one {_HIST_BUCKETS}-key shuffle. The equi-width recipe "
+    f"scan + one {_HIST_BUCKETS}-key shuffle. The equi-width recipe "
     "behind every profiler's value-distribution panel.",
     tags=("aggregation", "histogram", "stats"),
 )

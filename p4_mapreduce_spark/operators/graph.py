@@ -78,7 +78,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     doc="Connected components over the MinHash-LSH near-dup pair graph: "
     "clusters of mutually-near-duplicate documents with a deterministic "
     "keeper (min doc_id = component id). Label-propagation rounds, one "
-    "shuffle each, lineage truncated via localCheckpoint.",
+    "shuffle each, lineage truncated via localCheckpoint. Members are "
+    "emitted as a comma-joined string (numerically sorted) so result "
+    "canonicalizers that sort/hash rows can handle the column.",
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +94,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.array_sort(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .select(
             F.col("component").alias("keeper_doc_id"),

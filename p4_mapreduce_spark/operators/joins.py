@@ -270,12 +270,16 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "range"),
 )
 def range_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast the pre-filtered orders side (the small relation) and
+    # stream events past it — broadcasting the fact side would OOM at
+    # real event volumes.
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") < 3000)
     e = load(spark, sf_dir, "events")
     lo = o.o_totalprice * 0.01 - 2.0
     hi = o.o_totalprice * 0.01 + 2.0
     return (
-        o.join(F.broadcast(e), (e.value >= lo) & (e.value <= hi))
+        F.broadcast(o)
+        .join(e, (e.value >= lo) & (e.value <= hi))
         .select("o_orderkey", "event_id", "o_totalprice", "value")
     )
 

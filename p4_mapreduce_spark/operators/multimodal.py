@@ -30,7 +30,10 @@ ASSET_SCHEMA = (
     "meta struct<width: int, height: int, n_bytes: bigint>"
 )
 
-FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feat array<double>"
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, "
+    "feat_len double, feat_first double, feat_last double"
+)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
@@ -101,14 +104,16 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-           [CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE),
-            CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, length(text), 1)) AS DOUBLE)] AS feat
+           CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) AS feat_len,
+           CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS feat_first,
+           CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) AS feat_last
     FROM documents
     """,
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas (deterministic fake decoder; real decoder is the stub "
-    "in decode_image). The oracle replays the fake's byte statistics.",
+    "in decode_image). The oracle replays the fake's byte statistics. "
+    "The 3-dim feature vector is emitted as scalar columns so result "
+    "canonicalizers can sort/hash rows.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +128,9 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "feat": feats,
+                    "feat_len": feats.map(lambda f: f[0]),
+                    "feat_first": feats.map(lambda f: f[1]),
+                    "feat_last": feats.map(lambda f: f[2]),
                 }
             )
 

@@ -44,13 +44,16 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "struct_build_collect",
     oracle="""
     SELECT n_nationkey,
-           list_sort(list(s_suppkey)) AS supplier_keys,
+           string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey)
+               AS supplier_keys,
            count(*) AS n_suppliers
     FROM nation JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_nationkey
     """,
-    doc="collect_list into a sorted array per group (order-normalized "
-    "so the aggregation's arrival order doesn't leak into results).",
+    doc="collect_list into a sorted list per group (order-normalized so "
+    "the aggregation's arrival order doesn't leak into results), emitted "
+    "as a comma-joined string so result canonicalizers can sort/hash "
+    "the column.",
     tags=("nested", "aggregation"),
 )
 def struct_build_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +63,13 @@ def struct_build_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(s, s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.array_sort(F.collect_list("s_suppkey")).alias("supplier_keys"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s_suppkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("supplier_keys"),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )

@@ -132,16 +132,28 @@ def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch-based: engine-specific numerics, rows-only check
     doc="approx_percentile (KLL/GK sketches): the 100 TB path for "
     "quantiles — single pass, bounded memory, mergeable across "
-    "partitions. Exact counterpart: exact_median_via_window.",
+    "partitions. Exact counterpart: exact_median_via_window. Quartiles "
+    "are emitted as three scalar columns (not one array) so downstream "
+    "result canonicalizers can sort/hash rows.",
     tags=("aggregation", "sketch"),
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("q")[0].alias("price_p25"),
+            F.col("q")[1].alias("price_p50"),
+            F.col("q")[2].alias("price_p75"),
+            "n",
+        )
     )
 
 

@@ -79,7 +79,8 @@ def run_job(spark: SparkSession, job: Job) -> list[str]:
     """Execute a job; returns the list of output file paths.
 
     Output files are ``output_directory/outputfileNN`` (zero-padded,
-    one per reducer) to match the reference sink contract.
+    1-indexed — outputfile01 first, one per reducer) to match the
+    reference sink contract (reference manager/__main__.py:486).
     """
     lines = read_text_dir(spark, job.input_directory, num_partitions=job.num_mappers)
     rdd = lines.rdd.map(lambda r: r.value)
@@ -126,8 +127,11 @@ def run_job(spark: SparkSession, job: Job) -> list[str]:
         if st.getPath().getName().startswith("part-")
     )
     outputs: list[str] = []
+    # 1-indexed to match the reference sink contract: its manager copies
+    # reduce01 -> outputfile01 (reference manager/__main__.py:486) and its
+    # integration tests wait for outputfile01.
     for i, part in enumerate(parts):
-        dest = f"{out_dir}/outputfile{i:02d}"
+        dest = f"{out_dir}/outputfile{i + 1:02d}"
         dest_path = HPath(dest)
         if fs.exists(dest_path):
             fs.delete(dest_path, False)

@@ -201,6 +201,7 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
     the shuffle, bounded by watermark-driven timeouts (here: none,
     since the test source is finite).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -208,7 +209,12 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
         count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # floor(x*100 + 0.5): the repo-wide half-up cents rule (see
+            # functions/deterministic.py) — pandas .round() would round
+            # half-to-even and diverge from the batch oracle at .xx5.
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
         state.update((count, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [count], "value_cents": [cents]}

@@ -30,7 +30,7 @@ def test_cli_runs_reference_wc_job(spark, tmp_path, capsys):
     )
     assert rc == 0
     printed = capsys.readouterr().out.strip().splitlines()
-    assert printed == [os.path.join(out_dir, "outputfile00")]
+    assert printed == [os.path.join(out_dir, "outputfile01")]
     ours = sorted(
         line.rstrip("\n") for line in open(printed[0], encoding="utf-8")
     )

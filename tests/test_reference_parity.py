@@ -82,7 +82,7 @@ def test_job_api_wordcount_callables(spark, tmp_path):
             num_reducers=2,
         ),
     )
-    assert [os.path.basename(p) for p in outputs] == ["outputfile00", "outputfile01"]
+    assert [os.path.basename(p) for p in outputs] == ["outputfile01", "outputfile02"]
     ours = []
     for p in outputs:
         ours.extend(line.rstrip("\n") for line in open(p, encoding="utf-8"))
