@@ -328,3 +328,70 @@ def stratified_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_custkey"),
         fsum("c_acctbal").alias("sample_bal"),
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min, in epoch-microseconds
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+               value
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           (max(ts_us) - min(ts_us)) // 1000000 AS duration_secs,
+           {fsum_sql('value')} AS session_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    doc="Batch sessionization (30-min inactivity gap): per-user lag() "
+    "gap detection, session ids via running sum of new-session flags, "
+    "then per-session rollup. One shuffle on user_id serves both "
+    "windows and the rollup (same partition key). Gap math runs on "
+    "epoch microseconds (both engines truncate parquet nanos the same "
+    "way). At 100 TB this is the canonical log→session ETL: linear, "
+    "skew-bounded by the busiest single user.",
+    tags=("events", "sessionization", "window", "aggregation"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("duration_secs"),
+        fsum("value").alias("session_value"),
+    )

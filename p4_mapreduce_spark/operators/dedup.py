@@ -427,3 +427,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Incremental dedup: new batch vs. existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=r"""
+    WITH fps AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    existing AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+    incoming AS (SELECT * FROM fps WHERE doc_id % 3 = 0)
+    SELECT min(doc_id) AS doc_id, fp, count(*) AS n_batch_copies
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+    GROUP BY fp
+    """,
+    doc="Incremental corpus ingestion dedup: an incoming batch "
+    "(doc_id % 3 = 0 here) is anti-joined on normalized content "
+    "fingerprint against the already-ingested corpus index, then "
+    "self-deduped keeping the min doc_id. This is the steady-state "
+    "shape of a 100 TB pipeline — the quadratic all-pairs pass runs "
+    "once, after which each day's batch costs one fingerprint "
+    "anti-join (shuffle on the 128-bit key, or a broadcast when the "
+    "day's index fits) plus a batch-local groupBy.",
+    tags=("dedup", "incremental", "join"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fps = docs.select("doc_id", F.md5(normalized).alias("fp"))
+    existing = fps.where(F.col("doc_id") % 3 != 0).select("fp").distinct()
+    incoming = fps.where(F.col("doc_id") % 3 == 0)
+    fresh = incoming.join(existing, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .select("doc_id", "fp", "n_batch_copies")
+    )

@@ -298,3 +298,71 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphan_order.unionAll(orphan_part).unionAll(orphan_cust).unionAll(
         bad_values
     ).unionAll(empty_text)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+_MORTON_BITS = 8
+_MORTON_PRICE_STEP = 2000.0
+
+
+def _morton_spark(bx: str, by: str) -> str:
+    """Spark-SQL bit interleave of two 8-bit ints (x even bits, y odd)."""
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"shiftleft((shiftright({bx}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({by}, {i}) & 1), {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_duck(bx: str, by: str) -> str:
+    """DuckDB twin of :func:`_morton_spark` (operator spellings differ)."""
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_BX = f"least(CAST(floor(o_totalprice / {_MORTON_PRICE_STEP}) AS INTEGER), 255)"
+_BY = "CAST(o_custkey % 256 AS INTEGER)"
+
+
+@register(
+    "zorder_cluster_key",
+    oracle=f"""
+    WITH coded AS (
+        SELECT CAST({_morton_duck(_BX, _BY)} AS BIGINT) AS morton
+        FROM orders
+    )
+    SELECT morton // 1024 AS z_block,
+           count(*) AS n_orders,
+           min(morton) AS z_min,
+           max(morton) AS z_max
+    FROM coded GROUP BY z_block
+    """,
+    doc="Z-order (Morton) clustering key over two order dimensions "
+    "(price bucket × customer bucket), interleaved bit-by-bit with "
+    "pure shift/mask arithmetic, rolled up per 1024-code block. This "
+    "is the layout key behind multi-dimensional data skipping: write "
+    "the table sorted by the code (repartitionByRange + "
+    "sortWithinPartitions) and min/max file stats prune scans on "
+    "EITHER dimension — the Delta/Iceberg OPTIMIZE ZORDER recipe, "
+    "computed engine-side with no UDF.",
+    tags=("layout", "zorder", "aggregation"),
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    morton = F.expr(_morton_spark(_BX, _BY)).cast("bigint")
+    return (
+        o.select(morton.alias("morton"))
+        .select(F.expr("morton div 1024").alias("z_block"), "morton")
+        .groupBy("z_block")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("morton").alias("z_min"),
+            F.max("morton").alias("z_max"),
+        )
+    )

@@ -250,3 +250,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("doc_id", "word", "tfidf", "rk")
     )
+
+
+@register(
+    "text_bigram_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                                     p -> p[1] || ' ' || p[2])) AS bigram
+        FROM d WHERE len(ws) >= 2
+    )
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM b GROUP BY bigram HAVING count(*) >= 5
+    """,
+    doc="Bigram frequency + document frequency (the n-gram statistics "
+    "table behind phrase mining and contamination checks): adjacent "
+    "token pairs via zip_with over two offset slices of the token "
+    "array — built once as a real column (no lambda recompute), "
+    "exploded only into the aggregation. One shuffle on the bigram "
+    "key; the HAVING floor keeps the long tail out of the result.",
+    tags=("text", "ngram", "aggregation"),
+)
+def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    toks = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ws, 1, size(ws) - 1)"),
+                F.expr("slice(ws, 2, size(ws) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n") >= 5)
+    )
