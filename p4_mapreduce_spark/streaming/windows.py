@@ -264,3 +264,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def streaming_foreach_batch_totals(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch sink: per-micro-batch rollup appended to parquet.
+
+    The escape hatch for sinks Structured Streaming lacks natively
+    (JDBC upserts, MERGE into a lakehouse table, multi-table writes):
+    each micro-batch arrives as a plain DataFrame plus a monotonically
+    increasing batch_id. Restarts replay an incomplete batch under the
+    SAME batch_id (tracked in the checkpoint), so a sink that writes
+    idempotently per batch_id — as a MERGE keyed on it would — gets
+    exactly-once end to end. Value cents are integer half-up
+    (floor(x*100+0.5)) per row before summing, so totals are exact in
+    any batch split.
+
+    Returns the started query; callers await it (availableNow drains
+    the source then stops).
+    """
+    ev = read_events_stream(spark, sf_dir).select("event_type", "value")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                ).alias("value_cents"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

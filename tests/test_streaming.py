@@ -175,3 +175,42 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     expected = load(spark, sf_dir, "events").count()
     assert first == expected
     assert second == expected
+
+
+def test_streaming_foreach_batch_totals(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: cross-batch totals equal the batch
+    query exactly (integer cents are exact under any batch split)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_foreach_batch_totals,
+    )
+
+    out = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_foreach_batch_totals(spark, sf_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (r["n"], r["value_cents"])
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents")
+        )
+        .collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (r["n"], r["value_cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == want
