@@ -57,7 +57,9 @@ from p4_mapreduce_spark.sources.tables import load
     LIMIT 10
     """,
     doc="TPC-H Q3: dim-filtered star join -> agg -> top-k by revenue. "
-    "customer is broadcast; orders–lineitem shuffles on orderkey.",
+    "The BUILDING customer filter broadcasts into orders BEFORE the "
+    "orderkey shuffle (the orders side moves ~1/5 of its rows instead "
+    "of all of them); lineitem arrives pre-filtered by shipdate.",
     headline=True,
     tags=("join", "aggregation", "topk"),
 )
@@ -66,9 +68,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    orders_bldg = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_bldg, li.l_orderkey == orders_bldg.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -94,29 +96,40 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
-    doc="TPC-H Q5: 6-way star join, three broadcast dims, agg by nation.",
+    doc="TPC-H Q5: 6-way star join. The region filter is pushed through "
+    "nation into BOTH fact inputs before the only real shuffle: "
+    "lineitem is broadcast-pruned by ASIA suppliers and orders by ASIA "
+    "customers, so the orderkey shuffle moves ~1/5 of each side (at "
+    "100 TB that pruning is the difference between shuffling the whole "
+    "fact table and a fifth of it); the residual c_nationkey = "
+    "s_nationkey condition filters after the join.",
     headline=True,
     tags=("join", "aggregation"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nat_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat_asia.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = load(spark, sf_dir, "customer").join(
+        F.broadcast(nat_asia.select(F.col("n_nationkey").alias("cn_key"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    )
     orders = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
-    supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    li_asia = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    orders_asia = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li_asia.join(orders_asia, li_asia.l_orderkey == orders_asia.o_orderkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
