@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.dedup",
     "p4_mapreduce_spark.operators.graph",
     "p4_mapreduce_spark.operators.similarity",
+    "p4_mapreduce_spark.operators.sketches",
     "p4_mapreduce_spark.operators.multimodal",
     "p4_mapreduce_spark.streaming.windows",
 ]
