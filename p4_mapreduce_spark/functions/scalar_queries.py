@@ -207,3 +207,37 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("max_component"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "variant_semi_structured",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 'bigint' ELSE 'missing' END AS k_type
+    FROM events
+    """,
+    doc="Semi-structured access via Spark 4's VARIANT type: parse_json "
+    "once into the binary VARIANT encoding, then typed variant_get "
+    "path extraction — the schema-on-read path for ragged JSON where "
+    "from_json's fixed schema can't be declared up front. Unlike "
+    "repeated get_json_object calls (one string re-parse per path), "
+    "the VARIANT value parses once per row and every extraction walks "
+    "the binary encoding; columnar stores can shred it. Oracle uses "
+    "DuckDB's JSON path functions over the same column.",
+    tags=("scalar", "json", "variant"),
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod7"),
+        F.when(k.isNotNull(), F.lit("bigint"))
+        .otherwise(F.lit("missing"))
+        .alias("k_type"),
+    )

@@ -147,3 +147,51 @@ def pudf_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, n_gaps bigint, min_gap_us bigint, "
         "max_gap_us bigint, total_gap_us bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 table function API): 1 row -> N rows with LATERAL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_trigram_shingles",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram
+    FROM d, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+    """,
+    doc="Python UDTF (Spark 4 @udtf API) emitting the sliding trigram "
+    "windows of each document via a LATERAL correlated call — the "
+    "user-defined-table-function surface for 1-row→N-rows logic that "
+    "array lambdas can't express (stateful generators, external "
+    "tokenizers). Arrow-optimized (ArrowEvalPythonUDTF: batched "
+    "transfer, not row pickling). API-parity demo: the engine's "
+    "hot-path shingling (operators/dedup.py) stays in JVM array "
+    "lambdas. Reference parity: the closest shape "
+    "is the reference's executable mapper emitting multiple records "
+    "per input line (reference mapreduce/worker/__main__.py map exec).",
+    tags=("udtf", "text", "python"),
+)
+def udtf_trigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, trigram string", useArrow=True)
+    class TrigramUDTF:
+        def eval(self, text: str):
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("trigram_shingles", TrigramUDTF)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs_view"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.trigram "
+        "FROM _udtf_docs_view d, LATERAL trigram_shingles(d.text) t"
+    )

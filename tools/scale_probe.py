@@ -33,11 +33,17 @@ PROBES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    "heavy_hitters_words",
+    "text_bigram_stats",
+    "zorder_cluster_key",
+    "sessionize_events",
+    "asof_join_clicks_purchases",
 ]
 KEY_OFFSET = 10_000_000
-SMALL_TABLES = ("region", "nation", "customer", "supplier", "part", "events", "embeddings")
+SMALL_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
 def build_scaled(spark, k: int, out_dir: str) -> None:
@@ -48,19 +54,29 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     docs = load(spark, BASE_SF, "documents")
     li = load(spark, BASE_SF, "lineitem")
     orders = load(spark, BASE_SF, "orders")
+    # events scale with event_id offsets but FIXED user_ids: per-user
+    # streams get K-fold denser — the worst case for sessionization /
+    # as-of windows (state per user grows), which is what we want to
+    # stress. ts is re-emitted as micros (the nanos column was already
+    # converted by load()).
+    events = load(spark, BASE_SF, "events")
     docs_k = None
     li_k = None
     ord_k = None
+    ev_k = None
     for i in range(k):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
         l = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_OFFSET))
         o = orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_OFFSET))
+        e = events.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_OFFSET))
         docs_k = d if docs_k is None else docs_k.union(d)
         li_k = l if li_k is None else li_k.union(l)
         ord_k = o if ord_k is None else ord_k.union(o)
+        ev_k = e if ev_k is None else ev_k.union(e)
     docs_k.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     li_k.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
     ord_k.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    ev_k.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     for t in SMALL_TABLES:
         shutil.copy(
             os.path.join(BASE_SF, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
