@@ -395,3 +395,40 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("duration_secs"),
         fsum("value").alias("session_value"),
     )
+
+
+@register(
+    "time_rollup_hierarchy",
+    oracle=f"""
+    SELECT yr, mo, dy,
+           {fsum_sql('o_totalprice')} AS revenue,
+           count(*) AS n_orders
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dy,
+               o_totalprice
+        FROM orders
+    )
+    GROUP BY ROLLUP (yr, mo, dy)
+    """,
+    doc="Time-dimension rollup (day → month → year → grand total) in "
+    "one pass — the hypertable / continuous-aggregate shape: GROUPING "
+    "SETS expand inside the aggregate, so the fact table is scanned "
+    "once and the shuffle carries one row per (grain × group), not one "
+    "per input row. At 100 TB this replaces four separate daily/"
+    "monthly/yearly rollup jobs; pre-aggregated outputs land in the "
+    "serving store keyed by grain.",
+    tags=("aggregation", "grouping-sets", "time"),
+)
+def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        "o_totalprice",
+    )
+    return o.rollup("yr", "mo", "dy").agg(
+        fsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
