@@ -64,3 +64,34 @@ def roundtrip_json(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """JSON-lines writer/reader with explicit schema on read."""
     df.write.mode("overwrite").json(path)
     return spark.read.schema(df.schema).json(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (atomically, via a staging dir + rename).
+
+    The maintenance op every streaming/incremental sink needs: a
+    foreachBatch or per-hour append sink leaves thousands of small
+    files; scans then pay per-file open/footer costs and lose row-group
+    locality. Rewrite with ``coalesce`` (narrow — no shuffle; each
+    output task concatenates whole input splits). Returns the number of
+    files after compaction.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(
+        prefix="compact-", dir=os.path.dirname(path.rstrip("/")) or "."
+    )
+    try:
+        spark.read.parquet(path).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.rmtree(path)
+        shutil.move(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

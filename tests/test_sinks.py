@@ -87,3 +87,40 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_parquet_dir(spark, sf_dir, tmp_path):
+    """Many small appended files -> few compacted files, same rows."""
+    from p4_mapreduce_spark.sources.writers import compact_parquet_dir
+
+    nation = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_many")
+    # simulate an incremental sink: one file per append
+    for i in range(6):
+        nation.coalesce(1).write.mode("append").parquet(path)
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 6
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_after = compact_parquet_dir(spark, path, 2)
+    assert n_after <= 2
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Evolving parquet batches read back with mergeSchema: old rows
+    get NULL for later-added columns — the append-only contract a
+    long-lived corpus store relies on."""
+    path = str(tmp_path / "evolving")
+    v1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v2 = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.upper("n_name").alias("n_name_upper")
+    )
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_name_upper"}
+    assert back.count() == v1.count() * 2
+    assert back.where(F.col("n_name_upper").isNull()).count() == v1.count()
