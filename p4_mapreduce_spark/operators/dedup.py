@@ -167,8 +167,11 @@ def _band_signature_sql(band: int) -> str:
     return cols
 
 
-_MINHASH_ORACLE = f"""
-WITH sh AS (
+# Shared CTE body (no leading WITH): also embedded by the
+# dedup_cluster_components oracle in operators/graph.py, which wraps it
+# in a WITH RECURSIVE closure.
+_MINHASH_CTES = f"""
+sh AS (
     SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
 ),
 hashed AS (
@@ -192,6 +195,9 @@ cand AS (
         for b in range(MINHASH_BANDS)
     )}
 )
+"""
+
+_MINHASH_PAIRS_SELECT = f"""
 SELECT c.doc_id_a, c.doc_id_b,
        len(list_intersect(x.shingles, y.shingles))
            / greatest(len(list_distinct(x.shingles || y.shingles)), 1) AS jaccard
@@ -201,6 +207,8 @@ JOIN sigs y ON y.doc_id = c.doc_id_b
 WHERE len(list_intersect(x.shingles, y.shingles))
       / greatest(len(list_distinct(x.shingles || y.shingles)), 1) >= {JACCARD_THRESHOLD}
 """
+
+_MINHASH_ORACLE = f"WITH {_MINHASH_CTES} {_MINHASH_PAIRS_SELECT}"
 
 
 @register(

@@ -2,9 +2,10 @@
 
 The missing last step of every dedup pipeline: LSH emits *pairs*, but
 keep/drop decisions need *clusters* (connected components of the pair
-graph). This is genuinely iterative — not SQL-expressible without
-recursion — so it registers as a rows-only query; correctness is
-pinned by a union-find cross-check in tests.
+graph). Genuinely iterative — yet still fully oracled: the DuckDB twin
+computes the same fixpoint with a WITH RECURSIVE reachability closure
+(safe in the oracle because near-dup clusters are tiny), and a
+union-find cross-check in tests pins it a third way.
 
 Algorithm: min-label propagation. Every node starts labeled with
 itself; each round joins labels across edges and takes the min over
@@ -72,9 +73,45 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
+def _cluster_oracle() -> str:
+    """DuckDB twin of dedup_cluster_components: the minhash pair CTEs
+    plus a WITH RECURSIVE reachability closure (min reachable id =
+    component id — the same fixpoint label propagation converges to).
+    Closure size is bounded by near-dup cluster sizes (tiny, dense), so
+    the quadratic-per-component recursion is safe in the oracle."""
+    from p4_mapreduce_spark.operators.dedup import (
+        _MINHASH_CTES,
+        _MINHASH_PAIRS_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT src, dst FROM edges
+        )
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+    SELECT component AS keeper_doc_id,
+           count(*) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM labels GROUP BY component
+    """
+
+
 @register(
     "dedup_cluster_components",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; rows-only check
+    oracle=_cluster_oracle(),
     doc="Connected components over the MinHash-LSH near-dup pair graph: "
     "clusters of mutually-near-duplicate documents with a deterministic "
     "keeper (min doc_id = component id). Label-propagation rounds, one "
@@ -111,21 +148,34 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, damping: float = 0.85, n_iter: int = 10
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     ``edges``: DataFrame[src: long, dst: long]. Returns
     DataFrame[node: long, rank: double] (the un-normalized Spark-example
     formulation: rank = (1-d) + d * sum(incoming rank/out_degree); sink
-    nodes keep received mass). Deterministic in structure but float
-    reduction order varies per engine, so callers register rows-only.
+    nodes keep received mass).
+
+    ``quantize_decimals``: if set, each iteration's rank is floor-
+    normalized to that many decimals (functions.deterministic.fix).
+    This pins the per-round inputs to identical doubles in any engine
+    that applies the same rule, so reduction-order float noise (~1e-13)
+    can never cross the rounding quantum (5e-7 at 6 decimals) and the
+    whole iteration becomes bit-reproducible — which is what lets the
+    registered query carry a full DuckDB oracle (unrolled CTEs) instead
+    of a rows-only check. Unquantized (None) keeps the textbook float
+    behavior.
 
     Scale notes: each round is one shuffle (join ranks to edges on src,
     aggregate contributions on dst). The edge list is checkpointed once;
     each round's rank frame is localCheckpoint-ed to truncate lineage —
     the same iterative-Spark discipline as connected_components above.
     """
+    from p4_mapreduce_spark.functions.deterministic import fix
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     edges_deg = edges.join(out_deg, "src").localCheckpoint()
     nodes = (
@@ -145,31 +195,91 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
         )
+        new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+            F.col("mass"), F.lit(0.0)
+        )
+        if quantize_decimals is not None:
+            new_rank = fix(new_rank, quantize_decimals)
         ranks = (
             nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
-            )
+            .select("node", new_rank.alias("rank"))
             .localCheckpoint()
         )
     return ranks
 
 
+_PR_ITER = 10
+_PR_DAMPING = 0.85
+_PR_DECIMALS = 6
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration PageRank in chained CTEs. Each round's
+    rank is floor-normalized at 6 decimals exactly like the Spark
+    side, so both engines feed identical doubles into the next round
+    and float reduction-order noise can never surface."""
+    base = f"""
+    WITH fwd AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + 1000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ),
+    edges_deg AS (
+        SELECT e.src, e.dst, d.out_degree
+        FROM edges e JOIN (
+            SELECT src, count(*) AS out_degree FROM edges GROUP BY src
+        ) d ON e.src = d.src
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst AS node FROM edges
+    ),
+    r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""
+    steps = []
+    for i in range(_PR_ITER):
+        rank_expr = (
+            f"{1.0 - _PR_DAMPING} + {_PR_DAMPING} * coalesce(m.mass, 0.0)"
+        )
+        quantized = (
+            f"floor(({rank_expr}) * 1e{_PR_DECIMALS} + 0.5) / 1e{_PR_DECIMALS}"
+        )
+        steps.append(f"""
+    r{i + 1} AS (
+        SELECT n.node, {quantized} AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / e.out_degree) AS mass
+            FROM edges_deg e JOIN r{i} r ON e.src = r.node
+            GROUP BY e.dst
+        ) m ON n.node = m.node
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT node, rank FROM r{_PR_ITER}"
+    )
+
+
 @register(
     "graph_pagerank_purchases",
-    oracle=None,  # iterative float fixpoint — reduction order varies per engine
+    oracle=_pagerank_oracle(),
     doc="PageRank over the customer↔supplier purchase graph (edges = "
     "distinct (c_custkey, l_suppkey) pairs via orders, symmetrized so "
     "rank flows both ways; supplier node ids offset by 10^9 to keep "
-    "the id spaces disjoint). 10 fixed rounds, damping 0.85 — the "
-    "second iterative operator next to connected components; one "
-    "shuffle per round, lineage truncated per round. Rows-only: "
-    "correctness pinned against a pure-Python power iteration in "
-    "tests.",
+    f"the id spaces disjoint). {_PR_ITER} fixed rounds, damping "
+    f"{_PR_DAMPING} — the second iterative operator next to connected "
+    "components; one shuffle per round, lineage truncated per round. "
+    f"Per-round ranks floor-normalized at {_PR_DECIMALS} decimals in "
+    "BOTH engines, which pins every iteration's inputs to identical "
+    "doubles — so this iterative float fixpoint carries a full DuckDB "
+    "oracle (unrolled CTEs) instead of a rows-only check; also "
+    "cross-checked against a pure-Python power iteration in tests.",
     tags=("graph", "iterative"),
 )
 def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,4 +294,9 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges).select("node", "rank")
+    return pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        n_iter=_PR_ITER,
+        quantize_decimals=_PR_DECIMALS,
+    ).select("node", "rank")

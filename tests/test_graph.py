@@ -100,4 +100,6 @@ def test_pagerank_purchase_graph_shape(spark, sf_dir):
     # every node has positive rank; symmetric graph conserves total
     # mass at n*(1-d) + d*n = n (no sinks), within float slack
     assert min(ranks) > 0
-    assert abs(sum(ranks) - len(pr)) < 1e-6 * len(pr)
+    # tolerance covers the 1e-6 per-round rank quantization the
+    # registered query applies for oracle determinism
+    assert abs(sum(ranks) - len(pr)) < 1e-5 * len(pr)
