@@ -76,7 +76,10 @@ def _query_ids_sql() -> str:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings arrives as one split; fan out so the cosine scan uses
-    # every core (at cluster scale the scan is already multi-split)
+    # every core — higher-order-function folds are interpreted (not
+    # whole-stage-codegen), so parallelism matters even at 2k vectors
+    # (interleaved A/B at sf0.1: repartition wins by ~15%). At cluster
+    # scale the scan is already multi-split and this is a cheap shuffle.
     emb = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
