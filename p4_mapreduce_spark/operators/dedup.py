@@ -482,3 +482,76 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "fp", "n_batch_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Benchmark contamination: test-set n-grams appearing in training docs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+    ),
+    bench AS (
+        SELECT doc_id AS bench_doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (
+        SELECT doc_id AS train_doc_id, unnest(shingles) AS shingle
+        FROM sh WHERE doc_id % 97 <> 0
+    ),
+    pairs AS (
+        SELECT bench_doc_id, train_doc_id, count(*) AS n_shared
+        FROM bench JOIN train USING (shingle)
+        GROUP BY bench_doc_id, train_doc_id
+    )
+    SELECT bench_doc_id,
+           count(*) AS n_contaminated_train_docs,
+           max(n_shared) AS max_shared_shingles
+    FROM pairs GROUP BY bench_doc_id
+    """,
+    doc="Benchmark-contamination scan: every 3-gram shingle of the "
+    "held-out set (doc_id % 97 here) probed against the training "
+    "corpus; per benchmark doc, how many training docs share any "
+    "shingle and the largest overlap. The benchmark shingle set is "
+    "broadcast (benchmark suites are small by construction), so the "
+    "training corpus streams past it with NO shuffle of the big side "
+    "— at 100 TB this is a single scan, the same shape as a bloom-"
+    "filter prefilter. The per-pair rollup shuffles only matched "
+    "pairs, which is ~0 for a clean corpus.",
+    tags=("dedup", "contamination", "text"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    sh = toks.select(
+        "doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_doc_id"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
+    train = (
+        sh.where(F.col("doc_id") % 97 != 0)
+        .select(
+            F.col("doc_id").alias("train_doc_id"),
+            F.explode("shingles").alias("shingle"),
+        )
+    )
+    pairs = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("bench_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_train_docs"),
+        F.max("n_shared").alias("max_shared_shingles"),
+    )

@@ -366,3 +366,103 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("morton").alias("z_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline: quality filter → exact dedup → split
+# ---------------------------------------------------------------------------
+
+_E2E_QUALITY_MIN = 0.5
+
+
+def _e2e_oracle() -> str:
+    from p4_mapreduce_spark.functions.deterministic import fix_sql
+    from p4_mapreduce_spark.operators.text_analysis import _QUALITY_SQL
+
+    return f"""
+    WITH good AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE {fix_sql(_QUALITY_SQL, 6)} >= {_E2E_QUALITY_MIN}
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+        FROM (SELECT doc_id, sha256(text) AS content_hash, n_tokens FROM good)
+        GROUP BY content_hash
+    ),
+    assigned AS (
+        SELECT CASE WHEN strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
+                    THEN 'train'
+                    WHEN strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 15
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               n_tokens
+        FROM deduped
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split
+    """
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=_e2e_oracle(),
+    doc=f"End-to-end corpus preparation in ONE declarative plan: quality "
+    f"filter (score >= {_E2E_QUALITY_MIN}, same normalized heuristic as "
+    "text_quality_score) → exact content dedup (keep min doc_id per "
+    "sha256) → deterministic hash split (same buckets as "
+    "train_val_split) → per-split doc/token counts. Because the whole "
+    "pipeline is one Catalyst plan, the quality filter fuses into the "
+    "scan, dedup is the only wide shuffle, and the split assignment is "
+    "a free projection — the composition costs what its most expensive "
+    "stage costs, which is how a 100 TB daily corpus build should be "
+    "written (not as N materialized intermediate jobs).",
+    tags=("pipeline", "dedup", "composite"),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9 ]"), 0)
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    length_score = F.when(n_chars >= 100, F.lit(1.0)).otherwise(
+        n_chars / F.lit(100.0)
+    )
+    quality = fix(length_score * (F.lit(1.0) - punct_ratio), 6)
+    good = docs.where(quality >= _E2E_QUALITY_MIN)
+    deduped = (
+        good.select(
+            "doc_id",
+            F.sha2("text", 256).alias("content_hash"),
+            F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    nibble = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    )
+    split = (
+        F.when(nibble <= 13, "train").when(nibble <= 15, "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
