@@ -432,3 +432,86 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts_us, value
+    FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keep-latest-per-key dedup (the CDC compaction primitive): "
+    "row_number over (key, ts DESC) with a deterministic event_id "
+    "tie-break, keep rank 1 — unlike dropDuplicates, the survivor is "
+    "defined, reproducible, and engine-independent. Spark plans a "
+    "WindowGroupLimit: per-partition top-1 heaps run BEFORE the "
+    "shuffle, so the shuffle carries one candidate row per (key x "
+    "task), not the full history — the property that makes snapshot "
+    "compaction of a 100 TB changelog tractable.",
+    tags=("dedup", "window", "cdc"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "value")
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               {fsum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY yr, mo
+    )
+    SELECT yr, mo, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           floor((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w * 1e6 + 0.5) / 1e6 AS growth
+    FROM monthly
+    WINDOW w AS (ORDER BY yr, mo)
+    """,
+    doc="Month-over-month revenue growth: monthly rollup, then lag() "
+    "over the month sequence. The window is global but runs over the "
+    "already-reduced monthly frame (one row per month — thousands of "
+    "rows at any corpus size), so the single-partition window is "
+    "free; the heavy lifting stays in the partial-aggregated monthly "
+    "rollup. Growth normalized at 1e-6 (division of identical "
+    "normalized revenues is engine-exact).",
+    tags=("window", "aggregation", "time"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(fsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue").over(w)
+    growth = F.floor(
+        (F.col("revenue") - prev) / prev * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        prev.alias("prev_revenue"),
+        growth.alias("growth"),
+    )
