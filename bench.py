@@ -39,16 +39,16 @@ def main() -> None:
     # warmup: JVM, codegen, FS metadata
     load(spark, sf_dir, "lineitem").count()
 
-    # Each query runs three times: the first run pays one-time
+    # Each query runs four times: the first run pays one-time
     # whole-stage codegen compilation (~1s/query in this single JVM);
-    # the reported time is the min of two steady-state runs, which
-    # drops one-off GC/scheduler stalls that otherwise add multi-second
-    # noise to the total on a shared box.
+    # the reported time is the min of three steady-state runs, which
+    # drops the multi-second contention spikes the shared host shows
+    # (measured: unchanged queries drift 15-25% between bench runs).
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
