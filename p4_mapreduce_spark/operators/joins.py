@@ -424,3 +424,74 @@ def join_skew_split_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+),
+carried AS (
+    SELECT user_id, ts, event_id, value, is_purchase,
+           first_value(CASE WHEN is_purchase = 1 THEN event_id END IGNORE NULLS)
+               OVER w AS next_purchase_id,
+           first_value(CASE WHEN is_purchase = 1 THEN value END IGNORE NULLS)
+               OVER w AS next_purchase_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       next_purchase_id, next_purchase_value
+FROM carried WHERE is_purchase = 0
+"""
+
+
+@register(
+    "asof_join_forward",
+    oracle=_ASOF_FWD_ORACLE,
+    doc="FORWARD as-of join: for each click, the EARLIEST purchase by "
+    "the same user at or after the click — the attribution-window "
+    "direction (the registered backward twin carries the last-before "
+    "semantics). Same merge-style plan: tag + single window pass with "
+    "a (current row → unbounded following) frame, one shuffle on "
+    "user_id, no range self-join. Clicks sort before same-instant "
+    "purchases so the purchase is visible to the click in both "
+    "dialects.",
+    tags=("join", "asof", "window"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase"), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_id = F.when(F.col("is_purchase") == 1, F.col("event_id"))
+    purchase_val = F.when(F.col("is_purchase") == 1, F.col("value"))
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_purchase",
+        F.first(purchase_id, ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(purchase_val, ignorenulls=True).over(w).alias("next_purchase_value"),
+    )
+    return carried.where(F.col("is_purchase") == 0).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "next_purchase_id",
+        "next_purchase_value",
+    )

@@ -43,3 +43,20 @@ def test_every_query_documented_in_coverage():
         f"QUERIES.md stale (run tools/dump_queries.py): "
         f"missing={sorted(names - indexed)} extra={sorted(indexed - names)}"
     )
+
+
+def test_no_query_outputs_nested_columns(spark, sf_dir):
+    """Driver-contract guard: result canonicalizers sort/hash rows, so
+    array/map/struct output columns crash them (round-1 ADVICE). Every
+    query must emit scalar columns only — flatten or string-join any
+    nested value before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from p4_mapreduce_spark.registry import load_all
+
+    offenders = []
+    for name, spec in sorted(load_all().items()):
+        for f in spec.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
