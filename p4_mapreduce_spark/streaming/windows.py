@@ -306,3 +306,29 @@ def streaming_foreach_batch_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stream_session_windows using the NATIVE
+    session_window operator: gap-based windows that merge as events
+    arrive, state evicted once the watermark passes a session's close.
+
+    Window bounds follow session_window semantics (end = last event ts
+    + gap), so tests align it with the batch lag/cumsum form on the
+    shared columns (session start, event count, value sum).
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{int(SESSION_GAP_SECONDS)} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), fsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_plus_gap"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -214,3 +214,65 @@ def test_streaming_foreach_batch_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Native session_window (streaming) == batch lag/cumsum
+    sessionization on (user, session_start, n_events, value) — for
+    every session the stream can FINALIZE. Append mode emits a session
+    only once the watermark passes its close (last event + gap), so
+    sessions still open at end-of-data stay in state: the test models
+    that boundary exactly rather than papering over it."""
+    import datetime
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load as load_table
+    from p4_mapreduce_spark.streaming.windows import (
+        SESSION_GAP_SECONDS,
+        streaming_session_windows,
+    )
+
+    q = _run_available_now(
+        streaming_session_windows(spark, sf_dir), "session_native"
+    )
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["n_events"],
+                r["session_value"],
+            )
+            for r in spark.sql("SELECT * FROM session_native").collect()
+        }
+        batch = load_all()["stream_session_windows"].fn(spark, sf_dir).collect()
+        import pyspark.sql.functions as F
+
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        )
+        watermark = max_ts - datetime.timedelta(hours=1)
+        gap = datetime.timedelta(seconds=SESSION_GAP_SECONDS)
+        want = {
+            (r["user_id"], r["session_start"]): (
+                r["n_events"],
+                r["session_value"],
+            )
+            for r in batch
+            if r["session_end"] + gap <= watermark  # finalized sessions
+        }
+        still_open = sum(1 for r in batch if r["session_end"] + gap > watermark)
+        assert want.items() <= got.items(), "finalized session mismatch"
+        assert len(got) + still_open >= len(batch)
+        # everything emitted must match the batch result exactly
+        all_batch = {
+            (r["user_id"], r["session_start"]): (
+                r["n_events"],
+                r["session_value"],
+            )
+            for r in batch
+        }
+        for k, v in got.items():
+            assert all_batch.get(k) == v, (k, v, all_batch.get(k))
+    finally:
+        q.stop()
