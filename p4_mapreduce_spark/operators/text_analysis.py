@@ -298,3 +298,54 @@ def text_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 5)
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               list_transform(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                              p -> p[1] || ' ' || p[2]) AS bigrams
+        FROM d WHERE len(ws) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                      / len(bigrams)) * 1e6 + 0.5) / 1e6 AS dup_bigram_ratio
+    FROM b
+    """,
+    doc="Repetition ratio (Gopher-style quality rule): fraction of "
+    "duplicated bigrams per document — boilerplate and degenerate "
+    "generations score high, clean prose low. Pure per-row array "
+    "lambdas over the materialized token array (no shuffle, fuses "
+    "with the scan); the filter threshold composes with the other "
+    "quality signals in pipeline_end_to_end.",
+    tags=("text", "quality", "ngram"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    toks = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    bigrams = F.zip_with(
+        F.expr("slice(ws, 1, size(ws) - 1)"),
+        F.expr("slice(ws, 2, size(ws) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    withb = toks.select("doc_id", bigrams.alias("bigrams"))
+    n = F.size("bigrams").cast("bigint")
+    nd = F.size(F.array_distinct("bigrams")).cast("bigint")
+    ratio = F.floor(
+        (F.lit(1.0) - nd.cast("double") / n) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return withb.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        ratio.alias("dup_bigram_ratio"),
+    )
