@@ -221,3 +221,36 @@ def exact_median_via_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("median_acctbal")
     )
+
+
+@register(
+    "grouped_exact_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {fix_sql('quantile_cont(l_extendedprice, 0.25)', 4)} AS p25_price,
+           {fix_sql('quantile_cont(l_extendedprice, 0.50)', 4)} AS p50_price,
+           {fix_sql('quantile_cont(l_extendedprice, 0.75)', 4)} AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolation percentiles per group (Spark "
+    "percentile() == DuckDB quantile_cont(), both rank p*(n-1) type-7) "
+    "as three scalar columns. Deterministic despite interpolation: "
+    "2-decimal inputs at quartile probabilities make the true value an "
+    "exact 4-decimal number, so floor-normalizing at d=4 absorbs the "
+    "engines' formula difference ((1-f)*lo+f*hi vs lo+f*(hi-lo), "
+    "~1e-11 apart) with a 0.5e-4 margin. Exact percentile sorts each "
+    "group — at 100 TB use approx_percentile or t-digest instead; "
+    "this is the exact-path contract the approximation is tested "
+    "against.",
+    tags=("aggregation", "stats"),
+)
+def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    def q(p: float, alias: str):
+        return (
+            F.floor(F.percentile("l_extendedprice", F.lit(p)) * 10000.0 + F.lit(0.5))
+            / 10000.0
+        ).alias(alias)
+    return li.groupBy("l_returnflag").agg(
+        q(0.25, "p25_price"), q(0.50, "p50_price"), q(0.75, "p75_price")
+    )

@@ -495,3 +495,49 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_purchase_id",
         "next_purchase_value",
     )
+
+
+@register(
+    "join_null_safe",
+    oracle=f"""
+    WITH seg_all AS (
+        SELECT nullif(user_id % 7, 3) AS seg, count(*) AS n_events,
+               {fsum_sql('value')} AS total_value
+        FROM events GROUP BY 1
+    ),
+    seg_purchase AS (
+        SELECT nullif(user_id % 7, 3) AS seg, count(*) AS n_purchases,
+               {fsum_sql('value')} AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.seg, a.n_events, a.total_value, p.n_purchases, p.purchase_value
+    FROM seg_all a JOIN seg_purchase p ON a.seg IS NOT DISTINCT FROM p.seg
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "segment row on each side matches, where a plain equi-join would "
+    "silently drop it — the semantics dimension tables with nullable "
+    "surrogate keys need. Spark hash-partitions NULL like any other "
+    "key under eqNullSafe (null-safe equality is still an equi-join "
+    "to Catalyst, so it stays a hash join, not nested-loop); both "
+    "sides here are already-aggregated frames, so the join is "
+    "broadcast-sized regardless of event volume.",
+    tags=("join", "events"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seg = F.nullif(F.col("user_id") % 7, F.lit(3)).alias("seg")
+    a = ev.groupBy(seg).agg(
+        F.count(F.lit(1)).alias("n_events"), fsum("value").alias("total_value")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(seg)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            fsum("value").alias("purchase_value"),
+        )
+    )
+    return a.join(
+        F.broadcast(p.withColumnRenamed("seg", "pseg")),
+        F.col("seg").eqNullSafe(F.col("pseg")),
+    ).select("seg", "n_events", "total_value", "n_purchases", "purchase_value")

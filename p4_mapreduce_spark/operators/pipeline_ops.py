@@ -466,3 +466,43 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "doc_length_band_filter",
+    oracle="""
+    WITH bands AS (
+        SELECT floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.05)*10000.0+0.5)/10000.0 AS p05,
+               floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.95)*10000.0+0.5)/10000.0 AS p95
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, p05, p95
+    FROM documents, bands
+    WHERE n_chars >= p05 AND n_chars <= p95
+    """,
+    doc="Length-outlier filtering, the standard corpus-cleaning step: "
+    "keep documents whose length lies inside the global [p05, p95] "
+    "band. The band is a 2-double aggregate broadcast to every "
+    "partition (crossJoin(broadcast(...))), so the filter costs one "
+    "extra scan of nothing — no shuffle of the corpus itself. "
+    "Comparing against the floor-normalized band (not the raw "
+    "interpolated double) keeps the boundary decision bit-identical "
+    "across engines. At 100 TB swap percentile() for "
+    "approx_percentile with a 1e-4 accuracy bound; the filter plan is "
+    "unchanged.",
+    tags=("documents", "pipeline", "stats"),
+)
+def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chars = F.col("n_chars").cast("double")
+    bands = docs.agg(
+        (F.floor(F.percentile(chars, F.lit(0.05)) * 10000.0 + F.lit(0.5)) / 10000.0
+         ).alias("p05"),
+        (F.floor(F.percentile(chars, F.lit(0.95)) * 10000.0 + F.lit(0.5)) / 10000.0
+         ).alias("p95"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bands))
+        .where((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
+        .select("doc_id", "source", "n_chars", "p05", "p95")
+    )

@@ -1,0 +1,135 @@
+"""Time-series operators: gap-filling and time-based rolling frames.
+
+The hypertable-ish surface beyond :func:`time_rollup_hierarchy`
+(reference scope: SURVEY.md §2.4 taxonomy, aggregation/window rows —
+the reference itself has no time type at all, every capability here is
+Spark-native by design):
+
+- **gap-fill**: a dense per-key time spine (``sequence`` + ``explode``)
+  left-joined to the sparse aggregate, zero-filling counts and carrying
+  the last observation forward (LOCF) with ``last(ignorenulls)``. The
+  spine is generated, never shuffled: at 100 TB the only shuffle is the
+  hourly pre-aggregation (events → 720 rows/key/month), after which the
+  spine join and LOCF window run on the *reduced* frame — keys × hours,
+  not raw events.
+- **time-range rolling**: RANGE frames keyed on epoch-microseconds, the
+  trailing-window aggregate (``events in the last hour per user``) that
+  a tumbling window can't express. One shuffle on user_id; the frame
+  scan is a single ordered pass per partition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from p4_mapreduce_spark.functions.deterministic import fix, fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hh, count(*) AS n_events,
+               {fsum_sql("value")} AS hour_value
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(hh), max(hh), INTERVAL 1 HOUR)) AS hh
+        FROM hourly GROUP BY event_type
+    )
+    SELECT s.event_type, s.hh,
+           coalesce(h.n_events, 0) AS n_events,
+           coalesce(h.hour_value, 0.0) AS hour_value,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM spine s LEFT JOIN hourly h USING (event_type, hh)
+    """,
+    doc="Hourly gap-fill per event_type: aggregate to the hour, build a "
+    "dense hour spine per key with sequence()+explode, left-join, "
+    "zero-fill the count and carry the last seen hourly value forward "
+    "(LOCF via last(ignorenulls) over an ordered frame). The spine "
+    "join and the LOCF window both run on the pre-aggregated frame "
+    "(keys x hours), so the cost is the hourly rollup's single "
+    "shuffle no matter how many raw events feed it; the per-key spine "
+    "never materializes more than span-hours rows.",
+    tags=("events", "timeseries", "window"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fsum("value").alias("hour_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hh").alias("lo"), F.max("hh").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hh"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "hh"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hh",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@register(
+    "window_time_range_rolling",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW
+           ) AS n_last_hour,
+           {fix_sql(f'''sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW)''')}
+           AS value_last_hour
+    FROM events
+    """,
+    doc="Trailing time-window aggregate: per user, events and summed "
+    "value in the preceding hour of *that row's* timestamp — a RANGE "
+    "frame over epoch-microseconds (tumbling/hopping windows can't "
+    "express a frame anchored at every row). One shuffle on user_id, "
+    "then a single ordered pass per partition; the frame bound is "
+    "resolved by binary search within the sorted partition, so cost "
+    "is O(rows log rows) per user independent of window width.",
+    tags=("events", "timeseries", "window"),
+)
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_US_PER_HOUR, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        fix(F.sum("value").over(w)).alias("value_last_hour"),
+    )

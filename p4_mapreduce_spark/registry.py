@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.text_analysis",
     "p4_mapreduce_spark.operators.pipeline_ops",
     "p4_mapreduce_spark.operators.analytics",
+    "p4_mapreduce_spark.operators.timeseries",
     "p4_mapreduce_spark.operators.dedup",
     "p4_mapreduce_spark.operators.graph",
     "p4_mapreduce_spark.operators.similarity",

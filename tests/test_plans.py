@@ -97,6 +97,7 @@ _BNLJ_ALLOWED = {
     "q11_important_values",  # single-row total joined to per-part aggregate
     "q15_top_supplier",  # single-row max-revenue frame joined to revenues
     "q22_global_sales_opportunity",  # single-row avg-balance frame vs customer
+    "doc_length_band_filter",  # single-row percentile band vs documents
 }
 
 
