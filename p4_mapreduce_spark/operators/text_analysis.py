@@ -349,3 +349,115 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct_bigrams"),
         ratio.alias("dup_bigram_ratio"),
     )
+
+
+_BM25_TERMS = ("hash", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75  # 1 - b = 0.25, written as literal 0.25 in both dialects
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+        FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE word IN {_BM25_TERMS!r} GROUP BY doc_id, word
+    ),
+    idf AS (
+        SELECT word,
+               {fix_sql('ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)', 6)} AS idf
+        FROM (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word)
+        CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               {fix_sql(f'''sum(idf.idf * (tf.tf * {_BM25_K1 + 1.0})
+                   / (tf.tf + {_BM25_K1} * (0.25 + {_BM25_B}
+                        * (CAST(dl.dl AS DOUBLE) / corpus.avgdl))))''', 4)}
+                   AS score
+        FROM tf
+        JOIN idf USING (word)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 20
+    """,
+    doc=f"Okapi BM25 top-20 for the fixed query {_BM25_TERMS} "
+    f"(k1={_BM25_K1}, b={_BM25_B}): doc length from size(filter(...)) "
+    "as a pure column (no explode), the token explode filtered to the "
+    "query terms BEFORE its groupBy so the tf shuffle carries only "
+    "matching tokens, idf on the 3-row term frame broadcast back, and "
+    "the length/avgdl normalization joined per doc. avgdl is an exact "
+    "integer-sum division (bit-identical, no quantization needed); "
+    "idf is floor-normalized at 1e-6 (ln parity proven by tf-idf) and "
+    "the final score at 1e-4. At 100 TB the only fact-sized shuffles "
+    "are tf (pre-filtered) and the score groupBy.",
+    tags=("text", "search", "aggregation"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " ", -1), lambda x: x != "")).alias("dl"),
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).where(F.col("word").isin(*_BM25_TERMS))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.crossJoin(F.broadcast(corpus.select("n_docs"))).select(
+        "word",
+        fix(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+            6,
+        ).alias("idf"),
+    )
+    term_score = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(0.25)
+                + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(fix(F.sum(term_score), 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "score", F.col("rk").cast("int").alias("rk"))
+    )

@@ -332,3 +332,68 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+def streaming_stateful_user_counts_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The :func:`streaming_stateful_user_counts` semantics on Spark 4's
+    transformWithStateInPandas (the successor to applyInPandasWithState):
+    state lives in named, typed handles (here one ValueState) managed by
+    a StatefulProcessor, which adds TTL, timers, and multiple state
+    variables per key — and runs on the RocksDB state store provider
+    unchanged. Same contract as the older twin: emits the running
+    per-user (count, value-cents) after every batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "count BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            import numpy as np
+
+            for pdf in rows:
+                count += len(pdf)
+                # same half-up cents rule as the applyInPandasWithState
+                # twin (functions/deterministic.py)
+                cents += int(
+                    np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+                )
+            self._state.update((count, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState runs only on the RocksDB state store provider
+    # (the scale-path provider anyway: state spills to disk instead of
+    # living on the JVM heap — see SCALE.md).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RunningCounts(),
+        outputStructType="user_id bigint, n_events bigint, value_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -276,3 +276,74 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
             assert all_batch.get(k) == v, (k, v, all_batch.get(k))
     finally:
         q.stop()
+
+
+def test_streaming_stateful_counts_tws(spark, sf_dir):
+    """transformWithStateInPandas twin reaches the same final per-user
+    totals as the batch aggregation (and hence as the older
+    applyInPandasWithState twin)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's driver worker speaks protobuf to the "
+        "JVM state server; the lib is absent in this container, so only "
+        "the plan construction is exercised here",
+    )
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_stateful_user_counts_tws,
+    )
+
+    stream_df = streaming_stateful_user_counts_tws(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("stateful_counts_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r["user_id"]: (r["n_events"], r["value_cents"])
+            for r in spark.sql(
+                """SELECT user_id, n_events, value_cents FROM (
+                       SELECT *, row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY n_events DESC) rn
+                       FROM stateful_counts_tws) WHERE rn = 1"""
+            ).collect()
+        }
+        import pyspark.sql.functions as F
+
+        from p4_mapreduce_spark.sources.tables import load
+
+        batch = {
+            r["user_id"]: (r["n"], r["cents"])
+            for r in load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+            .collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
+def test_streaming_stateful_tws_plan_builds(spark, sf_dir):
+    """Without protobuf the query can't execute, but the
+    transformWithStateInPandas plan (grouping, processor wiring, output
+    schema) must still construct — this is what gates API drift."""
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_stateful_user_counts_tws,
+    )
+
+    df = streaming_stateful_user_counts_tws(spark, sf_dir)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "value_cents",
+    ]
