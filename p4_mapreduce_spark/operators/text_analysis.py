@@ -408,6 +408,7 @@ _BM25_B = 0.75  # 1 - b = 0.25, written as literal 0.25 in both dialects
     "idf is floor-normalized at 1e-6 (ln parity proven by tf-idf) and "
     "the final score at 1e-4. At 100 TB the only fact-sized shuffles "
     "are tf (pre-filtered) and the score groupBy.",
+    headline=True,
     tags=("text", "search", "aggregation"),
 )
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,14 +51,16 @@ _US_PER_HOUR = 3_600_000_000
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
     FROM spine s LEFT JOIN hourly h USING (event_type, hh)
     """,
-    doc="Hourly gap-fill per event_type: aggregate to the hour, build a "
-    "dense hour spine per key with sequence()+explode, left-join, "
-    "zero-fill the count and carry the last seen hourly value forward "
-    "(LOCF via last(ignorenulls) over an ordered frame). The spine "
-    "join and the LOCF window both run on the pre-aggregated frame "
-    "(keys x hours), so the cost is the hourly rollup's single "
-    "shuffle no matter how many raw events feed it; the per-key spine "
-    "never materializes more than span-hours rows.",
+    doc="Hourly gap-fill per event_type: aggregate to the hour, then "
+    "each observed hour emits itself plus the hours missing since its "
+    "predecessor (lag + sequence + one explode) — a dense spine "
+    "without re-aggregating or self-joining, so events is scanned and "
+    "shuffled exactly once regardless of volume. Counts zero-fill; "
+    "the last seen hourly value carries forward (LOCF via "
+    "last(ignorenulls)) over a window that reuses the lag window's "
+    "partitioning, so the whole fill stage adds one tiny exchange of "
+    "the keys x hours frame.",
+    headline=True,
     tags=("events", "timeseries", "window"),
 )
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,26 +71,53 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         fsum("value").alias("hour_value"),
     )
-    spine = (
-        hourly.groupBy("event_type")
-        .agg(F.min("hh").alias("lo"), F.max("hh").alias("hi"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hh"),
+    # Single-pass spine: instead of re-aggregating for min/max and
+    # re-joining (which would scan+shuffle events twice), each observed
+    # hour emits itself plus the missing hours since its predecessor
+    # (lag) as one exploded struct array. hourly is consumed exactly
+    # once; the LOCF window below reuses the lag window's event_type
+    # partitioning, so no third exchange appears.
+    wl = Window.partitionBy("event_type").orderBy("hh")
+    gap_structs = F.when(
+        F.col("prev").isNotNull()
+        & (F.col("hh") > F.col("prev") + F.expr("INTERVAL 1 HOUR")),
+        F.transform(
+            F.sequence(
+                F.col("prev") + F.expr("INTERVAL 1 HOUR"),
+                F.col("hh") - F.expr("INTERVAL 1 HOUR"),
+                F.expr("INTERVAL 1 HOUR"),
+            ),
+            lambda h: F.struct(
+                h.alias("hh"),
+                F.lit(0).cast("long").alias("n_events"),
+                F.lit(None).cast("double").alias("hour_value"),
+            ),
+        ),
+    ).otherwise(F.array())
+    observed = F.array(
+        F.struct(
+            F.col("hh").alias("hh"),
+            F.col("n_events").alias("n_events"),
+            F.col("hour_value").alias("hour_value"),
         )
     )
-    filled = spine.join(hourly, ["event_type", "hh"], "left")
+    expanded = (
+        hourly.withColumn("prev", F.lag("hh").over(wl))
+        .select(
+            "event_type",
+            F.explode(F.concat(gap_structs, observed)).alias("r"),
+        )
+        .select("event_type", "r.hh", "r.n_events", "r.hour_value")
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("hh")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return filled.select(
+    return expanded.select(
         "event_type",
         "hh",
-        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "n_events",
         F.coalesce("hour_value", F.lit(0.0)).alias("hour_value"),
         F.last("hour_value", ignorenulls=True).over(w).alias("locf_value"),
     )
