@@ -122,3 +122,64 @@ def test_all_plans_healthy(spark, sf_dir):
         if shuffles > 6:
             problems.append((name, f"{shuffles} shuffles"))
     assert not problems, problems
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective build side,
+    Catalyst injects bloom_filter_agg on the build and
+    BloomFilterMightContain on the probe — at 100 TB this drops most
+    probe rows BEFORE the join shuffle. Thresholds are lowered here
+    (the heuristics target real cluster sizes); the pruned join must
+    return exactly the un-pruned result."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom pruning is pointless under broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        li = load(spark, sf_dir, "lineitem")
+        part = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        assert "might_contain" in optimized.lower(), optimized[:2000]
+        pruned = {(r["p_brand"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    plain = {
+        (r["p_brand"], r["n"])
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert pruned == plain
