@@ -195,3 +195,50 @@ def udtf_trigram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.trigram "
         "FROM _udtf_docs_view d, LATERAL trigram_shingles(d.text) t"
     )
+
+
+_NORM_DIMS = 64
+_NORM_SCALE = 1_000_000.0
+
+
+@register(
+    "arrow_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           floor(({terms}) * 1000000.0 + 0.5) / 1000000.0 AS sumsq,
+           sqrt(floor(({terms}) * 1000000.0 + 0.5) / 1000000.0) AS l2_norm
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """.format(
+        terms=" + ".join(f"v[{i}]*v[{i}]" for i in range(1, _NORM_DIMS + 1))
+    ),
+    doc="Per-vector squared-sum and L2 norm via mapInArrow — the "
+    "zero-copy Arrow batch path (no pandas materialization): the "
+    "embedding column's value buffer reshapes straight into a numpy "
+    "(n, 64) view, one vectorized reduction per batch, one FFI hop. "
+    "The float path stays deterministic by quantizing the squared sum "
+    "at 1e-6 (absorbing numpy's pairwise- vs left-assoc summation "
+    "difference, ~1e-13) and then taking sqrt of the already-identical "
+    "double (IEEE sqrt is correctly rounded — bit-identical in "
+    "numpy, the JVM, and DuckDB).",
+    tags=("embeddings", "python", "arrow"),
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            lists = batch.column(1)
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            arr = flat.astype(np.float64).reshape(-1, _NORM_DIMS)
+            ssq = (arr * arr).sum(axis=1)
+            q = np.floor(ssq * _NORM_SCALE + 0.5) / _NORM_SCALE
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(q), pa.array(np.sqrt(q))],
+                names=["vec_id", "sumsq", "l2_norm"],
+            )
+
+    return emb.mapInArrow(batches, "vec_id long, sumsq double, l2_norm double")

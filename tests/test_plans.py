@@ -98,6 +98,7 @@ _BNLJ_ALLOWED = {
     "q15_top_supplier",  # single-row max-revenue frame joined to revenues
     "q22_global_sales_opportunity",  # single-row avg-balance frame vs customer
     "doc_length_band_filter",  # single-row percentile band vs documents
+    "bm25_search_topk",  # single-row avgdl frame joined to per-doc tf
 }
 
 
