@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.ml_cluster",
     "p4_mapreduce_spark.operators.sketches",
     "p4_mapreduce_spark.operators.multimodal",
+    "p4_mapreduce_spark.operators.sql_modern",
     "p4_mapreduce_spark.streaming.windows",
 ]
 

@@ -67,3 +67,19 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
                 target,
                 n,
             )
+
+
+def test_hll_mergeable_union_within_rsd(spark, sf_dir):
+    """hll_union_agg over per-priority partial sketches (lgConfigK=14,
+    rsd ~= 1.04/sqrt(2^14) ~= 0.8%) vs exact global countDistinct;
+    allow 3 sigma. Also checks the partial count is the 5 priorities."""
+    got = load_all()["hll_mergeable_union"].fn(spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    assert got["n_partials"] == 5
+    assert got["n_orders"] == o.count()
+    rsd = 1.04 / (2**14) ** 0.5
+    assert abs(got["est_distinct_customers"] - exact) <= max(3 * rsd * exact, 1), (
+        got["est_distinct_customers"],
+        exact,
+    )
