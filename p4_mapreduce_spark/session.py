@@ -56,6 +56,17 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus)),
         )
+        # --- join strategy --------------------------------------------
+        # Prefer shuffled-hash over sort-merge for non-broadcast equi
+        # joins: skips both per-partition sorts (measured 10-20% on the
+        # join-heavy headline queries; A/B in round-2 notes). SHJ's
+        # build side must fit one partition's memory — with partitions
+        # sized via shuffle.partitions/AQE that holds at any scale, and
+        # AQE's skew-join splitting still applies; flip back to SMJ for
+        # workloads whose per-partition build side can exceed executor
+        # memory (Spark falls back itself when the plan can't build a
+        # local hash map).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- python<->jvm boundary ------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism for oracle checks ----------------------------
