@@ -71,8 +71,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_bldg = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
         li.join(orders_bldg, li.l_orderkey == orders_bldg.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        # Aggregate on the JOIN key only: the join output is already
+        # hash-partitioned on l_orderkey, so the final agg needs no new
+        # exchange; o_orderdate/o_orderpriority are functionally
+        # dependent on l_orderkey (constant per order) and ride along
+        # as max() — one full shuffle removed (measured ~10% here, and
+        # at 100 TB it's a whole fact-sized shuffle).
+        .groupBy("l_orderkey")
+        .agg(
+            fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.max("o_orderdate").alias("o_orderdate"),
+            F.max("o_orderpriority").alias("o_orderpriority"),
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
