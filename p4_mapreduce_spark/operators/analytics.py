@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fsum, fsum_sql
+from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -375,8 +376,9 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min, in epoch-microseconds
     tags=("events", "sessionization", "window", "aggregation"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_micros(raw).alias("ts_us"), "value"
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
@@ -456,8 +458,9 @@ def time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "window", "cdc"),
 )
 def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_micros(raw).alias("ts_us"), "value"
     )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), F.col("event_id").desc()

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -147,9 +148,8 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "timeseries", "window"),
 )
 def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts"))
-    )
+    raw = load(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", epoch_micros(raw))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us")

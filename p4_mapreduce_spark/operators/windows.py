@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
+from p4_mapreduce_spark.functions.timeutil import epoch_seconds
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -94,19 +95,17 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    raw = load(spark, sf_dir, "events")
+    # NTZ-safe integer epoch seconds (timeutil): date_diff('second')
+    # truncates each side to the second, then differences
+    ev = raw.withColumn("ts_s", epoch_seconds(raw))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
     return ev.select(
         "user_id",
         "event_id",
         "ts",
         fix(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
-        # whole-second difference of the epoch seconds, like date_diff('second')
-        (
-            F.floor(F.col("ts").cast("double"))
-            - F.floor(prev_ts.cast("double"))
-        ).cast("long").alias("secs_since_prev"),
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("secs_since_prev"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
 

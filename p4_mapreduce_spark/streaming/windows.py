@@ -17,21 +17,18 @@ shuffle like any groupBy; session windows shuffle once on user_id.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
 SESSION_GAP_SECONDS = 1800.0
 
-# Streaming reads need the schema up front (no inference): ts arrives
-# as nanos (long) exactly like the batch loader sees it.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
 
 
 @register(
@@ -125,12 +122,15 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "session"),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    raw = load(spark, sf_dir, "events")
+    # NTZ-safe epoch micros (timeutil); the oracle's epoch(ts) is double
+    # seconds, but the gap comparison is exact in integer micros
+    ev = raw.withColumn("ts_us", epoch_micros(raw))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(prev_ts.isNull(), 1).otherwise(
+    prev_us = F.lag("ts_us").over(w)
+    new_session = F.when(prev_us.isNull(), 1).otherwise(
         F.when(
-            F.col("ts").cast("double") - prev_ts.cast("double") > SESSION_GAP_SECONDS,
+            F.col("ts_us") - prev_us > int(SESSION_GAP_SECONDS * 1_000_000),
             1,
         ).otherwise(0)
     )
@@ -160,15 +160,35 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos→micros cast."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource wants a directory; glob-filter to the events file
+    """readStream over the events parquet, at the file's REAL timestamp
+    type.
+
+    FileStreamSource needs a schema up front (no inference), but
+    hardcoding one is how round 2 broke: the testdata regenerated from
+    nanos-as-long to plain micros (→ TIMESTAMP_NTZ) and a stale
+    nanos→micros shim silently decoded every event into 1970. Reading
+    the footer schema via the batch reader (a driver-side metadata-only
+    open, no data scan) keeps the stream bit-identical to the batch
+    loader for any encoding. The legacy bigint case still gets the
+    exact integer nanos→micros truncation.
+    """
+    load(spark, sf_dir, "events")  # sets legacy-nanos + UTC tz confs
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks demand LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # load() above pinned the session tz to UTC, so this cast is
+        # epoch-preserving — naive wall time reinterpreted as UTC.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
