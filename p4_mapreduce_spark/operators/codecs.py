@@ -1,0 +1,192 @@
+"""Real (pure-stdlib) image & audio codecs for the multimodal path.
+
+Round 2 shipped ``decode_image`` as a stub because this container has
+no PIL/ffmpeg. But two real codecs ARE expressible on the standard
+library alone, which upgrades the multimodal pipeline from "plumbing
+with a fake" to an actual encode→decode capability:
+
+- **PNG** (``png_encode_gray`` / ``png_decode``): full chunk framing
+  (length/type/CRC32), zlib inflate, and all five scanline filters
+  (None/Sub/Up/Average/Paeth) per the PNG spec; 8-bit grayscale and
+  RGB color types. When PIL *is* importable (a real cluster),
+  ``png_decode`` routes through it — the pure decoder is the fallback,
+  and a unit test pins both paths to identical output.
+- **WAV PCM** (``wav_encode_pcm16`` / ``wav_decode``): RIFF container
+  via the stdlib ``wave`` module.
+
+Scale posture: codecs are per-row CPU with zero data movement — they
+run inside Arrow-batched ``mapInPandas`` iterators (one FFI hop per
+batch), so at 100 TB they scale embarrassingly with executor cores and
+never touch a shuffle. Correctness is oracle-checked end-to-end by
+byte-exact md5 round-trips (encode→decode→md5 == DuckDB md5 of the
+source bytes) — see ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(data: bytes, width: int) -> bytes:
+    """Encode raw bytes as an 8-bit grayscale PNG of ``width`` columns.
+
+    The last row is zero-padded; callers that need byte-exact recovery
+    keep the original length alongside (the multimodal queries do).
+    Scanlines use filter 0 — optimal filtering is an encoder freedom,
+    and any spec-compliant decoder (ours included) must accept it.
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    if not data:
+        data = b"\x00"  # PNG requires >= 1x1
+    height = (len(data) + width - 1) // width
+    padded = data.ljust(width * height, b"\x00")
+    raw = b"".join(
+        b"\x00" + padded[r * width : (r + 1) * width] for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filters (types 0-4). ``bpp`` = bytes/pixel."""
+    stride = width * bpp
+    out = bytearray(stride * height)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = r * stride
+        prev = base - stride
+        for i, x in enumerate(line):
+            a = out[base + i - bpp] if i >= bpp else 0
+            b = out[prev + i] if r > 0 else 0
+            c = out[prev + i - bpp] if (r > 0 and i >= bpp) else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + a
+            elif ftype == 2:
+                v = x + b
+            elif ftype == 3:
+                v = x + (a + b) // 2
+            elif ftype == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            out[base + i] = v & 0xFF
+    return out
+
+
+def _png_decode_pure(payload: bytes) -> tuple[int, int, int, bytes]:
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    width = height = bit_depth = color_type = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or color_type not in (0, 2):
+                raise NotImplementedError(
+                    "pure decoder handles 8-bit grayscale/RGB PNG; "
+                    f"got depth={bit_depth} color_type={color_type}"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = 1 if color_type == 0 else 3
+    pixels = bytes(
+        _unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    )
+    return width, height, channels, pixels
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG → ``(width, height, channels, pixel_bytes)``.
+
+    Feature-probed: uses PIL when installed (real clusters), else the
+    pure-stdlib decoder above. Both paths return identical bytes for
+    8-bit gray/RGB inputs (pinned in tests/test_codecs.py).
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return _png_decode_pure(payload)
+    img = Image.open(io.BytesIO(payload))
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    channels = 1 if img.mode == "L" else 3
+    return img.width, img.height, channels, img.tobytes()
+
+
+def wav_encode_pcm16(
+    data: bytes, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Pack raw bytes as 16-bit PCM WAV (zero-padded to whole frames)."""
+    frame_bytes = 2 * channels
+    if len(data) % frame_bytes:
+        data = data.ljust(
+            len(data) + frame_bytes - len(data) % frame_bytes, b"\x00"
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode WAV → ``(sample_rate, channels, n_frames, pcm_bytes)``."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getframerate(),
+            w.getnchannels(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )

@@ -70,7 +70,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     orders_bldg = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li.join(orders_bldg, li.l_orderkey == orders_bldg.o_orderkey)
+        # SHUFFLE_HASH on the pruned orders side: skips both sort passes
+        # of SMJ (10-20% here). Safe build side: BUILDING-segment orders
+        # within one hash partition fit executor memory at any SF (the
+        # hint, unlike a session conf, travels into the driver's
+        # session); AQE skew-split still applies to the probe side.
+        li.join(
+            orders_bldg.hint("shuffle_hash"),
+            li.l_orderkey == orders_bldg.o_orderkey,
+        )
         # Aggregate on the JOIN key only: the join output is already
         # hash-partitioned on l_orderkey, so the final agg needs no new
         # exchange; o_orderdate/o_orderpriority are functionally
@@ -138,7 +146,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_asia = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
     orders_asia = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
-        li_asia.join(orders_asia, li_asia.l_orderkey == orders_asia.o_orderkey)
+        # SHUFFLE_HASH: build from the date+region-pruned orders side
+        # (bounded per partition); see q3 note — per-query hint, not a
+        # global preferSortMergeJoin flip.
+        li_asia.join(
+            orders_asia.hint("shuffle_hash"),
+            li_asia.l_orderkey == orders_asia.o_orderkey,
+        )
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(fsum(fix(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))

@@ -3,10 +3,13 @@
 North-star surface (BASELINE.json): treat image/audio/video as opaque
 ``binary`` columns with a typed metadata struct, and run decode /
 feature-extract steps as Arrow-batched pandas functions over
-``mapInPandas``. The decode itself is STUBBED (no image/audio codecs in
-this container — ``decode_image`` raises ``NotImplementedError`` unless
-the deterministic fake is requested), but everything Spark-side is
-real and tested: schema, batch iteration, partitioning, output shapes.
+``mapInPandas``. Since round 3 the decode path is REAL for PNG and WAV
+(pure-stdlib codecs in ``operators/codecs.py``, PIL-probed when
+available) — ``multimodal_image_roundtrip`` / ``multimodal_audio_
+roundtrip`` push every document payload through encode→decode and the
+oracle verifies byte-exact md5 recovery. Formats needing external
+codec libraries (JPEG, video) still raise ``NotImplementedError`` with
+the wiring point documented.
 
 Scale notes: binary payloads ride the same parquet scan as everything
 else (no per-row fetches); ``mapInPandas`` keeps the Python boundary
@@ -22,6 +25,12 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from p4_mapreduce_spark.operators.codecs import (
+    png_decode,
+    png_encode_gray,
+    wav_decode,
+    wav_encode_pcm16,
+)
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -39,15 +48,20 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload into pixel features.
 
-    STUB: real decoding needs an image codec this container doesn't
-    ship. ``fake=True`` returns a deterministic byte-statistics vector
-    (used by the registered query so the plumbing is end-to-end
-    testable); ``fake=False`` is the production signature.
+    ``fake=True`` returns a deterministic byte-statistics vector (used
+    by the ``multimodal_feature_extract`` oracle). ``fake=False`` is
+    the production path: PNG payloads decode for real (pure-stdlib
+    inflate+unfilter, or PIL when installed — ``codecs.png_decode``)
+    into [n_pixels, first_pixel, last_pixel]; other formats need a
+    codec library and raise with the wiring point named.
     """
     if not fake:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            _w, _h, _c, px = png_decode(payload)
+            return [float(len(px)), float(px[0]), float(px[-1])]
         raise NotImplementedError(
-            "image decode requires a codec library; wire one in here "
-            "(PIL/torchvision/ffmpeg) on a real cluster"
+            "non-PNG image decode requires a codec library; wire it "
+            "here (PIL/torchvision/ffmpeg) on a real cluster"
         )
     if not payload:
         return [0.0, 0.0, 0.0]
@@ -191,3 +205,133 @@ def sample_frames_df(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+_IMG_WIDTH = 32
+
+ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes bigint, decoded binary"
+)
+
+
+@register(
+    "multimodal_image_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           {_IMG_WIDTH} AS width,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / {_IMG_WIDTH}.0)
+                AS INTEGER) AS height,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS roundtrip_md5
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="REAL image codec round-trip: each document payload is encoded "
+    "as an 8-bit grayscale PNG (zlib deflate, chunk CRCs) and decoded "
+    "back (inflate + all-five-filters unfilter; PIL when present — "
+    "operators/codecs.py), inside one Arrow-batched mapInPandas. The "
+    "oracle pins byte-exact recovery: md5 of the decoded pixels "
+    "(truncated to the pre-padding length, JVM-side F.md5) must equal "
+    "DuckDB's md5 of the source bytes, plus the exact PNG geometry. "
+    "Per-row CPU only — no shuffle; scales linearly with cores at "
+    "100 TB.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "decoded": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                png = png_encode_gray(raw, _IMG_WIDTH)
+                w, h, _c, px = png_decode(png)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(raw))
+                rows["decoded"].append(px[: len(raw)])
+            yield pd.DataFrame(rows)
+
+    out = assets.mapInPandas(roundtrip, schema=ROUNDTRIP_SCHEMA)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.md5("decoded").alias("roundtrip_md5"),
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames bigint, n_bytes bigint, "
+    "decoded binary"
+)
+
+
+@register(
+    "multimodal_audio_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           16000 AS sample_rate,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / 2.0) AS BIGINT)
+               AS n_frames,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS roundtrip_md5
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="REAL audio codec round-trip: payload bytes packed as 16-bit "
+    "PCM mono WAV (RIFF container, stdlib wave — operators/codecs.py) "
+    "and decoded back inside Arrow-batched mapInPandas; the oracle "
+    "pins byte-exact md5 recovery plus the exact frame count "
+    "(ceil(n/2): one zero pad byte for odd lengths). Same zero-shuffle "
+    "per-row-CPU scale shape as the image round-trip.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_frames": [],
+                "n_bytes": [],
+                "decoded": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                wav = wav_encode_pcm16(raw, sample_rate=16000, channels=1)
+                rate, _ch, n_frames, pcm = wav_decode(wav)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(n_frames)
+                rows["n_bytes"].append(len(raw))
+                rows["decoded"].append(pcm[: len(raw)])
+            yield pd.DataFrame(rows)
+
+    out = assets.mapInPandas(roundtrip, schema=AUDIO_SCHEMA)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        "n_bytes",
+        F.md5("decoded").alias("roundtrip_md5"),
+    )

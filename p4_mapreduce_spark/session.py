@@ -57,16 +57,15 @@ def get_spark(
             str(shuffle_partitions or int(cpus)),
         )
         # --- join strategy --------------------------------------------
-        # Prefer shuffled-hash over sort-merge for non-broadcast equi
-        # joins: skips both per-partition sorts (measured 10-20% on the
-        # join-heavy headline queries; A/B in round-2 notes). SHJ's
-        # build side must fit one partition's memory — with partitions
-        # sized via shuffle.partitions/AQE that holds at any scale, and
-        # AQE's skew-join splitting still applies; flip back to SMJ for
-        # workloads whose per-partition build side can exceed executor
-        # memory (Spark falls back itself when the plan can't build a
-        # local hash map).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # SMJ stays the global default. Round 2 set
+        # preferSortMergeJoin=false globally for a 10-20% local win, but
+        # SHJ's build side must fit one partition's memory — on a skewed
+        # 100 TB fact-fact join that is an OOM risk, and the driver runs
+        # queries under its OWN session anyway, where this conf never
+        # applied. The win is kept where it is safe via per-query
+        # SHUFFLE_HASH hints on the known-bounded build sides (see
+        # operators/joins.py q3/q5) — hints travel with the plan into
+        # ANY session.
         # --- python<->jvm boundary ------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism for oracle checks ----------------------------

@@ -64,8 +64,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_avg",
     oracle=f"""
     WITH base AS (
+        -- make_timestamp(micros), NOT to_timestamp(secs): to_timestamp
+        -- yields TIMESTAMPTZ whose cast to naive TIMESTAMP shifts with
+        -- the process timezone; make_timestamp is tz-independent
         SELECT event_type, value,
-               CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS slide_bucket
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                   * 1000000 AS BIGINT)) AS slide_bucket
         FROM events
     ),
     expanded AS (

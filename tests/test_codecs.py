@@ -1,0 +1,130 @@
+"""Unit tests for the pure-stdlib PNG/WAV codecs (operators/codecs.py).
+
+The registered round-trip queries only exercise filter-0 grayscale
+PNGs (our encoder's output); these tests pin the decoder against the
+rest of the spec surface it claims: all five scanline filters, RGB,
+chunk CRC validation, and (when PIL is installed) parity with PIL.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from p4_mapreduce_spark.operators.codecs import (
+    _PNG_MAGIC,
+    _chunk,
+    png_decode,
+    png_encode_gray,
+    wav_decode,
+    wav_encode_pcm16,
+)
+
+
+def _make_png(pixels: bytes, width: int, height: int, channels: int,
+              filters: list[int]) -> bytes:
+    """Hand-build a PNG whose scanlines use the given filter types,
+    applying the spec's forward-filter math so the decoder must undo it."""
+    bpp = channels
+    stride = width * bpp
+    assert len(pixels) == stride * height and len(filters) == height
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for r, ftype in enumerate(filters):
+        line = pixels[r * stride:(r + 1) * stride]
+        prev = pixels[(r - 1) * stride: r * stride] if r else bytes(stride)
+        raw.append(ftype)
+        for i, x in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                f = x
+            elif ftype == 1:
+                f = x - a
+            elif ftype == 2:
+                f = x - b
+            elif ftype == 3:
+                f = x - (a + b) // 2
+            elif ftype == 4:
+                f = x - paeth(a, b, c)
+            raw.append(f & 0xFF)
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+PIXELS_4x3 = bytes(range(1, 13))  # 4 wide, 3 tall, gray
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_every_filter_type_decodes(ftype):
+    png = _make_png(PIXELS_4x3, 4, 3, 1, [ftype] * 3)
+    w, h, c, px = png_decode(png)
+    assert (w, h, c) == (4, 3, 1)
+    assert px == PIXELS_4x3
+
+
+def test_png_mixed_filters_decode():
+    png = _make_png(PIXELS_4x3, 4, 3, 1, [1, 4, 3])
+    assert png_decode(png)[3] == PIXELS_4x3
+
+
+def test_png_rgb_decode():
+    pixels = bytes((i * 37 + 11) % 256 for i in range(2 * 2 * 3))
+    png = _make_png(pixels, 2, 2, 3, [4, 2])
+    w, h, c, px = png_decode(png)
+    assert (w, h, c) == (2, 2, 3)
+    assert px == pixels
+
+
+def test_png_encode_decode_roundtrip_arbitrary_bytes():
+    for n in (1, 31, 32, 33, 1000):
+        data = bytes((i * 131 + 7) % 256 for i in range(n))
+        png = png_encode_gray(data, 32)
+        w, h, c, px = png_decode(png)
+        assert w == 32 and c == 1 and h == (n + 31) // 32
+        assert px[:n] == data
+        assert all(b == 0 for b in px[n:])  # declared zero padding
+
+
+def test_png_crc_corruption_raises():
+    png = bytearray(png_encode_gray(b"hello world", 4))
+    png[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(png))
+
+
+def test_png_rejects_non_png():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"GIF89a....")
+
+
+def test_png_pil_parity_when_installed():
+    pytest.importorskip("PIL")
+    from p4_mapreduce_spark.operators.codecs import _png_decode_pure
+
+    data = bytes((i * 73) % 256 for i in range(257))
+    png = png_encode_gray(data, 16)
+    assert png_decode(png) == _png_decode_pure(png)
+
+
+def test_wav_roundtrip_even_and_odd():
+    for n in (2, 15, 16, 4001):
+        data = bytes((i * 29 + 3) % 256 for i in range(n))
+        wav = wav_encode_pcm16(data, sample_rate=16000)
+        rate, ch, frames, pcm = wav_decode(wav)
+        assert (rate, ch) == (16000, 1)
+        assert frames == (n + 1) // 2
+        assert pcm[:n] == data
