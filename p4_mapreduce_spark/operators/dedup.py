@@ -231,10 +231,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    # Filter on token count, NOT on size(shingles): a >=3-token doc
+    # always yields >=1 shingle, and a filter over the shingles column
+    # gets predicate-pushed below the repartition where Catalyst
+    # re-inlines split(text) into every lambda element_at — the whole
+    # shingle pipeline would run TWICE, once as an O(tokens^2) scan
+    # filter (measured: this one filter was ~3s of the 4s stage).
+    toks = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("toks")
+    ).where(F.size(F.split("text", " ", -1)) >= 3)
     sh = toks.select(
         "doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles")
-    ).where(F.size("shingles") > 0)
+    )
     hashed = sh.select(
         "doc_id", "shingles", _shingle_hashes_col(F.col("shingles")).alias("hh")
     )

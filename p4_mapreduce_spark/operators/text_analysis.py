@@ -462,3 +462,64 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("doc_id", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "quality_unigram_logppl",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word, count(*) AS c FROM words GROUP BY word
+    ),
+    total AS (SELECT sum(c) AS n FROM vocab),
+    logp AS (
+        SELECT word,
+               floor(ln(CAST(c AS DOUBLE) / n) * 1000000.0 + 0.5)
+                   / 1000000.0 AS lp
+        FROM vocab CROSS JOIN total
+    )
+    SELECT w.doc_id,
+           count(*) AS n_tokens,
+           floor(sum(-lp) * 10000.0 + 0.5) / 10000.0 / count(*)
+               AS avg_neg_logp
+    FROM words w JOIN logp USING (word)
+    GROUP BY w.doc_id
+    """,
+    doc="Unigram log-perplexity quality score (the classic cheap "
+    "LM-quality filter for pretraining corpora): fit a corpus-level "
+    "unigram model in one aggregation, then score each document's "
+    "average negative log-likelihood — high scores flag gibberish / "
+    "rare-token soup, low scores flag boilerplate. Scale shape: the "
+    "vocabulary aggregate is map-side-combined (the shuffle carries "
+    "~|vocab| rows per partition, not tokens), the fitted logp table "
+    "broadcasts back onto the token stream (vocab << corpus), and the "
+    "per-doc rollup is the only fact-sized shuffle. Per-token ln is "
+    "floor-normalized at 1e-6 (the repo's cross-engine ln recipe), the "
+    "doc sum at 1e-4, and the final divide-by-count is exact IEEE.",
+    tags=("text", "quality", "aggregation", "pipeline"),
+)
+def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).where(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        fix(F.log(F.col("c").cast("double") / F.col("n")), 6).alias("lp"),
+    )
+    return (
+        words.join(F.broadcast(logp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (fix(F.sum(-F.col("lp")), 4) / F.count(F.lit(1))).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
