@@ -39,16 +39,18 @@ def main() -> None:
     # warmup: JVM, codegen, FS metadata
     load(spark, sf_dir, "lineitem").count()
 
-    # Each query runs four times: the first run pays one-time
+    # Each query runs six times: the first run pays one-time
     # whole-stage codegen compilation (~1s/query in this single JVM);
-    # the reported time is the min of three steady-state runs, which
-    # drops the multi-second contention spikes the shared host shows
-    # (measured: unchanged queries drift 15-25% between bench runs).
+    # the reported time is the min of five steady-state runs, which
+    # drops the contention spikes the shared host shows (measured:
+    # unchanged queries drift 15-30% between bench runs an hour apart,
+    # with idle-host steal time visible in /proc/stat — min-of-5 is
+    # the cheapest robust estimator against that).
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

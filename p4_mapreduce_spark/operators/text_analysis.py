@@ -500,6 +500,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-doc rollup is the only fact-sized shuffle. Per-token ln is "
     "floor-normalized at 1e-6 (the repo's cross-engine ln recipe), the "
     "doc sum at 1e-4, and the final divide-by-count is exact IEEE.",
+    headline=True,
     tags=("text", "quality", "aggregation", "pipeline"),
 )
 def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,3 +524,53 @@ def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "inverted_index_build",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    stats AS (
+        SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df
+        FROM w2 GROUP BY word
+    ),
+    posts AS (
+        SELECT word,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM (SELECT DISTINCT word, doc_id FROM w2) GROUP BY word
+    )
+    SELECT word, df, cf, postings
+    FROM stats JOIN posts USING (word)
+    """,
+    doc="Inverted-index construction (the materialization behind "
+    "BM25/TF-IDF): per term, document frequency, collection frequency, "
+    "and the doc_id posting list (numerically sorted, comma-joined so "
+    "row canonicalizers can hash it). One explode + one shuffle on the "
+    "term key with map-side partial aggregation; posting lists are the "
+    "classic skew risk — stopword terms collect O(n_docs) entries, "
+    "which is exactly why production indexes shard hot postings "
+    "(block-max / doc-partitioned lists); at 100 TB pair this with "
+    "df-based stopword pruning before materializing.",
+    tags=("text", "search", "aggregation"),
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    ).select("word", "df", "cf", "postings")

@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.dedup",
     "p4_mapreduce_spark.operators.graph",
     "p4_mapreduce_spark.operators.similarity",
+    "p4_mapreduce_spark.operators.retrieval",
     "p4_mapreduce_spark.operators.ml_cluster",
     "p4_mapreduce_spark.operators.sketches",
     "p4_mapreduce_spark.operators.multimodal",

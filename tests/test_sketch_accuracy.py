@@ -1,13 +1,17 @@
-"""Accuracy bounds for the two rows-only sketch queries.
+"""Accuracy bounds for the sketch queries.
 
-These two queries are the only registry entries without a DuckDB value
-oracle (their numerics are engine-specific sketch internals), so the
-check that makes them trustworthy lives here: each estimate must sit
-within the sketch's published error bound of the exact answer computed
-on the same data.
+Since round 3 the sketch queries carry *bounded oracles*: each one
+computes an exact arm next to the sketch and emits within-tolerance
+verdict booleans that the DuckDB oracle hash-checks. These tests keep
+the independent, tighter math: they recompute the raw estimates with
+the same sketch parameters and assert the published error bounds
+directly — so a sketch drifting toward its tolerance edge shows up
+here before it flips a verdict boolean.
 """
 
 from __future__ import annotations
+
+import bisect
 
 import pyspark.sql.functions as F
 
@@ -15,32 +19,42 @@ from p4_mapreduce_spark.registry import load_all
 from p4_mapreduce_spark.sources.tables import load
 
 
-def test_hll_estimate_within_rsd(spark, sf_dir):
-    """approx_count_distinct (HLL++) vs exact countDistinct: the
-    default rsd is 0.05; allow 3 sigma."""
-    got = load_all()["approx_distinct_users"].fn(spark, sf_dir).collect()
+def test_approx_distinct_verdict_and_rsd(spark, sf_dir):
+    """The registered query's verdict must be true, and the raw HLL++
+    estimate (rsd=0.01, recomputed) must sit within 3 sigma of exact."""
+    row = load_all()["approx_distinct_users"].fn(spark, sf_dir).collect()[0]
+    assert row["approx_within_2pct"] is True
     ev = load(spark, sf_dir, "events")
-    exact = {
-        r[0]: r[1]
-        for r in ev.groupBy(F.lit(1))
-        .agg(F.countDistinct("user_id"))
+    got = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    ).collect()[0]
+    assert row["n_exact_users"] == got["exact"]
+    assert abs(got["est"] - got["exact"]) <= max(3 * 0.01 * got["exact"], 1)
+
+
+def test_approx_percentiles_verdicts_and_rank_error(spark, sf_dir):
+    """All verdict booleans true; additionally the raw
+    percentile_approx estimates (accuracy=10000, recomputed) must obey
+    the published rank-error bound n/accuracy per group."""
+    rows = load_all()["approx_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for col in ("p25_within_5pct", "p50_within_5pct", "p75_within_5pct"):
+            assert r[col] is True, (r["o_orderstatus"], col)
+
+    o = load(spark, sf_dir, "orders")
+    ests = {
+        r["o_orderstatus"]: r["q"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("q")
+        )
         .collect()
     }
-    exact_n = list(exact.values())[0]
-    est_cols = [c for c in got[0].asDict() if "distinct" in c or "user" in c]
-    assert est_cols, f"no estimate column found in {got[0].asDict()}"
-    est = got[0][est_cols[0]]
-    assert abs(est - exact_n) <= max(3 * 0.05 * exact_n, 1), (est, exact_n)
-
-
-def test_approx_percentiles_within_rank_error(spark, sf_dir):
-    """percentile_approx with accuracy=10000 guarantees rank error
-    <= n/accuracy: each reported quartile's true rank must be within
-    that of the target rank."""
-    rows = load_all()["approx_percentiles"].fn(spark, sf_dir).collect()
-    o = load(spark, sf_dir, "orders")
-    for r in rows:
-        status = r["o_orderstatus"]
+    for status, qvals in ests.items():
         vals = sorted(
             x[0]
             for x in o.where(F.col("o_orderstatus") == status)
@@ -49,37 +63,31 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
         )
         n = len(vals)
         tol = max(n / 10000.0, 1.0)
-        for q, col in ((0.25, "price_p25"), (0.5, "price_p50"), (0.75, "price_p75")):
-            est = r[col]
-            # rank of the estimate in the exact sorted values
-            import bisect
-
+        for q, est in zip((0.25, 0.5, 0.75), qvals):
             lo = bisect.bisect_left(vals, est)
             hi = bisect.bisect_right(vals, est)
             target = q * (n - 1)
-            # any rank the estimate occupies must be near the target
             assert lo - tol <= target <= hi + tol, (
-                status,
-                col,
-                est,
-                lo,
-                hi,
-                target,
-                n,
+                status, q, est, lo, hi, target, n,
             )
 
 
-def test_hll_mergeable_union_within_rsd(spark, sf_dir):
-    """hll_union_agg over per-priority partial sketches (lgConfigK=14,
-    rsd ~= 1.04/sqrt(2^14) ~= 0.8%) vs exact global countDistinct;
-    allow 3 sigma. Also checks the partial count is the 5 priorities."""
+def test_hll_mergeable_union_verdict_and_rsd(spark, sf_dir):
+    """Verdict true + structural counts; the raw merged estimate
+    (lgConfigK=14, rsd ~0.8%, recomputed) within 3 sigma of exact."""
     got = load_all()["hll_mergeable_union"].fn(spark, sf_dir).collect()[0]
     o = load(spark, sf_dir, "orders")
-    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    exact = o.select(F.count_distinct("o_custkey")).collect()[0][0]
     assert got["n_partials"] == 5
     assert got["n_orders"] == o.count()
-    rsd = 1.04 / (2**14) ** 0.5
-    assert abs(got["est_distinct_customers"] - exact) <= max(3 * rsd * exact, 1), (
-        got["est_distinct_customers"],
-        exact,
+    assert got["n_exact_customers"] == exact
+    assert got["est_within_2pct"] is True
+
+    est = (
+        o.groupBy("o_orderpriority")
+        .agg(F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
     )
+    rsd = 1.04 / (2**14) ** 0.5
+    assert abs(est - exact) <= max(3 * rsd * exact, 1), (est, exact)
