@@ -66,6 +66,23 @@ def roundtrip_json(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return spark.read.schema(df.schema).json(path)
 
 
+def roundtrip_xml(
+    spark: SparkSession, df: DataFrame, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML writer/reader (native source since Spark 4, no external
+    package) with explicit schema on read — the interchange format
+    enterprise feeds still speak. Row-level files shard across
+    executors like any text source; don't use it for analytics-side
+    storage (no pushdown/pruning — land XML, convert to parquet)."""
+    df.write.mode("overwrite").option("rowTag", row_tag).format("xml").save(path)
+    return (
+        spark.read.schema(df.schema)
+        .option("rowTag", row_tag)
+        .format("xml")
+        .load(path)
+    )
+
+
 def compact_parquet_dir(
     spark: SparkSession, path: str, target_files: int
 ) -> int:

@@ -39,6 +39,21 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert got_json.schema == nation.schema
 
 
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Native XML source (Spark 4): values and schema survive the
+    roundtrip with an explicit read schema."""
+    from p4_mapreduce_spark.sources.writers import roundtrip_xml
+
+    nation = load(spark, sf_dir, "nation")
+    got = roundtrip_xml(
+        spark, nation, str(tmp_path / "nation_xml"), row_tag="nation"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    assert got.schema == nation.schema
+
+
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     """ORC roundtrip preserves values/schema, and filters push into the
     ORC scan just like parquet."""

@@ -347,3 +347,55 @@ def test_streaming_stateful_tws_plan_builds(spark, sf_dir):
         "n_events",
         "value_cents",
     ]
+
+
+def test_streaming_multi_batch_state_merges(spark, sf_dir, tmp_path):
+    """Cross-micro-batch state: the events table split into 4 files,
+    streamed with maxFilesPerTrigger=1, must produce the SAME tumbling
+    aggregate as one-shot batch execution — the windowed state has to
+    accumulate and merge across 4 separate micro-batches (availableNow
+    drains everything but honors the per-trigger file cap)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.functions.deterministic import fsum
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import stream_tumbling_counts
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ts = F.col("ts")
+    if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    stream = (
+        raw.withColumn("ts", ts)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("multi_batch_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    got = sorted(
+        map(tuple, spark.table("multi_batch_tumbling").collect())
+    )
+    want = sorted(map(tuple, stream_tumbling_counts(spark, sf_dir).collect()))
+    assert got == want
