@@ -425,6 +425,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
     sh = toks.select("doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # one localCheckpoint: ex feeds both join sides AND the per-doc
+    # size frames below — without it the whole split+shingle pipeline
+    # re-evaluates four times (shingles are distinct per doc, so
+    # count(*) over ex == size(shingles) and the sizes can reuse ex
+    # instead of recomputing the arrays)
+    ex = ex.localCheckpoint()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     pairs = (
@@ -433,8 +440,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    x = sh.select(F.col("doc_id").alias("doc_id_a"), F.size("shingles").alias("n_a"))
-    y = sh.select(F.col("doc_id").alias("doc_id_b"), F.size("shingles").alias("n_b"))
+    x = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
+    y = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
     joined = pairs.join(x, "doc_id_a").join(y, "doc_id_b")
     jaccard = F.col("n_common") / F.greatest(
         F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
