@@ -574,3 +574,86 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     ).select("word", "df", "cf", "postings")
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT word, count(*) AS c FROM (
+            SELECT unnest(ws) AS word FROM d
+        ) GROUP BY word
+    ),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    big AS (
+        SELECT w1, w2, count(*) AS n_ab FROM (
+            SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+            FROM d WHERE len(ws) >= 2
+        ) GROUP BY w1, w2 HAVING count(*) >= 5
+    )
+    SELECT w1, w2, n_ab,
+           floor(ln(CAST(b.n_ab AS DOUBLE) * t.n / (u1.c * u2.c))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.word
+    JOIN uni u2 ON b.w2 = u2.word
+    CROSS JOIN tot t
+    """,
+    doc="PMI collocation mining: pointwise mutual information "
+    "ln(c_ab * N / (c_a * c_b)) for every bigram seen >= 5 times — the "
+    "phrase-detection statistic (word2vec-style phrase merging, "
+    "tokenizer vocab curation). Unigram and bigram counts are two "
+    "map-side-combined shuffles over the same token stream; the "
+    "unigram table broadcasts onto the (already HAVING-pruned) bigram "
+    "frame, the corpus total rides in as a 1-row broadcast. ln "
+    "floor-quantized at 1e-6 (the repo's cross-engine recipe). "
+    "DuckDB's paired unnest zips the two slices positionally, matching "
+    "zip_with.",
+    tags=("text", "ngram", "stats", "aggregation"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    toks = docs.select(ws.alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    big = (
+        toks.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(ws, 1, size(ws) - 1)"),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = fix(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.col("n")
+            / (F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+    )
