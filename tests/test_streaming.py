@@ -399,3 +399,84 @@ def test_streaming_multi_batch_state_merges(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, stream_tumbling_counts(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_streaming_watermark_bounds_state(spark, sf_dir, tmp_path):
+    """What the watermark actually guarantees for a replayable file
+    source: STATE stays bounded, correctness doesn't suffer. File A
+    (the most recent 2h of events) processes first and advances the
+    watermark to max(ts) - 1h; file B (everything older than
+    max(ts) - 3h, ~99% of the data) arrives in a later micro-batch
+    entirely behind the watermark. Its windows are already expired, so
+    they flow straight to the append sink WITHOUT entering state — the
+    aggregation state after the late batch stays at the handful of
+    still-open recent windows even though ~1000 late rows passed
+    through. Emitted content must equal the batch aggregate restricted
+    to finalized windows (end <= final watermark)."""
+    import datetime
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    file_a = ev.where(F.col("ts") > mx - datetime.timedelta(hours=2))
+    file_b = ev.where(F.col("ts") <= mx - datetime.timedelta(hours=3))
+    n_a, n_b = file_a.count(), file_b.count()
+    assert n_a > 0 and n_b > n_a  # late batch dominates
+
+    src = str(tmp_path / "late_src")
+    file_a.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)  # FileStreamSource orders batches by mtime
+    file_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(file_a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_bounds_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progress = list(q.recentProgress)
+    q.stop()
+
+    # the late batch really was separate, and state stayed bounded:
+    # after ingesting n_b late rows the store holds only the open
+    # recent windows (< 10), not one row per late window
+    late_batches = [
+        p for p in progress if p["numInputRows"] == n_b
+    ]
+    assert late_batches, [p["numInputRows"] for p in progress]
+    state_rows = late_batches[0]["stateOperators"][0]["numRowsTotal"]
+    assert state_rows < 10, state_rows
+
+    watermark = mx - datetime.timedelta(hours=1)
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("wm_bounds_state").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "event_type", "n")
+        .collect()
+        if r["we"] <= watermark
+    }
+    assert got == want
