@@ -162,3 +162,60 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         fix(F.sum("value").over(w)).alias("value_last_hour"),
     )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_SPAN = 10
+# Weights (1-alpha)^k computed ONCE here and embedded as the same
+# double literals in the Spark expression AND the DuckDB oracle — no
+# cross-engine pow() to disagree about.
+_EWMA_WEIGHTS = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_SPAN)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w, 0.0) * {w!r}"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0.0 ELSE {w!r} END)"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+    SELECT user_id, event_id, value,
+           {fix_sql(f'({num}) / ({den})', 4)} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "timeseries_ewma",
+    oracle=_ewma_oracle(),
+    doc=f"Exponentially weighted moving average per user (span "
+    f"{_EWMA_SPAN}, alpha {_EWMA_ALPHA}): the standard smoothing / "
+    f"drift-detection signal. Implemented as a FIXED {_EWMA_SPAN}-term "
+    "weighted sum of lag() columns — not a recursive update and not a "
+    "variable-length fold — so it is one window pass (single shuffle "
+    "on user_id), stays entirely in whole-stage codegen, and is "
+    "bit-deterministic across engines: the (1-a)^k weights are "
+    "computed once in Python and embedded as identical double "
+    "literals in both dialects, the partial-history head renormalizes "
+    "by the sum of present weights, and the result is "
+    "floor-quantized at 1e-4.",
+    tags=("events", "timeseries", "window"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("value", k).over(w)
+        term = F.coalesce(lagged, F.lit(0.0)) * F.lit(wt)
+        present = F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return ev.select(
+        "user_id", "event_id", "value", fix(num / den, 4).alias("ewma")
+    )
