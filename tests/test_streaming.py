@@ -480,3 +480,40 @@ def test_streaming_watermark_bounds_state(spark, sf_dir, tmp_path):
         if r["we"] <= watermark
     }
     assert got == want
+
+
+def test_stream_static_enrichment_join_equals_batch(spark, sf_dir):
+    """Stream-static join — the most common streaming enrichment
+    topology (fact stream x dimension table): the static side needs no
+    watermark and no state (it is re-planned per micro-batch, broadcast
+    when small); result must equal the batch join."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import read_events_stream
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .join(F.broadcast(cust), "user_id")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_static")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        map(tuple, spark.table("stream_static").collect())
+    )
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    want = sorted(map(tuple, ev.join(cust, "user_id").collect()))
+    assert len(want) > 0
+    assert got == want
