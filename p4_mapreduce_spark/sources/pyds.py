@@ -25,7 +25,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _VOCAB = (
     "the data spark table scan join merge sort hash group window "
@@ -58,6 +63,9 @@ class SynthDocsDataSource(DataSource):
     def reader(self, schema) -> "SynthDocsReader":
         return SynthDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthDocsStreamReader":
+        return SynthDocsStreamReader(self.options)
+
 
 class SynthDocsReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -86,6 +94,55 @@ class SynthDocsReader(DataSourceReader):
                 n_words,
                 _doc_text(self.seed, doc_id, n_words),
             )
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the synthdocs source (Spark 4
+    SimpleDataSourceStreamReader): each micro-batch emits the next
+    ``batchRows`` documents until ``maxRows``, tracked by a doc_id
+    offset. The two contracts that make this exactly-once:
+
+    - ``read(start)`` advances the offset and returns the rows for
+      (start, next]; the engine checkpoints the offsets, NOT the data;
+    - ``readBetweenOffsets(start, end)`` deterministically REPLAYS any
+      committed range after a restart — trivial here because rows are
+      pure arithmetic over doc_id (the same property that makes the
+      batch reader speculation-safe).
+
+    Rows are bit-identical to the batch reader's for the same seed, so
+    tests pin stream-drain == batch-read equality.
+    """
+
+    def __init__(self, options) -> None:
+        self.batch_rows = int(options.get("batchRows", 100))
+        self.max_rows = int(options.get("maxRows", 400))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def _rows(self, start: int, end: int):
+        for doc_id in range(start, end):
+            n_words = 24 + (
+                hashlib.md5(f"{self.seed}:{doc_id}:len".encode()).digest()[0]
+                % 32
+            )
+            yield (
+                doc_id,
+                f"synth_{doc_id % 4}",
+                n_words,
+                _doc_text(self.seed, doc_id, n_words),
+            )
+
+    def read(self, start: dict):
+        s = start["doc_id"]
+        e = min(s + self.batch_rows, self.max_rows)
+        # lists, not generators: the engine prefetches simple-reader
+        # rows driver-side and pickles them to executors
+        return list(self._rows(s, e)), {"doc_id": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(start["doc_id"], end["doc_id"]))
 
 
 def register_synthdocs(spark) -> None:

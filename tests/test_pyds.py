@@ -50,3 +50,50 @@ def test_synthdocs_composes_with_engine_ops(spark):
     )
     got = {r["word"]: r["count"] for r in wc.collect()}
     assert sum(got.values()) == df.agg(F.sum("n_words")).collect()[0][0]
+
+
+def test_synthdocs_stream_drains_to_batch_equality(spark, tmp_path):
+    """The streaming reader must drain maxRows across multiple
+    micro-batches (batchRows offsets) and produce rows bit-identical
+    to the batch reader with the same seed."""
+    import time
+
+    register_synthdocs(spark)
+    stream = (
+        spark.readStream.format("synthdocs")
+        .option("batchRows", "100")
+        .option("maxRows", "400")
+        .option("seed", "7")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synthdocs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("synthdocs_stream").count() >= 400:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, spark.table("synthdocs_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("synthdocs")
+            .option("rows", "400")
+            .option("seed", "7")
+            .load()
+            .collect(),
+        )
+    )
+    assert len(got) == 400
+    assert got == want
+    # and it really was incremental: >= 4 micro-batches of 100
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 4
