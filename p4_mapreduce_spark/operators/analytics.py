@@ -582,3 +582,47 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix(z, 4).alias("robust_z"),
         )
     )
+
+
+@register(
+    "skew_key_diagnosis",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           max(cnt) AS max_per_key,
+           floor(quantile_cont(cnt, 0.99) * 1000000.0 + 0.5)
+               / 1000000.0 AS p99_per_key,
+           floor(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*))
+                 * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+    FROM per_key
+    """,
+    doc="Partition-key skew diagnosis (run this BEFORE choosing a "
+    "shuffle key at 100 TB): per-key row counts reduced to key "
+    "cardinality, hottest-key load, p99 load, and the skew ratio "
+    "max/avg — the number that decides between a plain shuffle "
+    "(ratio ~1), AQE skew-split (moderate), and salting (extreme; see "
+    "salted_skew_agg / join_skew_split_hot_keys for the remedies). "
+    "Two aggregations, both map-side combined: the first shuffles "
+    "~|keys| rows, the second reduces |keys| to 1. Exact percentile "
+    "over per-key counts floor-quantized at 1e-6, ratio at 1e-4.",
+    tags=("aggregation", "stats", "skew", "events"),
+)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    avg = F.sum("cnt").cast("double") / F.count(F.lit(1))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        fix(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
+        fix(F.max("cnt") / avg, 4).alias("skew_ratio"),
+    )
