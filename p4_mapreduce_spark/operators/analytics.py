@@ -530,11 +530,13 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     mad AS (
-        SELECT e.event_type,
-               floor(quantile_cont(abs(e.value - m.med), 0.5)
-                     * 1000000.0 + 0.5) / 1000000.0 AS mad
-        FROM events e JOIN med m USING (event_type)
-        GROUP BY e.event_type, m.med
+        SELECT * FROM (
+            SELECT e.event_type,
+                   floor(quantile_cont(abs(e.value - m.med), 0.5)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med
+        ) WHERE mad > 0
     )
     SELECT e.event_id, e.event_type, e.value,
            floor(abs(e.value - m.med) / (1.4826 * d.mad)
@@ -549,7 +551,10 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean/stddev z-scores): per event type, flag events with "
     "|x - median| / (1.4826 * MAD) > 3.5 — the standard data-quality "
     "screen before ingestion (the events.value tail carries real "
-    "outliers: ~0.25%% of rows at every SF). Two exact-percentile "
+    "outliers: ~0.25%% of rows at every SF). Groups with MAD == 0 "
+    "(>= 50%% identical values — degenerate for a spread-normalized "
+    "score, and an engine-divergent Infinity under floor "
+    "normalization) are excluded in both arms. Two exact-percentile "
     "aggregates per group (each one shuffle over the same key, reduced "
     "frames join back broadcast); at 100 TB swap percentile for "
     "approx_percentile and keep the identical topology. Medians are "
@@ -570,7 +575,7 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_med = ev.join(F.broadcast(med), "event_type")
     mad = with_med.groupBy("event_type").agg(
         fix(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
-    )
+    ).where(F.col("mad") > 0)
     z = F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
     return (
         with_med.join(F.broadcast(mad), "event_type")

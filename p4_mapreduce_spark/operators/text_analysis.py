@@ -10,7 +10,7 @@ minutes and days).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
 from p4_mapreduce_spark.registry import register
@@ -464,6 +464,18 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocabulary prune floor for quality_unigram_logppl: a term must carry
+# at least this share of all corpus tokens to stay in the fitted model;
+# everything below scores at the OOV floor ln(0.5 / N). Share-based
+# (not absolute-count) pruning gives a *mathematical* broadcast bound:
+# at most 1/_VOCAB_MIN_SHARE = 500 terms can each hold >= 0.2% of the
+# corpus, so the broadcast vocabulary is <= 500 rows at ANY corpus
+# size — a 100 TB web crawl included. Lowering the floor grows the
+# bound as 1/share; below ~1e-7 (10M terms) swap F.broadcast for a
+# plain join and let AQE pick the strategy.
+_VOCAB_MIN_SHARE = 0.002
+
+
 @register(
     "quality_unigram_logppl",
     oracle="""
@@ -481,25 +493,39 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor(ln(CAST(c AS DOUBLE) / n) * 1000000.0 + 0.5)
                    / 1000000.0 AS lp
         FROM vocab CROSS JOIN total
+        WHERE c >= 0.002 * n
+    ),
+    oov AS (
+        SELECT floor(ln(0.5 / n) * 1000000.0 + 0.5) / 1000000.0 AS lp_oov
+        FROM total
     )
     SELECT w.doc_id,
            count(*) AS n_tokens,
-           floor(sum(-lp) * 10000.0 + 0.5) / 10000.0 / count(*)
-               AS avg_neg_logp
-    FROM words w JOIN logp USING (word)
+           floor(sum(-coalesce(l.lp, o.lp_oov)) * 1000000.0 + 0.5)
+               / 1000000.0 / count(*) AS avg_neg_logp
+    FROM words w
+    LEFT JOIN logp l USING (word)
+    CROSS JOIN oov o
     GROUP BY w.doc_id
     """,
     doc="Unigram log-perplexity quality score (the classic cheap "
     "LM-quality filter for pretraining corpora): fit a corpus-level "
-    "unigram model in one aggregation, then score each document's "
-    "average negative log-likelihood — high scores flag gibberish / "
-    "rare-token soup, low scores flag boilerplate. Scale shape: the "
-    "vocabulary aggregate is map-side-combined (the shuffle carries "
-    "~|vocab| rows per partition, not tokens), the fitted logp table "
-    "broadcasts back onto the token stream (vocab << corpus), and the "
-    "per-doc rollup is the only fact-sized shuffle. Per-token ln is "
-    "floor-normalized at 1e-6 (the repo's cross-engine ln recipe), the "
-    "doc sum at 1e-4, and the final divide-by-count is exact IEEE.",
+    "unigram model in one aggregation, prune it to terms holding >= "
+    "0.2% of all tokens (share-based, so the fitted table is provably "
+    "<= 1/share = 500 rows at any corpus size — the broadcast can "
+    "never outgrow its budget, unlike a raw-vocab broadcast which "
+    "dies at the driver on a web corpus), then score each document's "
+    "average negative log-likelihood with pruned terms at the OOV "
+    "floor ln(0.5/N). High scores flag gibberish / rare-token soup, "
+    "low scores flag boilerplate. Scale shape: the vocabulary "
+    "aggregate is map-side-combined (the shuffle carries ~|vocab| "
+    "rows per partition, not tokens), the bounded logp table "
+    "broadcasts back onto the token stream via a left join + OOV "
+    "coalesce, and the per-doc rollup is the only fact-sized shuffle. "
+    "Per-token ln is floor-normalized at 1e-6 (the repo's "
+    "cross-engine ln recipe) and the doc sum at 1e-6 too — matching "
+    "the addend precision, per functions/deterministic.py's fsum "
+    "precondition; the final divide-by-count is exact IEEE.",
     headline=True,
     tags=("text", "quality", "aggregation", "pipeline"),
 )
@@ -510,20 +536,44 @@ def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("word") != "")
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
-    logp = vocab.crossJoin(F.broadcast(total)).select(
-        "word",
-        fix(F.log(F.col("c").cast("double") / F.col("n")), 6).alias("lp"),
+    logp = (
+        vocab.crossJoin(F.broadcast(total))
+        .where(F.col("c") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
+        .select(
+            "word",
+            fix(F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
+                "lp"
+            ),
+        )
     )
+    oov = total.select(
+        fix(F.log(F.lit(0.5) / F.col("n")), 6).alias("lp_oov")
+    )
+    lp_eff = F.coalesce(F.col("lp"), F.col("lp_oov"))
     return (
-        words.join(F.broadcast(logp), "word")
+        words.join(F.broadcast(logp), "word", "left")
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (fix(F.sum(-F.col("lp")), 4) / F.count(F.lit(1))).alias(
+            (fix(F.sum(-lp_eff), 6) / F.count(F.lit(1))).alias(
                 "avg_neg_logp"
             ),
         )
     )
+
+
+# inverted_index_build scale knobs. Stopword cut: a term present in
+# more than 80% of documents carries no retrieval signal and owns the
+# hottest posting lists; the stopword set is provably tiny (each doc
+# contributes <= its distinct-term count of (term, doc) pairs, so at
+# most avg_distinct_terms_per_doc / 0.8 terms can clear the bar) —
+# safe to broadcast at any corpus size. Shard count: postings are
+# doc-partitioned into _POSTING_SHARDS lists per term, bounding every
+# collect_set buffer at ~n_docs(term)/S entries; raise S with corpus
+# size (production block-max indexes do exactly this).
+_STOPWORD_DF_SHARE = 0.8
+_POSTING_SHARDS = 8
 
 
 @register(
@@ -534,46 +584,85 @@ def quality_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
-    stats AS (
-        SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfq AS (
+        SELECT word, count(DISTINCT doc_id) AS df0
         FROM w2 GROUP BY word
     ),
+    stop AS (
+        SELECT word FROM dfq CROSS JOIN nd WHERE df0 > 0.8 * n_docs
+    ),
+    tok AS (
+        SELECT doc_id, word, CAST(doc_id % 8 AS INTEGER) AS shard
+        FROM w2 WHERE word NOT IN (SELECT word FROM stop)
+    ),
+    pd AS (SELECT DISTINCT word, shard, doc_id FROM tok),
     posts AS (
-        SELECT word,
+        SELECT word, shard, count(*) AS df_s,
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                    AS postings
-        FROM (SELECT DISTINCT word, doc_id FROM w2) GROUP BY word
+        FROM pd GROUP BY word, shard
+    ),
+    cfs AS (
+        SELECT word, shard, count(*) AS cf_s FROM tok GROUP BY word, shard
+    ),
+    sh AS (
+        SELECT p.word, p.shard, cf_s, df_s, postings
+        FROM posts p JOIN cfs c USING (word, shard)
     )
-    SELECT word, df, cf, postings
-    FROM stats JOIN posts USING (word)
+    SELECT word, shard,
+           CAST(sum(df_s) OVER (PARTITION BY word) AS BIGINT) AS df,
+           CAST(sum(cf_s) OVER (PARTITION BY word) AS BIGINT) AS cf,
+           postings
+    FROM sh
     """,
     doc="Inverted-index construction (the materialization behind "
-    "BM25/TF-IDF): per term, document frequency, collection frequency, "
-    "and the doc_id posting list (numerically sorted, comma-joined so "
-    "row canonicalizers can hash it). One explode + one shuffle on the "
-    "term key with map-side partial aggregation; posting lists are the "
-    "classic skew risk — stopword terms collect O(n_docs) entries, "
-    "which is exactly why production indexes shard hot postings "
-    "(block-max / doc-partitioned lists); at 100 TB pair this with "
-    "df-based stopword pruning before materializing.",
-    tags=("text", "search", "aggregation"),
+    "BM25/TF-IDF), in the doc-partitioned shape production indexes "
+    "actually use: stopword terms (df > 80% of docs — a provably tiny "
+    "set, <= avg distinct terms per doc / 0.8, so it broadcast "
+    "anti-joins off the token stream with zero big-side shuffle) are "
+    "pruned BEFORE any posting list materializes, and surviving "
+    "postings are sharded by doc_id % 8 into (term, shard) rows so no "
+    "single collect_set buffer ever holds a term's full posting list "
+    "— the per-buffer bound is n_docs(term)/8, and the shard count is "
+    "the knob that scales it down further at 100 TB (block-max / "
+    "doc-partitioned lists). Global df/cf are recovered by a window "
+    "over the <= 8 shard rows per term (doc shards are disjoint, so "
+    "shard dfs sum exactly). Emits per (term, shard): global df/cf "
+    "plus the shard's numerically-sorted comma-joined posting list.",
+    tags=("text", "search", "aggregation", "skew"),
 )
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
     ).where(F.col("word") != "")
-    return words.groupBy("word").agg(
-        F.count(F.lit(1)).alias("cf"),
-        F.count_distinct("doc_id").alias("df"),
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfq = words.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df0")
+    )
+    stop = (
+        dfq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df0") > F.lit(_STOPWORD_DF_SHARE) * F.col("n_docs"))
+        .select("word")
+    )
+    tok = words.join(F.broadcast(stop), "word", "left_anti").withColumn(
+        "shard", (F.col("doc_id") % _POSTING_SHARDS).cast("int")
+    )
+    per_shard = tok.groupBy("word", "shard").agg(
+        F.count(F.lit(1)).alias("cf_s"),
+        F.array_sort(F.collect_set("doc_id")).alias("posting_arr"),
+    )
+    w = Window.partitionBy("word")
+    return per_shard.select(
+        "word",
+        "shard",
+        F.sum(F.size("posting_arr").cast("long")).over(w).alias("df"),
+        F.sum("cf_s").over(w).alias("cf"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_set("doc_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+            F.transform("posting_arr", lambda x: x.cast("string")), ","
         ).alias("postings"),
-    ).select("word", "df", "cf", "postings")
+    )
 
 
 @register(

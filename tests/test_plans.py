@@ -101,6 +101,7 @@ _BNLJ_ALLOWED = {
     "bm25_search_topk",  # single-row avgdl frame joined to per-doc tf
     "hll_mergeable_union",  # 1-row merged estimate x 1-row exact arm
     "quality_unigram_logppl",  # single-row token total vs vocab frame
+    "inverted_index_build",  # single-row doc-count frame vs df table
     "pmi_collocations",  # single-row corpus total vs bigram frame
     "hybrid_search_rrf",  # embeds the bm25 arm (avgdl 1-row frame)
 }
