@@ -5,12 +5,15 @@ no PIL/ffmpeg. But two real codecs ARE expressible on the standard
 library alone, which upgrades the multimodal pipeline from "plumbing
 with a fake" to an actual encode→decode capability:
 
-- **PNG** (``png_encode_gray`` / ``png_decode``): full chunk framing
-  (length/type/CRC32), zlib inflate, and all five scanline filters
-  (None/Sub/Up/Average/Paeth) per the PNG spec; 8-bit grayscale and
-  RGB color types. When PIL *is* importable (a real cluster),
-  ``png_decode`` routes through it — the pure decoder is the fallback,
-  and a unit test pins both paths to identical output.
+- **PNG** (``png_encode_gray`` / ``png_encode_rgb`` / ``png_decode``):
+  full chunk framing (length/type/CRC32), zlib inflate, and all five
+  scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec; 8-bit
+  grayscale and RGB color types. The RGB encoder filters scanlines
+  adaptively (min-sum-of-absolute-differences), so round-trips
+  exercise the full filter set on both sides. When PIL *is* importable
+  (a real cluster), ``png_decode`` routes through it — the pure
+  decoder is the fallback, and a unit test pins both paths to
+  identical output.
 - **WAV PCM** (``wav_encode_pcm16`` / ``wav_decode``): RIFF container
   via the stdlib ``wave`` module.
 
@@ -63,6 +66,72 @@ def png_encode_gray(data: bytes, width: int) -> bytes:
         _PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanline(
+    line: bytes, prev: bytes | None, bpp: int
+) -> bytes:
+    """Filter one scanline adaptively (PNG spec §9: minimum sum of
+    absolute differences heuristic — deterministic, ties to the lowest
+    filter type). Returns the filter-type byte + filtered bytes."""
+    best: tuple[int, int, bytearray] | None = None
+    for ftype in range(5):
+        out = bytearray(len(line))
+        score = 0
+        for i, x in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i] if prev is not None else 0
+            c = prev[i - bpp] if (prev is not None and i >= bpp) else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x - a
+            elif ftype == 2:
+                v = x - b
+            elif ftype == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - _paeth(a, b, c)
+            v &= 0xFF
+            out[i] = v
+            score += v if v < 128 else 256 - v
+        if best is None or score < best[0]:
+            best = (score, ftype, out)
+    return bytes([best[1]]) + bytes(best[2])
+
+
+def png_encode_rgb(data: bytes, width: int) -> bytes:
+    """Encode raw bytes as an 8-bit RGB PNG of ``width`` pixel columns
+    (3 bytes per pixel, interleaved). The last row is zero-padded;
+    callers keep the original length for byte-exact recovery.
+
+    Unlike :func:`png_encode_gray` (filter 0 only), scanlines are
+    filtered adaptively per the spec's min-sum-of-absolute-differences
+    heuristic, so Sub/Up/Average/Paeth all appear on real data and the
+    decoder's unfilter paths get exercised by encode→decode
+    round-trips, not just by fixtures.
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    if not data:
+        data = b"\x00\x00\x00"  # PNG requires >= 1x1
+    bpp = 3
+    stride = width * bpp
+    height = (len(data) + stride - 1) // stride
+    padded = data.ljust(stride * height, b"\x00")
+    lines = []
+    prev: bytes | None = None
+    for r in range(height):
+        line = padded[r * stride : (r + 1) * stride]
+        lines.append(_filter_scanline(line, prev, bpp))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + _chunk(b"IEND", b"")
     )
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from p4_mapreduce_spark.operators.codecs import (
     png_decode,
     png_encode_gray,
+    png_encode_rgb,
     wav_decode,
     wav_encode_pcm16,
 )
@@ -269,6 +270,79 @@ def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "width",
         "height",
+        "n_bytes",
+        F.md5("decoded").alias("roundtrip_md5"),
+    )
+
+
+_RGB_WIDTH = 16  # pixels; stride = 48 bytes/row at 3 bytes per pixel
+
+
+@register(
+    "multimodal_image_roundtrip_rgb",
+    oracle=f"""
+    SELECT doc_id,
+           {_RGB_WIDTH} AS width,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / {3 * _RGB_WIDTH}.0)
+                AS INTEGER) AS height,
+           3 AS channels,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS roundtrip_md5
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="REAL color image codec round-trip (the 3-channel sibling of "
+    "multimodal_image_roundtrip): payload bytes packed as interleaved "
+    "8-bit RGB, PNG-encoded with ADAPTIVE scanline filtering "
+    "(min-sum-of-absolute-differences picks among None/Sub/Up/Average/"
+    "Paeth per line — operators/codecs.png_encode_rgb), then decoded "
+    "back (inflate + unfilter at 3 bytes/pixel; PIL when present). "
+    "Exercises the full filter set on BOTH sides of the codec, unlike "
+    "the grayscale path's filter-0 encode. Oracle pins byte-exact md5 "
+    "recovery plus exact RGB geometry. Per-row CPU, zero shuffle.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_image_roundtrip_rgb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_bytes": [],
+                "decoded": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                png = png_encode_rgb(raw, _RGB_WIDTH)
+                w, h, c, px = png_decode(png)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_bytes"].append(len(raw))
+                rows["decoded"].append(px[: len(raw)])
+            yield pd.DataFrame(rows)
+
+    out = assets.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, width int, height int, channels int, "
+        "n_bytes bigint, decoded binary",
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
         "n_bytes",
         F.md5("decoded").alias("roundtrip_md5"),
     )

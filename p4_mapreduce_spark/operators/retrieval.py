@@ -66,6 +66,7 @@ _SEM_ORACLE = REGISTRY["ann_bruteforce_topk"].oracle
     "reduction), so the full pipeline carries a DuckDB oracle. Fusion "
     "joins two top-k lists (rows ~ k, not corpus) — free at any scale; "
     "the arms own the heavy lifting.",
+    headline=True,
     tags=("text", "search", "similarity", "vector"),
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

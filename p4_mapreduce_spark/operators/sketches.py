@@ -96,6 +96,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— so the result is exact and SQL-oracled even though the first "
     "pass is a sketch. At 100 TB the candidate set is K items per "
     "partition summary at most; only those keys pay for a second pass.",
+    headline=True,
     tags=("sketch", "text", "aggregation"),
 )
 def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:

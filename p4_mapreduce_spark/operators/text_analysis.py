@@ -630,6 +630,7 @@ _POSTING_SHARDS = 8
     "over the <= 8 shard rows per term (doc shards are disjoint, so "
     "shard dfs sum exactly). Emits per (term, shard): global df/cf "
     "plus the shard's numerically-sorted comma-joined posting list.",
+    headline=True,
     tags=("text", "search", "aggregation", "skew"),
 )
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +703,7 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor-quantized at 1e-6 (the repo's cross-engine recipe). "
     "DuckDB's paired unnest zips the two slices positionally, matching "
     "zip_with.",
+    headline=True,
     tags=("text", "ngram", "stats", "aggregation"),
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:

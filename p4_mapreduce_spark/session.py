@@ -18,6 +18,7 @@ are the ones that matter for plan quality at scale:
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 from pyspark.sql import SparkSession
@@ -27,6 +28,30 @@ APP_NAME = "p4-mapreduce-spark"
 
 def _cpus() -> str:
     return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def transform_with_state_available() -> bool:
+    """Can ``transformWithStateInPandas`` actually EXECUTE here?
+
+    Plan construction needs nothing special, but at run time the Python
+    worker talks to the JVM's stateful-processor state server over
+    protobuf (``pyspark/sql/streaming/proto/StateMessage_pb2.py`` —
+    generated code PySpark ships; the ``google.protobuf`` *runtime* it
+    imports is a separate pip dependency). Environments without it get
+    plan-only coverage (``streaming_stateful_user_counts_tws``'s
+    equivalence test skips). To unlock execution:
+
+        pip install 'protobuf>=4.25'
+
+    (pure-Python wheel, no native deps). The test suite's terminal
+    summary prints which mode ran.
+    """
+    try:
+        # find_spec imports the parent package, so a missing "google"
+        # namespace raises rather than returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
 
 
 def get_spark(

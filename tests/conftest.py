@@ -25,3 +25,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return TEST_SF_DIR
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make the transformWithState coverage mode visible in every run
+    (the equivalence test silently importorskips otherwise)."""
+    from p4_mapreduce_spark.session import transform_with_state_available
+
+    if transform_with_state_available():
+        mode = "EXECUTED (google.protobuf present)"
+    else:
+        mode = (
+            "PLAN-ONLY (google.protobuf absent; "
+            "`pip install 'protobuf>=4.25'` to unlock execution)"
+        )
+    terminalreporter.write_line(f"transformWithState coverage: {mode}")
