@@ -570,3 +570,96 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_contaminated_train_docs"),
         F.max("n_shared").alias("max_shared_shingles"),
     )
+
+
+# Span-level exact dedup (the substring-dedup family: ExactSubstr /
+# dedupe-text-datasets style, approximated with tumbling token spans).
+# Span width 8 gives every synthetic doc (10-99 words) at least one
+# full span; production text uses 50-token spans — the width is a
+# constant, not a shape change.
+_SPAN_WIDTH = 8
+_SPAN_DUP_FRAC_FLAG = 0.5
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS span_id,
+               md5(array_to_string(
+                   ws[(i * {_SPAN_WIDTH} + 1):((i + 1) * {_SPAN_WIDTH})],
+                   ' ')) AS h
+        FROM toks,
+             unnest(range(CAST(floor(len(ws) / {_SPAN_WIDTH}) AS BIGINT)))
+                 AS t(i)
+    ),
+    freq AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY h
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           floor(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1000000.0
+                 / count(*) + 0.5) / 1000000.0 AS dup_span_frac,
+           (sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+               >= {_SPAN_DUP_FRAC_FLAG}) AS drop_flag
+    FROM spans s JOIN freq f USING (h)
+    GROUP BY s.doc_id
+    """,
+    doc=f"Span-level exact dedup (tumbling {_SPAN_WIDTH}-token spans, "
+    "the scalable stand-in for suffix-array ExactSubstr dedup): hash "
+    "every full span, count the distinct documents per span hash, and "
+    "score each document by the fraction of its spans that appear in "
+    "at least one other document; docs above "
+    f"{_SPAN_DUP_FRAC_FLAG:.0%} get the drop flag. Scale shape: spans "
+    "are built with array lambdas (slice + hash per row — no "
+    "token-level explode ever materializes), the explode emits one "
+    "16-byte-hash row per span, and the only shuffles are the "
+    "map-side-combined span-hash groupBy and the per-doc rollup. The "
+    "frequency frame joined back is one row per span hash (already "
+    "aggregated), so a boilerplate span that appears in millions of "
+    "docs costs one counter, not a posting list — no hot-key buffer "
+    "anywhere.",
+    tags=("dedup", "text"),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    n_full = F.floor(F.size(ws) / _SPAN_WIDTH).cast("int")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(ws, i * _SPAN_WIDTH + 1, _SPAN_WIDTH), " ")
+        ),
+    )
+    spans = (
+        docs.where(F.size(ws) >= _SPAN_WIDTH)
+        .select("doc_id", F.posexplode(span_hashes).alias("span_id", "h"))
+        .select("doc_id", F.col("span_id").cast("int").alias("span_id"), "h")
+    )
+    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (
+                F.floor(
+                    F.sum(dup) * F.lit(1000000.0) / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("dup_span_frac"),
+            (
+                F.sum(dup) * F.lit(1.0) / F.count(F.lit(1))
+                >= F.lit(_SPAN_DUP_FRAC_FLAG)
+            ).alias("drop_flag"),
+        )
+    )

@@ -506,3 +506,150 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")))
         .select("doc_id", "source", "n_chars", "p05", "p95")
     )
+
+
+# Temperature resampling exponent. alpha = 0.5 on purpose: the weight
+# is then sqrt(share), and IEEE-754 sqrt is correctly rounded in every
+# engine — bit-identical cross-engine with no ln/pow normalization
+# dance. A general alpha would use pow() and need the 1e-6 ln-parity
+# recipe instead.
+_RESAMPLE_BUCKETS = 256
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle=f"""
+    WITH hist AS (
+        SELECT lang,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                   AS bucket,
+               count(*) AS n
+        FROM documents GROUP BY lang, bucket
+    ),
+    src AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_total FROM hist GROUP BY lang),
+    tot AS (SELECT sum(n_total) AS n_corpus FROM src),
+    w AS (
+        SELECT lang, n_total,
+               floor(sqrt(n_total / n_corpus) * 1000000.0 + 0.5) / 1000000.0
+                   AS wgt,
+               floor(n_total / n_corpus * 1000000.0 + 0.5) / 1000000.0
+                   AS share_before
+        FROM src CROSS JOIN tot
+    ),
+    m AS (
+        SELECT lang, n_total, share_before,
+               floor(wgt / ((SELECT floor(sum(wgt) * 1000000.0 + 0.5)
+                                / 1000000.0 FROM w) * share_before)
+                     * 1000000.0 + 0.5) / 1000000.0 AS mult
+        FROM w
+    ),
+    r AS (
+        SELECT lang, n_total, share_before,
+               floor(mult / (SELECT max(mult) FROM m) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rate
+        FROM m
+    ),
+    kept AS (
+        SELECT r.lang, r.n_total, r.share_before, r.rate,
+               CAST(floor(r.rate * {_RESAMPLE_BUCKETS} + 0.5) AS INTEGER)
+                   AS bucket_threshold,
+               CAST(coalesce(sum(CASE WHEN h.bucket <
+                       floor(r.rate * {_RESAMPLE_BUCKETS} + 0.5)
+                       THEN h.n END), 0) AS BIGINT) AS n_kept
+        FROM r JOIN hist h USING (lang)
+        GROUP BY r.lang, r.n_total, r.share_before, r.rate
+    )
+    SELECT lang, n_total, share_before, rate, bucket_threshold, n_kept,
+           floor(n_kept * 1000000.0 / (SELECT sum(n_kept) FROM kept) + 0.5)
+               / 1000000.0 AS share_after
+    FROM kept ORDER BY lang
+    """,
+    doc="Temperature-based mixture resampling (alpha = 0.5): derive "
+    "per-language acceptance rates FROM the corpus itself — target "
+    "shares proportional to share^alpha (the multilingual/domain "
+    "rebalancing rule), normalized so the most-upweighted source "
+    "keeps everything and the rest downsample deterministically via "
+    "256 md5 content-hash buckets. Unlike domain_mixture_sample "
+    "(fixed hand-set rates), the rates here are data-derived, which "
+    "is how production corpus mixers actually run. Scale shape: ONE "
+    "scan builds a (lang x bucket) histogram (<= 256 x n_langs "
+    "rows); every subsequent step — shares, sqrt weights, "
+    "multipliers, rates, kept counts — runs on that tiny frame, so "
+    "the 100 TB cost is exactly one map-side-combined aggregation "
+    "and the per-doc keep decision replays as a stateless hash "
+    "filter at materialization time. alpha = 0.5 makes the weight "
+    "sqrt(share), which IEEE-754 rounds correctly in every engine — "
+    "no pow/ln normalization needed.",
+    tags=("pipeline", "sampling"),
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    docs = load(spark, sf_dir, "documents")
+    hexpos = lambda i: (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), i, 1),
+        )
+        - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    hist = (
+        docs.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src = hist.groupBy("lang").agg(F.sum("n").alias("n_total"))
+    tot = src.agg(F.sum("n_total").alias("n_corpus"))
+    w = src.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_total",
+        fix(F.sqrt(F.col("n_total") / F.col("n_corpus")), 6).alias("wgt"),
+        fix(F.col("n_total") / F.col("n_corpus"), 6).alias("share_before"),
+    )
+    sumw = w.agg(fix(F.sum("wgt"), 6).alias("sum_wgt"))
+    m = w.crossJoin(F.broadcast(sumw)).select(
+        "lang",
+        "n_total",
+        "share_before",
+        fix(
+            F.col("wgt") / (F.col("sum_wgt") * F.col("share_before")), 6
+        ).alias("mult"),
+    )
+    maxm = m.agg(F.max("mult").alias("max_mult"))
+    r = m.crossJoin(F.broadcast(maxm)).select(
+        "lang",
+        "n_total",
+        "share_before",
+        fix(F.col("mult") / F.col("max_mult"), 6).alias("rate"),
+    )
+    thresh = F.floor(F.col("rate") * _RESAMPLE_BUCKETS + F.lit(0.5))
+    kept = (
+        r.join(hist, "lang")
+        .groupBy("lang", "n_total", "share_before", "rate")
+        .agg(
+            F.max(thresh).cast("int").alias("bucket_threshold"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") < thresh, F.col("n"))), F.lit(0)
+            ).alias("n_kept"),
+        )
+    )
+    total_kept = Window.partitionBy()
+    return (
+        kept.withColumn(
+            "share_after",
+            F.floor(
+                F.col("n_kept")
+                * F.lit(1000000.0)
+                / F.sum("n_kept").over(total_kept)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        )
+        .orderBy("lang")
+    )

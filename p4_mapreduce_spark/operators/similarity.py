@@ -405,3 +405,114 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_l1"),
         )
     )
+
+
+# Product quantization: _PQ_M subspaces of _PQ_SUBDIM dims, _PQ_K
+# codes each => an 8-byte code per 64-float vector (32x compression).
+# The codebook is the sub-vectors of the _PQ_K lowest vec_ids — a
+# deterministic "seeded sample" init both engines can recompute (a
+# production codebook comes from per-subspace k-means; the assignment
+# and ADC machinery graded here is identical either way).
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SUBDIM = EMBEDDING_DIM // _PQ_M
+
+
+def _pq_dist_sql(q: int) -> str:
+    """Left-associative squared L2 over subspace ``q`` (matches the
+    Spark fold term-for-term)."""
+    terms = " + ".join(
+        f"((CAST(e.embedding[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
+        f" - CAST(c.cvec[{q * _PQ_SUBDIM + j}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
+        f" - CAST(c.cvec[{q * _PQ_SUBDIM + j}] AS DOUBLE)))"
+        for j in range(1, _PQ_SUBDIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _pq_oracle_sql() -> str:
+    per_q = "\nUNION ALL\n".join(
+        f"SELECT e.vec_id, {q} AS q, c.cid, {_pq_dist_sql(q)} AS dist "
+        f"FROM embeddings e CROSS JOIN cent c"
+        for q in range(_PQ_M)
+    )
+    weight = " ".join(f"WHEN {q} THEN {16 ** q}" for q in range(_PQ_M))
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id < {_PQ_K}
+    ),
+    d AS ({per_q}),
+    best AS (
+        SELECT vec_id, q, cid,
+               floor(dist * 1000000.0 + 0.5) / 1000000.0 AS qdist
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, q
+                                         ORDER BY dist, cid) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(sum(cid * (CASE q {weight} END)) AS BIGINT) AS pq_code,
+           floor(sum(qdist) * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+    FROM best GROUP BY vec_id
+    """
+
+
+@register(
+    "pq_codes",
+    oracle=_pq_oracle_sql(),
+    doc=f"Product quantization encode: split each {EMBEDDING_DIM}-dim "
+    f"vector into {_PQ_M} subspaces of {_PQ_SUBDIM} dims, assign each "
+    f"to the nearest of {_PQ_K} codebook entries (squared-L2, "
+    "first-wins tie-break on code order), and emit the packed 8-nibble "
+    "code plus the total reconstruction error — the encode half of a "
+    "PQ/IVFADC index, the standard way a 100 TB embedding corpus gets "
+    "32x smaller before ANN serving. Scale shape: the codebook "
+    f"({_PQ_K} x {EMBEDDING_DIM} floats) is collected once at plan "
+    "build (k-means-literal topology) and baked into a per-row "
+    "argmin fold — assignment is a map-only codegen pass with ZERO "
+    "shuffle or explode; the oracle recomputes the identical IEEE "
+    "fold via a windowed argmin over an exploded form. Per-subspace "
+    "distances are floor-normalized at 1e-6 before the 8-term sum "
+    "(fsum precondition) so the packed code and error hash "
+    "bit-identically.",
+    tags=("similarity", "vector", "quantization"),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    x = as_double("embedding")
+    pq_code = F.lit(0).cast("long")
+    recon = F.lit(0.0)
+    for q in range(_PQ_M):
+        off = q * _PQ_SUBDIM
+        cands = []
+        for c in range(_PQ_K):
+            d = F.lit(0.0)
+            for j in range(1, _PQ_SUBDIM + 1):
+                t = F.element_at(x, off + j) - F.lit(cents[c][off + j - 1])
+                d = d + t * t
+            cands.append(F.struct(d.alias("dist"), F.lit(c).alias("code")))
+        best = F.aggregate(
+            F.array(*cands),
+            F.struct(
+                F.lit(float("inf")).alias("dist"), F.lit(-1).alias("code")
+            ),
+            lambda acc, s: F.when(s["dist"] < acc["dist"], s).otherwise(acc),
+        )
+        pq_code = pq_code + best["code"].cast("long") * F.lit(16**q).cast("long")
+        recon = recon + fix(best["dist"], 6)
+    return emb.select(
+        "vec_id",
+        pq_code.alias("pq_code"),
+        fix(recon, 6).alias("recon_err"),
+    )
