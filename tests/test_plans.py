@@ -104,6 +104,9 @@ _BNLJ_ALLOWED = {
     "inverted_index_build",  # single-row doc-count frame vs df table
     "pmi_collocations",  # single-row corpus total vs bigram frame
     "hybrid_search_rrf",  # embeds the bm25 arm (avgdl 1-row frame)
+    "bpe_train_merges",  # 4x single-row argmax pair re-entering as broadcast
+    "quality_bigram_logppl",  # 1-row token/pair totals vs fitted models
+    "mixture_temperature_resample",  # 1-row total/sumw/max frames vs histogram
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -111,6 +114,18 @@ _BNLJ_ALLOWED = {
 # the per-query ceiling doesn't apply.
 _SHUFFLE_CAP_EXEMPT = {
     "hybrid_search_rrf",  # bm25 arm (4) + ann arm + rank fusion
+    # Iterative: 4 merge rounds x (pair-count agg + argmax) — every
+    # shuffle after the initial word count moves the distinct-word
+    # vocabulary, never the corpus, so the count is high but each
+    # exchange is small by construction (see the bpe docstring).
+    "bpe_train_merges",
+    # Two fitted models (bigram + unigram, both share-pruned) + the
+    # per-doc rollup; 2 of the 8 exchanges are fact-sized and
+    # map-side-combined, the rest move <=1000-row model frames.
+    "quality_bigram_logppl",
+    # One corpus-sized histogram aggregation; the other 6 exchanges
+    # all run on the <=256 x n_langs histogram frame.
+    "mixture_temperature_resample",
 }
 
 
