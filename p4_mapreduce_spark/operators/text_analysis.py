@@ -1114,3 +1114,132 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# Hashed n-gram feature space. 256 buckets keeps both fitted bag models
+# at EXACTLY <= 256 rows each — like the share-pruned LM vocabularies
+# above, the broadcast is mathematically bounded at any corpus size.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, is_t,
+               unnest(list_transform(
+                   list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+                   p -> (strpos('0123456789abcdef',
+                                substr(md5(p[1] || ' ' || p[2]), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(p[1] || ' ' || p[2]), 2, 1)) - 1)))
+                   AS bucket
+        FROM toks WHERE len(ws) >= 2
+    ),
+    counts AS (
+        SELECT bucket,
+               count(*) AS c_all,
+               sum(is_t) AS c_t
+        FROM feats GROUP BY bucket
+    ),
+    totals AS (SELECT sum(c_all) AS n_all, sum(c_t) AS n_t FROM counts),
+    ratio AS (
+        SELECT bucket,
+               floor((ln((c_t + 1.0) / (n_t + {_DSIR_BUCKETS}.0))
+                      - ln((c_all + 1.0) / (n_all + {_DSIR_BUCKETS}.0)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS lr
+        FROM counts CROSS JOIN totals
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           floor(sum(lr) * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+           floor(sum(lr) * 1000000.0 + 0.5) / 1000000.0 >= 0.0 AS selected
+    FROM feats f JOIN ratio USING (bucket)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR importance weights (Data Selection via Importance "
+    "Resampling, Xie et al. 2023): score every raw document by how "
+    f"much more likely its hashed-bigram features are under a target "
+    f"bag model (lang='{_DSIR_TARGET_LANG}' docs) than under the raw "
+    "corpus model — log w(x) = sum_f [ln p_target(f) - ln p_raw(f)] "
+    "with add-one smoothing over a fixed 256-bucket hashed feature "
+    "space; selected = (log w >= 0), the deterministic analog of "
+    "resampling proportional to w. Scale shape: adjacent-token "
+    "bigrams hash into md5 buckets per row (stateless, pipelines "
+    "with the scan), ONE map-side-combined aggregation fits both "
+    "models at once (per-bucket all/target counts — the shuffle "
+    "carries <= 256 rows per partition, and target needs no second "
+    "corpus pass), the <= 256-row log-ratio table broadcasts back "
+    "onto the feature stream, and the per-doc rollup is the only "
+    "fact-sized shuffle. Both fitted models are bounded by the "
+    "feature-space size, not the corpus — the same "
+    "can-never-outgrow-its-broadcast-budget guarantee as the pruned "
+    "LM vocabularies above. ln of integer-count ratios is the only "
+    "engine-divergent step: floor-normalized at 1e-6, doc sums "
+    "quantized at the same precision per the fsum precondition, and "
+    "the selected flag compares exactly-quantized doubles.",
+    tags=("text", "quality", "sampling", "pipeline"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+    toks = docs.select(
+        "doc_id", is_t.alias("is_t"), ws.alias("ws")
+    ).where(F.size("ws") >= 2)
+    hexpos = lambda bg, i: (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(bg), i, 1)) - 1
+    )
+    feats = toks.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ws, 1, size(ws) - 1)"),
+                F.expr("slice(ws, 2, size(ws) - 1)"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (hexpos(F.col("bg"), 1) * 16 + hexpos(F.col("bg"), 2)).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("is_t").alias("c_t")
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
+    )
+    b = float(_DSIR_BUCKETS)
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        fix(
+            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(b)))
+            - F.log(
+                (F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.lit(b))
+            ),
+            6,
+        ).alias("lr"),
+    )
+    logw = fix(F.sum("lr"), 6)
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            logw.alias("log_weight"),
+            (logw >= F.lit(0.0)).alias("selected"),
+        )
+    )

@@ -106,6 +106,7 @@ _BNLJ_ALLOWED = {
     "hybrid_search_rrf",  # embeds the bm25 arm (avgdl 1-row frame)
     "bpe_train_merges",  # 4x single-row argmax pair re-entering as broadcast
     "quality_bigram_logppl",  # 1-row token/pair totals vs fitted models
+    "dsir_importance_weights",  # 1-row corpus totals vs <=256-row buckets
     "mixture_temperature_resample",  # 1-row total/sumw/max frames vs histogram
 }
 
