@@ -516,3 +516,83 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_code.alias("pq_code"),
         fix(recon, 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by cluster-blocked cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH dup AS (
+        SELECT a.vec_id,
+               count(*) AS n_dup_lower,
+               max({cosine_sql('a.embedding', 'b.embedding')}) AS max_sim_lower
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND b.vec_id < a.vec_id
+        WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, e.label,
+           d.vec_id IS NULL AS kept,
+           coalesce(d.n_dup_lower, 0) AS n_dup_lower,
+           d.max_sim_lower
+    FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): semantic deduplication by "
+    "pruning, within each coarse cluster, every vector that has a "
+    f"cosine-similarity >= {_SEMDEDUP_TAU} neighbor with a smaller "
+    "vec_id — the deterministic keep-one-representative-per-epsilon-"
+    "ball rule (lowest id survives; any member of a near-dup chain "
+    "except its minimum is dropped). Unlike dedup_embedding_cosine "
+    "(which reports the top similar PAIRS), this emits the pruning "
+    "VERDICT per vector: kept flag, how many lower-id near-dups it "
+    "has, and its closest lower-id similarity. Blocking: the label "
+    "column stands in for the k-means cluster assignment "
+    "(kmeans_embedding_clusters is the scale path that produces it) "
+    "— SemDeDup's whole point is that pairwise cosine is only ever "
+    "computed within a cluster, so cluster granularity caps the "
+    "quadratic term; the pair join is a size-bounded equi-join "
+    "shuffle on the cluster key, the verdict aggregation is "
+    "map-side-combined on vec_id, and the final left join returns "
+    "one row per vector. Cosines are the repo's left-fold dual "
+    "recipe (identical IEEE sequence both engines), so the raw "
+    "threshold comparison and max are bit-deterministic.",
+    tags=("dedup", "similarity", "vector", "pipeline"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    dup = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vb") < F.col("va")))
+        .where(sim >= F.lit(_SEMDEDUP_TAU))
+        .groupBy("va")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_lower"),
+            F.max(sim).alias("max_sim_lower"),
+        )
+    )
+    return (
+        emb.join(dup, emb.vec_id == dup.va, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("va").isNull().alias("kept"),
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
+            "max_sim_lower",
+        )
+    )
