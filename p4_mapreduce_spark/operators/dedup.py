@@ -412,44 +412,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.n_common / greatest(len(x.shingles) + len(y.shingles) - p.n_common, 1)
           >= {JACCARD_THRESHOLD}
     """,
-    doc="Exact n-gram Jaccard near-dup via shared-shingle equi-join + "
-    "group count. Worst-case quadratic (hot shingles explode the join) — "
-    "at scale this runs only as the LSH verify step; standalone here to "
-    "cross-check dedup_minhash_lsh end to end.",
+    doc="Exact n-gram Jaccard near-dup, collapse-verify-expand: exact "
+    "duplicate texts are first collapsed to one representative per "
+    "md5(text) group, the shared-shingle equi-join + group count "
+    "(worst-case quadratic — at scale this runs only as the LSH "
+    "verify step) runs over DISTINCT texts only, and qualifying "
+    "pairs expand back to doc-id pairs output-bound (intra-group "
+    "copies are jaccard-1.0 by identity; a cross-group verdict "
+    "applies to every member pair because jaccard depends only on "
+    "the texts). The collapse is what survives a duplicate-heavy "
+    "web corpus: with C exact copies per document the naive verify "
+    "join grows O(C^2) in INTERMEDIATE state (the r4 sf1 probe's "
+    "60-copy corpus OOM'd an 8 GiB heap and ground a 48 GiB one to "
+    "a halt), while collapse-verify-expand keeps the quadratic step "
+    "at distinct-text size and pays C^2 only in rows the result "
+    "itself must contain. Same result set, same oracle.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    docs = load(spark, sf_dir, "documents")
+    # 1. collapse: one representative text per exact-duplicate group
+    groups = docs.groupBy(F.md5("text").alias("gh")).agg(
+        F.min("text").alias("rtext")
     )
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
-    sh = toks.select("doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    # one localCheckpoint: ex feeds both join sides AND the per-doc
-    # size frames below — without it the whole split+shingle pipeline
-    # re-evaluates four times (shingles are distinct per doc, so
-    # count(*) over ex == size(shingles) and the sizes can reuse ex
-    # instead of recomputing the arrays)
+    sh = groups.select(
+        "gh", _shingles_from_tokens(F.split("rtext", " ", -1)).alias("shingles")
+    )
+    ex = sh.select("gh", F.explode("shingles").alias("shingle"))
+    # one localCheckpoint: ex feeds both join sides AND the per-group
+    # size frame below — without it the whole collapse+shingle
+    # pipeline re-evaluates four times (shingles are distinct per
+    # text, so count(*) over ex == size(shingles))
     ex = ex.localCheckpoint()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    pairs = (
+    sizes = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    # 2. verify: pairwise jaccard over distinct texts only
+    a = ex.select(F.col("gh").alias("gh_a"), "shingle")
+    b = ex.select(F.col("gh").alias("gh_b"), "shingle")
+    rep_pairs = (
         a.join(b, "shingle")
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
+        .where(F.col("gh_a") < F.col("gh_b"))
+        .groupBy("gh_a", "gh_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    x = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
-    y = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
-    joined = pairs.join(x, "doc_id_a").join(y, "doc_id_b")
+    x = sizes.select(F.col("gh").alias("gh_a"), F.col("n").alias("n_a"))
+    y = sizes.select(F.col("gh").alias("gh_b"), F.col("n").alias("n_b"))
     jaccard = F.col("n_common") / F.greatest(
         F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
     )
-    return (
-        joined.select("doc_id_a", "doc_id_b", jaccard.alias("jaccard"))
+    rj = (
+        rep_pairs.join(x, "gh_a")
+        .join(y, "gh_b")
+        .select("gh_a", "gh_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    # 3. expand back to doc pairs (output-bound by construction)
+    members = docs.select(F.md5("text").alias("gh"), "doc_id")
+    inter = (
+        rj.join(
+            members.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("da")),
+            "gh_a",
+        )
+        .join(
+            members.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("db")),
+            "gh_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    # exact copies pair at jaccard 1.0 — but only when the text has at
+    # least one shingle (empty-shingle docs never pair in the naive
+    # form either); sizes only lists shingled groups, so a semi join
+    # against it is exactly that guard
+    m1 = members.select("gh", F.col("doc_id").alias("doc_id_a"))
+    m2 = members.select("gh", F.col("doc_id").alias("doc_id_b"))
+    intra = (
+        m1.join(m2, "gh")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .join(sizes.select("gh"), "gh", "left_semi")
+        .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -661,5 +706,129 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(dup) * F.lit(1.0) / F.count(F.lit(1))
                 >= F.lit(_SPAN_DUP_FRAC_FLAG)
             ).alias("drop_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Content-defined chunking dedup (LBFS/FastCDC family)
+# ---------------------------------------------------------------------------
+
+# A token is a chunk anchor when its md5 starts with this hex digit:
+# P(anchor) = 1/16, so expected chunk length ~16 tokens. Anchoring on
+# CONTENT (not position) is the point — an insertion near the top of a
+# document shifts every tumbling-span hash after it, but CDC boundaries
+# re-synchronize at the next anchor, so all downstream chunks still
+# dedup against the unedited copy.
+_CDC_ANCHOR_HEX = "0"
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws[i] AS w, i
+        FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    cidx AS (
+        SELECT doc_id, w, i,
+               sum(CASE WHEN i > 1 AND substr(md5(w), 1, 1)
+                             = '{_CDC_ANCHOR_HEX}'
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i)
+                   AS chunk_idx
+        FROM pos
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               md5(string_agg(w, ' ' ORDER BY i)) AS h,
+               CAST(count(*) AS INTEGER) AS nt
+        FROM cidx GROUP BY doc_id, chunk_idx
+    ),
+    freq AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN nt ELSE 0 END) AS BIGINT)
+               AS dup_tokens
+    FROM chunks c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+    doc="Content-defined chunking dedup (LBFS/FastCDC family): a token "
+    "is a chunk anchor when its md5 falls in a fixed 1/16 hash band "
+    "(expected chunk ~16 tokens), every anchored chunk is hashed, and "
+    "each document is scored by how many of its tokens sit in chunks "
+    "that also appear in other documents. The content-defined anchor "
+    "is what tumbling-span dedup (dedup_span_exact) cannot do: an "
+    "edit or insertion shifts every downstream tumbling span, but CDC "
+    "boundaries re-synchronize at the next anchor, so the unedited "
+    "remainder still dedups — the chunking rule used by dedup storage "
+    "and by edit-robust corpus dedup. Scale shape: chunks are built "
+    "per row by ONE sequential fold over the token array (a single "
+    "whole-stage-codegen'd expression — no token-level explode, no "
+    "per-token window shuffle), one 16-byte-hash row per ~16-token "
+    "chunk feeds the map-side-combined chunk-hash groupBy, the "
+    "aggregated one-row-per-hash frequency frame joins back (a "
+    "boilerplate chunk in millions of docs costs one counter, not a "
+    "posting list; residual hash-key skew is AQE skew-join territory), "
+    "and the per-doc rollup is the only other shuffle. All-integer "
+    "output — no float normalization needed.",
+    tags=("dedup", "text", "pipeline"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    is_anchor = lambda w: (
+        F.substring(F.md5(w), 1, 1) == F.lit(_CDC_ANCHOR_HEX)
+    )
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+    )
+    def step(acc, w):
+        boundary = is_anchor(w) & (acc["cur"] != F.lit(""))
+        done = F.when(
+            boundary, F.concat(acc["done"], F.array(acc["cur"]))
+        ).otherwise(acc["done"])
+        cur = (
+            F.when(boundary, w)
+            .when(acc["cur"] == F.lit(""), w)
+            .otherwise(F.concat_ws(" ", acc["cur"], w))
+        )
+        return F.struct(done.alias("done"), cur.alias("cur"))
+    chunks_arr = F.aggregate(
+        ws,
+        acc0,
+        step,
+        lambda acc: F.when(
+            acc["cur"] != F.lit(""),
+            F.concat(acc["done"], F.array(acc["cur"])),
+        ).otherwise(acc["done"]),
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(chunks_arr).alias("chunk_text")
+    ).select(
+        "doc_id",
+        F.md5("chunk_text").alias("h"),
+        F.size(F.split("chunk_text", " ", -1)).alias("nt"),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, F.col("nt")).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(dup).alias("dup_tokens"),
         )
     )

@@ -140,7 +140,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 results[name][k] = round(time.perf_counter() - t0, 2)
-            print(f"scale x{k} done", file=sys.stderr)
+                print(
+                    f"  x{k} {name}: {results[name][k]:.2f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            print(f"scale x{k} done", file=sys.stderr, flush=True)
             shutil.rmtree(sf_dir, ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
