@@ -435,8 +435,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = docs.groupBy(F.md5("text").alias("gh")).agg(
         F.min("text").alias("rtext")
     )
-    sh = groups.select(
-        "gh", _shingles_from_tokens(F.split("rtext", " ", -1)).alias("shingles")
+    # bind the token array before the shingle lambda (see
+    # _shingles_from_tokens: an inline split re-evaluates per element)
+    gtoks = groups.select("gh", F.split("rtext", " ", -1).alias("toks"))
+    sh = gtoks.select(
+        "gh", _shingles_from_tokens(F.col("toks")).alias("shingles")
     )
     ex = sh.select("gh", F.explode("shingles").alias("shingle"))
     # one localCheckpoint: ex feeds both join sides AND the per-group
