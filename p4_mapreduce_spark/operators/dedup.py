@@ -783,6 +783,7 @@ _CDC_ANCHOR_HEX = "0"
     "posting list; residual hash-key skew is AQE skew-join territory), "
     "and the per-doc rollup is the only other shuffle. All-integer "
     "output — no float normalization needed.",
+    headline=True,
     tags=("dedup", "text", "pipeline"),
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

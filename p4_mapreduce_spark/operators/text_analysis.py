@@ -1189,6 +1189,7 @@ _DSIR_TARGET_LANG = "en"
     "engine-divergent step: floor-normalized at 1e-6, doc sums "
     "quantized at the same precision per the fsum precondition, and "
     "the selected flag compares exactly-quantized doubles.",
+    headline=True,
     tags=("text", "quality", "sampling", "pipeline"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,5 +1242,171 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_feats"),
             logw.alias("log_weight"),
             (logw >= F.lit(0.0)).alias("selected"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Unrolled-round DuckDB oracle for bpe_encode_corpus: the same
+    merge chain as :func:`_bpe_oracle_sql` but carrying ``word`` so
+    the fitted vocabulary can be joined back onto the corpus."""
+    rounds = []
+    for r in range(_BPE_ROUNDS):
+        rounds.append(f"""
+    pc{r} AS (
+        SELECT toks[i] || ' ' || toks[i + 1] AS pair, sum(cnt) AS pair_count
+        FROM (SELECT cnt, list_filter(string_split(padded, ' '),
+                                      x -> x <> '') AS toks FROM v{r}),
+             unnest(range(1, len(toks))) AS t(i)
+        GROUP BY pair
+    ),
+    best{r} AS (
+        SELECT pair FROM pc{r}
+        ORDER BY pair_count DESC, pair LIMIT 1
+    ),
+    v{r + 1} AS (
+        SELECT word, cnt,
+               replace(padded,
+                       ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS padded
+        FROM v{r} CROSS JOIN best{r} b
+    )""")
+    return f"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    v0 AS (
+        SELECT word, cnt,
+               rtrim(' ' || regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '
+                   AS padded
+        FROM wc
+    ),{",".join(rounds)},
+    vsym AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(padded, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_sym
+        FROM v{_BPE_ROUNDS}
+    ),
+    dw AS (
+        SELECT doc_id, word, count(*) AS n_occ FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n_occ) AS BIGINT) AS n_words,
+           CAST(sum(d.n_occ * v.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(d.n_occ * length(d.word)) AS BIGINT) AS n_chars,
+           floor(sum(d.n_occ * length(d.word)) * 1000000.0
+                 / sum(d.n_occ * v.n_sym) + 0.5) / 1000000.0
+               AS chars_per_bpe_token
+    FROM dw d JOIN vsym v USING (word)
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle_sql(),
+    doc="BPE tokenizer APPLICATION: re-derive the "
+    f"{_BPE_ROUNDS}-round merge chain of bpe_train_merges (carrying "
+    "the word key through the rounds), then score every document's "
+    "token count under the learned tokenizer — the train→encode pair "
+    "every pretraining pipeline runs, and the fertility stat "
+    "(chars per BPE token) that decides tokenizer quality. Scale "
+    "shape: the corpus is touched by exactly TWO map-side-combined "
+    "aggregations (the word count that feeds training, and the "
+    "per-(doc, word) occurrence count that feeds encoding — "
+    "pre-aggregating occurrences means the vocabulary join moves "
+    "distinct (doc, word) pairs, not tokens); every merge round runs "
+    "over the distinct-word vocabulary; and the fitted "
+    "symbols-per-word table joins back by a plain shuffle equi-join "
+    "on word (the vocabulary of a web corpus is NOT broadcastable — "
+    "same reasoning as the pruned-LM operators above, except here "
+    "every word must keep its exact symbol count, so the join "
+    "shuffles instead of pruning). Per-doc rollup is the only other "
+    "fact-sized shuffle. All-integer arithmetic except the final "
+    "fertility ratio (1e-6 floor-normalized).",
+    tags=("text", "pipeline", "iterative", "aggregation"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words_all = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word")
+    ).where(F.col("word") != "")
+    wc = words_all.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    padded0 = F.concat(
+        F.rtrim(
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1  "))
+        ),
+        F.lit(" "),
+    )
+    vocab = wc.select("word", "cnt", padded0.alias("padded"))
+    for _ in range(_BPE_ROUNDS):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.expr(
+                        "slice(filter(split(padded, ' ', -1), x -> x != ''),"
+                        " 1, size(filter(split(padded, ' ', -1), x -> x != '')) - 1)"
+                    ),
+                    F.expr(
+                        "slice(filter(split(padded, ' ', -1), x -> x != ''),"
+                        " 2, size(filter(split(padded, ' ', -1), x -> x != '')) - 1)"
+                    ),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select("pair")
+        )
+        pattern = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        repl = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+            F.lit(" "),
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "word",
+            "cnt",
+            F.replace(F.col("padded"), pattern, repl).alias("padded"),
+        )
+    vsym = vocab.select(
+        "word",
+        F.size(
+            F.filter(F.split("padded", " ", -1), lambda x: x != "")
+        ).cast("long").alias("n_sym"),
+    )
+    dw = words_all.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    return (
+        dw.join(vsym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).alias("n_bpe_tokens"),
+            F.sum(F.col("n_occ") * F.length("word")).alias("n_chars"),
+            (
+                F.floor(
+                    F.sum(F.col("n_occ") * F.length("word"))
+                    * F.lit(1000000.0)
+                    / F.sum(F.col("n_occ") * F.col("n_sym"))
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("chars_per_bpe_token"),
         )
     )

@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "pmi_collocations",  # single-row corpus total vs bigram frame
     "hybrid_search_rrf",  # embeds the bm25 arm (avgdl 1-row frame)
     "bpe_train_merges",  # 4x single-row argmax pair re-entering as broadcast
+    "bpe_encode_corpus",  # same 4x argmax chain + vocab join-back
     "quality_bigram_logppl",  # 1-row token/pair totals vs fitted models
     "dsir_importance_weights",  # 1-row corpus totals vs <=256-row buckets
     "mixture_temperature_resample",  # 1-row total/sumw/max frames vs histogram
@@ -120,6 +121,10 @@ _SHUFFLE_CAP_EXEMPT = {
     # vocabulary, never the corpus, so the count is high but each
     # exchange is small by construction (see the bpe docstring).
     "bpe_train_merges",
+    # Training chain above + the (doc, word)-pair aggregation, the
+    # vocabulary join-back, and the per-doc rollup; the added
+    # exchanges move distinct (doc, word) pairs and vocabulary rows.
+    "bpe_encode_corpus",
     # Two fitted models (bigram + unigram, both share-pruned) + the
     # per-doc rollup; 2 of the 8 exchanges are fact-sized and
     # map-side-combined, the rest move <=1000-row model frames.
