@@ -173,3 +173,193 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int").alias("cluster"),
         F.array_min(qarr).alias("qdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression: the trained quality-classifier filter
+# ---------------------------------------------------------------------------
+
+_LR_ROUNDS = 5
+_LR_ETA = 8.0  # exact power of two: the update multiply is IEEE-exact
+
+# feature builders (dual Spark/SQL, quantized at 1e-6 so both engines
+# score identical doubles): f1 = English-marker token fraction,
+# f2 = chars-per-token / 10 (scaled into the same unit range)
+_LR_MARKERS = ("the", "a", "of", "and")
+
+
+def _lr_feats_sql() -> str:
+    mk = ", ".join(f"'{m}'" for m in _LR_MARKERS)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN length(text) >= 300 THEN 1.0 ELSE 0.0 END AS y,
+               {_fq_sql(f"len(list_filter(ws, x -> x IN ({mk})))"
+                        " / greatest(len(ws), 1)")} AS f1,
+               {_fq_sql("(length(text) / greatest(len(ws), 1) - 5.5)"
+                        " / 2.0")} AS f2,
+               {_fq_sql("(length(text) - 300.0) / 250.0")} AS f3
+        FROM (
+            SELECT doc_id, lang, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        )
+    """
+
+
+def _lr_sig_sql(b: str, w1: str, w2: str, w3: str) -> str:
+    z = f"({b} + {w1} * f1 + {w2} * f2 + {w3} * f3)"
+    return _fq_sql(f"1.0 / (1.0 + exp(-{z}))")
+
+
+def _lr_grad_sql(
+    tag: str, b: str, w1: str, w2: str, w3: str, extra_from: str
+) -> str:
+    s = _lr_sig_sql(b, w1, w2, w3)
+    return f"""
+    g{tag} AS (
+        SELECT count(*) AS n,
+               sum(CAST(floor(({s} - y) * 1000000.0 + 0.5) AS BIGINT)) AS s0,
+               sum(CAST(floor(({s} - y) * f1 * 1000000.0 + 0.5) AS BIGINT))
+                   AS s1,
+               sum(CAST(floor(({s} - y) * f2 * 1000000.0 + 0.5) AS BIGINT))
+                   AS s2,
+               sum(CAST(floor(({s} - y) * f3 * 1000000.0 + 0.5) AS BIGINT))
+                   AS s3
+        FROM feats{extra_from}
+    )"""
+
+
+def _lr_step_sql(j: str) -> str:
+    return _fq_sql(
+        f"wb - {_LR_ETA} * ((CAST(s{j} AS DOUBLE) / 1000000.0) / n)"
+    ).replace("wb", f"w{j}")
+
+
+def _logreg_oracle() -> str:
+    parts = [f"WITH feats AS ({_lr_feats_sql()})"]
+    parts.append("," + _lr_grad_sql("0", "0.0", "0.0", "0.0", "0.0", ""))
+    parts.append(f""",
+    w1 AS (
+        SELECT {_lr_step_sql('0')} AS b,
+               {_lr_step_sql('1')} AS c1,
+               {_lr_step_sql('2')} AS c2,
+               {_lr_step_sql('3')} AS c3
+        FROM (SELECT n, s0, s1, s2, s3,
+                     0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3 FROM g0)
+    )""")
+    for r in range(1, _LR_ROUNDS):
+        parts.append(
+            "," + _lr_grad_sql(str(r), "w.b", "w.c1", "w.c2", "w.c3",
+                               f" CROSS JOIN w{r} w")
+        )
+        parts.append(f""",
+    w{r + 1} AS (
+        SELECT {_lr_step_sql('0')} AS b,
+               {_lr_step_sql('1')} AS c1,
+               {_lr_step_sql('2')} AS c2,
+               {_lr_step_sql('3')} AS c3
+        FROM (SELECT g.n, g.s0, g.s1, g.s2, g.s3,
+                     w.b AS w0, w.c1 AS w1, w.c2 AS w2, w.c3 AS w3
+              FROM g{r} g CROSS JOIN w{r} w)
+    )""")
+    sig = _lr_sig_sql("w.b", "w.c1", "w.c2", "w.c3")
+    parts.append(f"""
+    SELECT f.doc_id, f.y AS label, {sig} AS score,
+           {sig} >= 0.5 AS predicted_long
+    FROM feats f CROSS JOIN w{_LR_ROUNDS} w
+    """)
+    return "".join(parts)
+
+
+def _lr_feats_df(docs):
+    mk = F.array(*[F.lit(m) for m in _LR_MARKERS])
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    bound = docs.select("doc_id", "lang", "text", ws.alias("ws"))
+    nt = F.greatest(F.size("ws"), F.lit(1))
+    return bound.select(
+        "doc_id",
+        F.when(F.length("text") >= 300, 1.0).otherwise(0.0).alias("y"),
+        _fq_col(
+            F.size(F.filter(F.col("ws"), lambda x: F.array_contains(mk, x)))
+            / nt
+        ).alias("f1"),
+        _fq_col((F.length("text") / nt - F.lit(5.5)) / F.lit(2.0)).alias(
+            "f2"
+        ),
+        _fq_col((F.length("text") - F.lit(300.0)) / F.lit(250.0)).alias(
+            "f3"
+        ),
+    )
+
+
+def _fq_col(c):
+    return F.floor(c * _SCALE + F.lit(0.5)) / _SCALE
+
+
+def _lr_sig_col(b: float, w1: float, w2: float, w3: float):
+    z = (
+        F.lit(b)
+        + F.lit(w1) * F.col("f1")
+        + F.lit(w2) * F.col("f2")
+        + F.lit(w3) * F.col("f3")
+    )
+    return _fq_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+@register(
+    "logreg_quality_classifier",
+    oracle=_logreg_oracle(),
+    doc=f"Logistic-regression quality classifier trained IN-ENGINE "
+    f"({_LR_ROUNDS} full-batch gradient-descent rounds, eta="
+    f"{_LR_ETA:g}): the fastText-style learned document filter "
+    "(the fitted concept here is a known-separable length class, y = "
+    "n_chars >= 300, because this synthetic corpus's lang column is "
+    "independent of the text by construction — real quality labels "
+    "plug into the same y expression; features: English-marker-token "
+    "fraction, centered chars-per-token, centered scaled length), trained and applied "
+    "without leaving the engine. Execution topology is "
+    "k-means': each GD round is ONE map-side-combined aggregation "
+    "whose shuffle carries 3 integer gradient cells + a count (the "
+    "corpus never moves), the 3 learned weights re-enter the next "
+    "round as literal expressions, and the final scoring pass is "
+    "map-only codegen. Cross-engine determinism: features are "
+    "1e-6-quantized exact-IEEE ratios, per-row sigmoid is "
+    "floor-normalized at 1e-6 (the ln/exp recipe), gradient addends "
+    "are scaled to INTEGER micros so the gradient sums are exact "
+    "bigints in any reduction order — the strongest form of the fsum "
+    "precondition — and the weight update arithmetic repeats the "
+    "identical IEEE op sequence in the Spark driver and the unrolled "
+    "oracle CTEs. At 100 TB: swap full-batch rounds for mini-batch "
+    "sampling (hash-bucket, like domain_mixture_sample) — topology "
+    "unchanged.",
+    tags=("ml", "iterative", "text", "pipeline"),
+)
+def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = _lr_feats_df(docs)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        sig = _lr_sig_col(*w)
+        err = sig - F.col("y")
+        micros = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        )
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micros(err)).alias("s0"),
+            F.sum(micros(err * F.col("f1"))).alias("s1"),
+            F.sum(micros(err * F.col("f2"))).alias("s2"),
+            F.sum(micros(err * F.col("f3"))).alias("s3"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            _fq_py(w[j] - _LR_ETA * ((row[f"s{j}"] / 1000000.0) / n))
+            for j in range(4)
+        ]
+    sig = _lr_sig_col(*w)
+    return feats.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        sig.alias("score"),
+        (sig >= F.lit(0.5)).alias("predicted_long"),
+    )
