@@ -65,6 +65,36 @@ def _k_union(base, key_col: str, k: int):
     return out
 
 
+def build_scaled_embeddings(spark, k: int, out_dir: str) -> None:
+    """K-fold embeddings with vec_id offsets AND label offsets.
+
+    Offsetting the label per copy (label + i*1000) keeps the
+    within-block vector count CONSTANT as the corpus grows — exactly
+    SemDeDup's scale posture (cluster count grows proportionally so
+    cluster granularity caps the quadratic term). Probing with FIXED
+    labels would instead grow every block K-fold and show the known
+    O(block^2) wall, which is a property of the blocking choice, not
+    the plan."""
+    os.makedirs(out_dir, exist_ok=True)
+    base = load(spark, BASE_SF, "embeddings")
+    out = None
+    for i in range(k):
+        c = base.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET)
+        ).withColumn("label", F.col("label") + F.lit(i * 1000))
+        out = c if out is None else out.union(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for t in SMALL_TABLES + FACT_TABLES + ("documents",):
+        if t == "embeddings":
+            continue
+        shutil.copy(
+            os.path.join(BASE_SF, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+
+
 def build_scaled(spark, k: int, out_dir: str, docs_only: bool = False) -> None:
     """K-fold union with key offsets: lineitem and orders scale
     together (referential integrity preserved, so the fact-fact join
@@ -111,6 +141,12 @@ def main() -> None:
         action="store_true",
         help="scale only the documents table (text-operator probes)",
     )
+    ap.add_argument(
+        "--embeddings-only",
+        action="store_true",
+        help="scale only the embeddings table, offsetting labels per "
+        "copy (vector-operator probes; see build_scaled_embeddings)",
+    )
     args = ap.parse_args()
 
     probes = args.queries.split(",") if args.queries else DEFAULT_PROBES
@@ -133,7 +169,10 @@ def main() -> None:
     try:
         for k in scales:
             sf_dir = os.path.join(root, f"x{k}")
-            build_scaled(spark, k, sf_dir, docs_only=args.docs_only)
+            if args.embeddings_only:
+                build_scaled_embeddings(spark, k, sf_dir)
+            else:
+                build_scaled(spark, k, sf_dir, docs_only=args.docs_only)
             for name in probes:
                 fn = registry[name].fn
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
