@@ -1199,27 +1199,40 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", is_t.alias("is_t"), ws.alias("ws")
     ).where(F.size("ws") >= 2)
-    hexpos = lambda bg, i: (
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(bg), i, 1)) - 1
+    hexpos = lambda h, i: (
+        F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
     )
-    feats = toks.select(
-        "doc_id",
-        "is_t",
-        F.explode(
-            F.zip_with(
-                F.expr("slice(ws, 1, size(ws) - 1)"),
-                F.expr("slice(ws, 2, size(ws) - 1)"),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bg"),
-    ).select(
-        "doc_id",
-        "is_t",
-        (hexpos(F.col("bg"), 1) * 16 + hexpos(F.col("bg"), 2)).alias("bucket"),
+    # bind md5 once per bigram; deriving both hex digits from an
+    # inline md5(bg) would hash every bigram twice (no CSE across
+    # projection expressions)
+    feats = (
+        toks.select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(ws, 1, size(ws) - 1)"),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "is_t", F.md5("bg").alias("h"))
+        .select(
+            "doc_id",
+            "is_t",
+            (hexpos(F.col("h"), 1) * 16 + hexpos(F.col("h"), 2)).alias(
+                "bucket"
+            ),
+        )
     )
     counts = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_all"), F.sum("is_t").alias("c_t")
     )
+    # counts feeds BOTH totals and ratio: without this checkpoint the
+    # corpus-sized histogram aggregation evaluates twice (the <=256-row
+    # materialization costs nothing and halves the corpus passes)
+    counts = counts.localCheckpoint()
     totals = counts.agg(
         F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
     )
