@@ -823,6 +823,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("h"),
         F.size(F.split("chunk_text", " ", -1)).alias("nt"),
     )
+    # chunks feeds BOTH the frequency aggregation and the join below:
+    # without this checkpoint the whole per-row chunking fold runs
+    # twice (the jaccard precedent — the checkpointed frame is hashes
+    # + two ints per ~16-token chunk, a fraction of corpus size)
+    chunks = chunks.localCheckpoint()
     freq = chunks.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
