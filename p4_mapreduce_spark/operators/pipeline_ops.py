@@ -653,3 +653,76 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus card: the per-cell summary every dataset release ships
+# ---------------------------------------------------------------------------
+
+_REPORT_SHORT_TOKENS = 10
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, text, md5(text) AS gh,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    freq AS (SELECT gh, count(*) AS copies FROM d GROUP BY gh)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN f.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN d.n_tokens < {_REPORT_SHORT_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+           CAST(count(DISTINCT f.gh) AS BIGINT) AS n_distinct_texts
+    FROM d JOIN freq f USING (gh)
+    GROUP BY lang, source
+    """,
+    doc="Corpus card: the per-(lang, source) release summary — doc / "
+    "token / char counts, exact-duplicate membership (docs whose "
+    "md5(text) appears >= 2 times corpus-WIDE, so a cell's dup count "
+    "reflects global duplication, not just intra-cell), short-doc "
+    f"count (< {_REPORT_SHORT_TOKENS} tokens), and distinct-text "
+    "count per cell. Scale shape: one map-side-combined hash-frequency "
+    "aggregation, the aggregated one-row-per-hash frame joins back on "
+    "the hash key (a boilerplate text duplicated across millions of "
+    "docs costs one counter), and one partial-aggregated rollup to "
+    "~|lang| x |source| cells. This is the materialized-view shape "
+    "you would refresh per ingest batch at 100 TB.",
+    tags=("pipeline", "aggregation", "dedup"),
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    d = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("gh"),
+        F.length("text").alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+    )
+    freq = d.groupBy("gh").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        d.join(freq, "gh")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(
+                F.when(F.col("copies") >= 2, 1).otherwise(0)
+            ).alias("n_exact_dup_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") < _REPORT_SHORT_TOKENS, 1).otherwise(
+                    0
+                )
+            ).alias("n_short_docs"),
+            F.countDistinct("gh").alias("n_distinct_texts"),
+        )
+    )

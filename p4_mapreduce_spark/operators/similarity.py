@@ -596,3 +596,75 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sim_lower",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: contrastive training pairs from the corpus
+# ---------------------------------------------------------------------------
+
+_MINE_K = 3
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id IN ({_query_ids_sql()})
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               CASE WHEN e.label = q.qlabel THEN 'pos'
+                    ELSE 'hard_neg' END AS role,
+               {cosine_sql('qe', 'e.embedding')} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, role, cosine_sim, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id, role
+                   ORDER BY cosine_sim DESC, cand_id) AS rk
+        FROM scored
+    ) WHERE rk <= {_MINE_K}
+    """,
+    doc=f"Hard-negative mining for contrastive training: for each of "
+    f"the {len(QUERY_IDS)} anchor vectors, the top-{_MINE_K} "
+    "same-label candidates (positives) and the top-"
+    f"{_MINE_K} highest-cosine DIFFERENT-label candidates (hard "
+    "negatives — the near-misses that make contrastive losses learn, "
+    "per DPR/SimCSE practice). One broadcast of the anchor frame "
+    "(k x 64 doubles) against the corpus scan, role assignment is a "
+    "stateless CASE, and the double top-k is one window over "
+    "(anchor, role) — per-partition heaps, no global sort. At 100 TB "
+    "the corpus side stays a single bandwidth-bound scan; raise "
+    "anchors by batching them through the same broadcast. Cosines "
+    "are the left-fold dual recipe (identical IEEE sequence both "
+    "engines).",
+    tags=("similarity", "vector", "pipeline"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.vec_id != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.when(F.col("label") == F.col("qlabel"), "pos")
+            .otherwise("hard_neg")
+            .alias("role"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("cosine_sim").desc(), "cand_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _MINE_K)
+        .select("query_id", "cand_id", "role", "cosine_sim", "rk")
+    )

@@ -93,6 +93,7 @@ _BNLJ_ALLOWED = {
     "cte_chain",
     "text_tfidf_top_terms",
     "ann_bruteforce_topk",
+    "hard_negative_mining",  # 5 broadcast anchors x corpus, non-equi
     "range_join_band",
     "q11_important_values",  # single-row total joined to per-part aggregate
     "q15_top_supplier",  # single-row max-revenue frame joined to revenues
