@@ -823,11 +823,13 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("h"),
         F.size(F.split("chunk_text", " ", -1)).alias("nt"),
     )
-    # chunks feeds BOTH the frequency aggregation and the join below:
-    # without this checkpoint the whole per-row chunking fold runs
-    # twice (the jaccard precedent — the checkpointed frame is hashes
-    # + two ints per ~16-token chunk, a fraction of corpus size)
-    chunks = chunks.localCheckpoint()
+    # chunks feeds BOTH the frequency aggregation and the join below,
+    # so the chunking fold evaluates twice. That is the RIGHT call:
+    # an r4 probe showed a localCheckpoint here wins ~20% at sf0.1 but
+    # LOSES 4x at the sf1-equivalent corpus (materializing the
+    # corpus-sized chunk frame costs more than re-running a map-only
+    # codegen fold that parallelizes perfectly) — recompute beats
+    # materialize for map-only stages at scale.
     freq = chunks.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
