@@ -156,3 +156,22 @@ def test_semdedup_min_of_group_kept(spark, sf_dir):
         .collect()
     )
     assert all(r.kept for r in mins)
+
+
+def test_prefix_filter_equals_collapse_plan(spark, synth_docs_dir):
+    """Two independent physical strategies, one semantics: the
+    PPJoin-style prefix-filtered plan must emit exactly the same pair
+    set as the collapse-verify-expand plan on the planted corpus."""
+    collapse = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, synth_docs_dir)
+        .collect()
+    }
+    prefix = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in REGISTRY["dedup_jaccard_prefix"]
+        .fn(spark, synth_docs_dir)
+        .collect()
+    }
+    assert collapse == prefix
