@@ -517,3 +517,50 @@ def test_stream_static_enrichment_join_equals_batch(spark, sf_dir):
     want = sorted(map(tuple, ev.join(cust, "user_id").collect()))
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_corpus_report_incremental(spark, sf_dir, tmp_path):
+    """Incremental materialized-view maintenance: streaming the corpus
+    in 4 micro-batches and deriving the report from the compact state
+    equals the batch corpus_report exactly — including the
+    corpus-WIDE duplicate counts, recovered from per-hash cell sums
+    without ever re-reading the raw documents."""
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        corpus_report_from_state,
+        streaming_corpus_report_incremental,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_corpus_report_incremental(spark, docs_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    # at least 2 micro-batches actually ran (maxFilesPerTrigger=1)
+    batch_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(state).select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 2, batch_ids
+
+    key = lambda r: (r["lang"], r["source"])
+    val = lambda r: (
+        r["n_docs"],
+        r["n_tokens"],
+        r["n_chars"],
+        r["n_exact_dup_docs"],
+        r["n_short_docs"],
+        r["n_distinct_texts"],
+    )
+    got = {key(r): val(r) for r in corpus_report_from_state(spark, state).collect()}
+    want = {
+        key(r): val(r)
+        for r in load_all()["corpus_report"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
