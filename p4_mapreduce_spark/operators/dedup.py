@@ -1,6 +1,6 @@
 """Deduplication operators for LLM-data pipelines.
 
-Five dedup families over ``documents`` (plus embedding near-dup over
+The dedup families over ``documents`` (plus embedding near-dup over
 ``embeddings``), each a north-star requirement (BASELINE.json):
 
 1. **exact** — content hash, keep min doc_id per hash. One shuffle on
@@ -11,10 +11,15 @@ Five dedup families over ``documents`` (plus embedding near-dup over
    number of true near-dups, not quadratic in corpus size.
 3. **SimHash** — 16-bit sign-of-weighted-sum fingerprint; near-dups
    collide on the exact fingerprint (equi-join, no pair explosion).
-4. **n-gram Jaccard** — exact pairwise verification via shared-shingle
-   join; quadratic in the worst case, so production uses it only as
-   the LSH verify step (here also standalone for the oracle).
-5. **embedding cosine** — see operators.similarity.
+4. **n-gram Jaccard, two exact strategies** — collapse-verify-expand
+   (exact-dup texts collapse before the quadratic verify; r4) and
+   PPJoin-style prefix filtering (rarity-ordered prefixes generate
+   candidates losslessly; r4). Both share the unfiltered all-pairs
+   oracle.
+5. **embedding cosine / SemDeDup** — see operators.similarity.
+6. **span-level exact + content-defined chunking (CDC)** — tumbling
+   span hashes and FastCDC-style anchored chunks (r4); per-doc
+   duplicated-mass scores via aggregated hash-frequency frames.
 
 Everything is built-in expressions: shingles via array lambdas (no
 explode until the band join), md5 as the hash family (stable across
