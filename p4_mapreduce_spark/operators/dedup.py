@@ -892,73 +892,113 @@ _JACCARD_ORACLE = f"""
     "losslessness proof executed. Compared to dedup_ngram_jaccard "
     "(exact-collapse) and dedup_minhash_lsh (probabilistic bands), "
     "this is the third candidate-generation strategy: deterministic, "
-    "exact, and pruning by rarity — only ~20% of each document's "
+    "exact, and pruning by rarity — only ~20% of each text's "
     "shingles (its rarest ones) enter the join, and rare shingles by "
     "construction have short postings, so the candidate set stays "
-    "near-linear on natural corpora. Scale shape: one df aggregation "
-    "(map-side combined), one rarity-rank window per doc, the pruned "
-    "candidate equi-join, then a verify join that rebuilds n_common "
-    "only for candidate pairs. Compose with the exact-duplicate "
-    "collapse of dedup_ngram_jaccard when the corpus carries exact "
-    "copies.",
+    "near-linear on natural corpora. The exact-duplicate collapse of "
+    "dedup_ngram_jaccard is built in (prefixes of identical texts "
+    "always collide, so an uncollapsed C-copy corpus pays the full "
+    "O(C^2) candidate expansion — probe-measured 112s at x8 before "
+    "the composition): candidate generation runs over DISTINCT "
+    "texts, qualifying pairs expand back output-bound. Scale shape: "
+    "one df aggregation (map-side combined), one rarity-rank window "
+    "per distinct text, the pruned candidate equi-join, a verify "
+    "join that rebuilds n_common only for candidate pairs, then the "
+    "member expansion.",
     tags=("dedup", "text"),
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
-    sh = toks.select(
-        "doc_id", _shingles_from_tokens(F.col("toks")).alias("shingles")
+    # collapse exact-duplicate texts first (same step as
+    # dedup_ngram_jaccard): prefixes of identical texts always
+    # collide, so without the collapse a C-copy corpus pays the full
+    # O(C^2) candidate expansion — the r4 probe measured 112s at x8
+    # for the uncollapsed form vs flat for this one
+    groups = docs.groupBy(F.md5("text").alias("gh")).agg(
+        F.min("text").alias("rtext")
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    # ex feeds the df aggregation, the prefix ranking, and the verify
-    # join; its size is corpus-shingle-proportional, so per the
-    # recompute-beats-materialize rule it is NOT checkpointed — each
-    # consumer re-runs the map-only shingle pipeline
+    gtoks = groups.select("gh", F.split("rtext", " ", -1).alias("toks"))
+    sh = gtoks.select(
+        "gh", _shingles_from_tokens(F.col("toks")).alias("shingles")
+    )
+    ex = sh.select("gh", F.explode("shingles").alias("shingle"))
+    # distinct-text-sized (bounded under duplicate growth) -> the
+    # checkpoint rule allows materializing it once for its 4 consumers
+    ex = ex.localCheckpoint()
+    # global rarity order: document frequency over distinct texts,
+    # shingle string as tie-break (any consistent total order
+    # satisfies the prefix-filtering theorem; rarity makes prefixes
+    # collide as little as possible)
     dfq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = ex.join(dfq, "shingle").select(
-        "doc_id",
+        "gh",
         "shingle",
         F.row_number()
         .over(
-            Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+            Window.partitionBy("gh").orderBy(F.col("df"), F.col("shingle"))
         )
         .alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("doc_id"))
-        .alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy("gh")).alias("n"),
     )
     prefix = ranked.where(
         F.col("rn")
         <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    ).select("gh", "shingle")
     cands = (
-        prefix.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        prefix.select(F.col("gh").alias("gh_a"), "shingle")
         .join(
-            prefix.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            prefix.select(F.col("gh").alias("gh_b"), "shingle"),
             "shingle",
         )
-        .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+        .where(F.col("gh_a") < F.col("gh_b"))
+        .select("gh_a", "gh_b")
         .distinct()
     )
-    # verify: n_common over the FULL shingle sets, candidates only
-    full_a = ex.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    full_b = ex.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    # verify candidates against the FULL shingle sets
+    full_a = ex.select(F.col("gh").alias("gh_a"), "shingle")
+    full_b = ex.select(F.col("gh").alias("gh_b"), "shingle")
     common = (
-        cands.join(full_a, "doc_id_a")
-        .join(full_b, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
+        cands.join(full_a, "gh_a")
+        .join(full_b, ["gh_b", "shingle"])
+        .groupBy("gh_a", "gh_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("n_a"))
-    y = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("n_b"))
+    sizes = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    x = sizes.select(F.col("gh").alias("gh_a"), F.col("n").alias("n_a"))
+    y = sizes.select(F.col("gh").alias("gh_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") / F.greatest(
         F.col("n_a") + F.col("n_b") - F.col("n_common"), F.lit(1)
     )
-    return (
-        common.join(x, "doc_id_a")
-        .join(y, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+    rj = (
+        common.join(x, "gh_a")
+        .join(y, "gh_b")
+        .select("gh_a", "gh_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    # expand back to doc pairs, output-bound (same step as
+    # dedup_ngram_jaccard)
+    members = docs.select(F.md5("text").alias("gh"), "doc_id")
+    inter = (
+        rj.join(
+            members.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("da")),
+            "gh_a",
+        )
+        .join(
+            members.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("db")),
+            "gh_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    m1 = members.select("gh", F.col("doc_id").alias("doc_id_a"))
+    m2 = members.select("gh", F.col("doc_id").alias("doc_id_b"))
+    intra = (
+        m1.join(m2, "gh")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .join(sizes.select("gh"), "gh", "left_semi")
+        .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return inter.unionByName(intra)
