@@ -126,6 +126,11 @@ _SHUFFLE_CAP_EXEMPT = {
     # vocabulary join-back, and the per-doc rollup; the added
     # exchanges move distinct (doc, word) pairs and vocabulary rows.
     "bpe_encode_corpus",
+    # Collapse + df aggregation + rarity-rank window + candidate join
+    # + verify join + member expansion: 7 exchanges, every one moving
+    # either a distinct-text-sized frame (bounded under duplicate
+    # growth — the collapse is the point) or output-bound pair rows.
+    "dedup_jaccard_prefix",
     # Two fitted models (bigram + unigram, both share-pruned) + the
     # per-doc rollup; 2 of the 8 exchanges are fact-sized and
     # map-side-combined, the rest move <=1000-row model frames.
