@@ -131,6 +131,11 @@ _SHUFFLE_CAP_EXEMPT = {
     # either a distinct-text-sized frame (bounded under duplicate
     # growth — the collapse is the point) or output-bound pair rows.
     "dedup_jaccard_prefix",
+    # Collapse + persisted distinct-text signature table + band melt
+    # join + verify + member expansion: every exchange moves a
+    # distinct-text-sized frame (bounded under duplicate growth) or
+    # output-bound pair rows; probe-flat through the x60 corpus.
+    "dedup_minhash_lsh",
     # Two fitted models (bigram + unigram, both share-pruned) + the
     # per-doc rollup; 2 of the 8 exchanges are fact-sized and
     # map-side-combined, the rest move <=1000-row model frames.
