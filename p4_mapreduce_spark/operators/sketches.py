@@ -101,8 +101,15 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
-    n_tok = toks.count()
-    threshold = n_tok // (MG_CAPACITY + 1) + 1
+    # Threshold as a lazy 1-row frame crossJoin-broadcast into the final
+    # filter (the pmi_collocations pattern) — no eager .count() action in
+    # the query builder, and the exact-verify pass is the only second
+    # corpus scan (sketch + verify, not count + sketch + verify).
+    threshold = toks.agg(
+        (F.floor(F.count(F.lit(1)) / F.lit(MG_CAPACITY + 1)) + 1).alias(
+            "threshold"
+        )
+    )
     candidates = (
         misra_gries_candidates(toks, "word", MG_CAPACITY)
         .select(F.col("item").alias("word"))
@@ -112,5 +119,7 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(candidates), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= threshold)
+        .crossJoin(F.broadcast(threshold))
+        .where(F.col("n") >= F.col("threshold"))
+        .select("word", "n")
     )

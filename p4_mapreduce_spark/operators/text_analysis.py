@@ -456,10 +456,16 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(fix(F.sum(term_score), 4).alias("score"))
     )
+    # Top-k BEFORE the rank window: orderBy().limit(20) plans
+    # TakeOrderedAndProject (per-partition heaps, driver merge of 20-row
+    # summaries) so the corpus-sized scored frame never funnels through
+    # an Exchange SinglePartition; the row_number window then runs over
+    # the <= 20 survivors only. Same pattern as dedup_embedding_cosine
+    # (similarity.py) and plan-pinned like global_sort_topk.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "score", F.col("rk").cast("int").alias("rk"))
     )
 

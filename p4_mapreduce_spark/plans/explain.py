@@ -48,6 +48,45 @@ def assert_partial_aggregate(df: DataFrame) -> str:
     return plan
 
 
+def single_partition_funnels(plan: str) -> list[str]:
+    """Return the parent node of every ``Exchange SinglePartition`` whose
+    parent is a Sort or Window — the global top-k/rank funnel that moves
+    an unbounded frame through one task.
+
+    A 1-row final aggregate legitimately plans
+    ``HashAggregate <- Exchange SinglePartition <- HashAggregate(partial)``
+    (the exchange moves one partial row per map task); those parents are
+    aggregates, not Sort/Window, and are not reported. A global
+    ``Window``/``Sort`` over a corpus-derived frame funnels EVERY row
+    through a single task — the one shape whole-stage codegen can't save
+    — and is exactly what this reports, so the plan audit can ban it
+    registry-wide (with an allowlist for provably-reduced frames).
+    """
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(i - 1, -1, -1):
+            pj = lines[j]
+            if not pj.strip():
+                continue
+            if depth(pj) < d:
+                parent = pj.strip().lstrip(":+- ").lstrip("*(0123456789) ")
+                if parent.startswith(("Sort", "Window")):
+                    hits.append(parent.split("[")[0].strip() or parent)
+                break
+    return hits
+
+
 def assert_no_cartesian(df: DataFrame) -> str:
     plan = plan_string(df)
     assert "CartesianProduct" not in plan, f"unexpected cartesian product:\n{plan}"

@@ -14,6 +14,7 @@ from p4_mapreduce_spark.plans.explain import (
     assert_partial_aggregate,
     assert_pushed_filters,
     plan_string,
+    single_partition_funnels,
 )
 from p4_mapreduce_spark.registry import load_all
 
@@ -110,6 +111,7 @@ _BNLJ_ALLOWED = {
     "quality_bigram_logppl",  # 1-row token/pair totals vs fitted models
     "dsir_importance_weights",  # 1-row corpus totals vs <=256-row buckets
     "mixture_temperature_resample",  # 1-row total/sumw/max frames vs histogram
+    "heavy_hitters_words",  # 1-row lazy threshold frame vs candidate counts
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -146,10 +148,26 @@ _SHUFFLE_CAP_EXEMPT = {
 }
 
 
+# Queries whose plan legitimately feeds a global Sort/Window through an
+# Exchange SinglePartition — allowed ONLY when the funneled frame is
+# provably reduced (an aggregate over a bounded key space, a top-k
+# survivor set, a per-partition summary union), never corpus-sized.
+# This is the class the r4 BM25 funnel slipped through: a global
+# row_number window over one-row-per-matching-document moved the whole
+# scored corpus into one task. Every entry documents its bound.
+_SINGLE_PARTITION_WINDOW_ALLOWED = {
+    "mom_revenue_growth",  # lag window over <=84 (year, month) agg rows
+    "mr_partition_replay",  # replays the reference's single-merge stage
+    "hybrid_search_rrf",  # fusion rank over two <=20-row top-k lists
+    "mixture_temperature_resample",  # window over <=256 x n_langs histogram
+}
+
+
 def test_all_plans_healthy(spark, sf_dir):
     """Whole-registry plan audit: no cartesian products, no
     row-at-a-time Python UDFs, no unexpected nested-loop joins, no
-    runaway shuffle counts — the 'is this still Spark-shaped' gate."""
+    runaway shuffle counts, no global Sort/Window funneled through an
+    Exchange SinglePartition — the 'is this still Spark-shaped' gate."""
     from p4_mapreduce_spark.registry import load_all
 
     problems = []
@@ -166,7 +184,41 @@ def test_all_plans_healthy(spark, sf_dir):
         )
         if shuffles > 6 and name not in _SHUFFLE_CAP_EXEMPT:
             problems.append((name, f"{shuffles} shuffles"))
+        funnels = single_partition_funnels(plan)
+        if funnels and name not in _SINGLE_PARTITION_WINDOW_ALLOWED:
+            problems.append(
+                (name, f"single-partition funnel into {funnels}")
+            )
     assert not problems, problems
+
+
+def test_funnel_detector_catches_global_window(spark, sf_dir):
+    """The detector must flag the exact pre-r5 BM25 shape — a global
+    row_number window with no partition spec over a fact-derived frame
+    — and must NOT flag a 1-row final aggregate's SinglePartition
+    exchange (that one moves one partial row per task)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    bad = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("q").desc()))
+        )
+        .where(F.col("rk") <= 20)
+    )
+    assert single_partition_funnels(plan_string(bad, mode="simple")), (
+        "global-window funnel not detected"
+    )
+
+    ok = li.agg(F.sum("l_quantity").alias("total"))
+    assert not single_partition_funnels(plan_string(ok, mode="simple")), (
+        "1-row final aggregate wrongly flagged"
+    )
 
 
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
