@@ -184,7 +184,8 @@ _LR_ETA = 8.0  # exact power of two: the update multiply is IEEE-exact
 
 # feature builders (dual Spark/SQL, quantized at 1e-6 so both engines
 # score identical doubles): f1 = English-marker token fraction,
-# f2 = chars-per-token / 10 (scaled into the same unit range)
+# f2 = centered chars-per-token ((cpt - 5.5) / 2),
+# f3 = centered scaled length ((chars - 300) / 250)
 _LR_MARKERS = ("the", "a", "of", "and")
 
 

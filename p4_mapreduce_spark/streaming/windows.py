@@ -497,9 +497,23 @@ def streaming_corpus_report_incremental(
 def corpus_report_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Derive the full corpus card from the incremental state table —
     no access to the raw corpus. Matches operators.pipeline_ops.
-    corpus_report column-for-column."""
+    corpus_report column-for-column.
+
+    Replay-safe: foreachBatch re-runs an interrupted batch under the
+    SAME batch_id after a crash between the parquet append and the
+    checkpoint commit, so the state table may hold a batch's cells
+    twice. The file-source batch content is deterministic per batch_id,
+    so replayed rows are identical per (batch_id, gh, lang, source) —
+    the reader collapses them with first() before summing across
+    batches, making the derived report idempotent under replay."""
     state = spark.read.parquet(state_dir)
-    cell = state.groupBy("gh", "lang", "source").agg(
+    once = state.groupBy("batch_id", "gh", "lang", "source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_chars").alias("n_chars"),
+        F.first("n_short_docs").alias("n_short_docs"),
+    )
+    cell = once.groupBy("gh", "lang", "source").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.sum("n_chars").alias("n_chars"),

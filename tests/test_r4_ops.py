@@ -94,19 +94,45 @@ def test_cdc_chunking_edges(spark, synth_docs_dir):
         assert r.n_tokens >= r.dup_tokens >= 0
 
 
-def test_cdc_edit_robustness(spark, synth_docs_dir):
-    """The content-defined property: docs 1 and 4 differ in ONE
-    trailing token, so at least the chunks before the edit point dedup
-    across the two groups — under tumbling spans a LEADING edit would
-    shift everything, under CDC only the edited chunk differs."""
-    rows = {
-        r.doc_id: r
-        for r in REGISTRY["cdc_chunk_dedup"].fn(spark, synth_docs_dir).collect()
+def test_cdc_edit_robustness(spark, tmp_path):
+    """The content-defined property proper: two documents that differ
+    by ONE trailing token — and are exact copies of NOTHING else, so
+    whole-doc dedup finds no pair — still dedup the chunk upstream of
+    the edit (CDC boundaries re-synchronize at the content anchor),
+    while the chunk containing the edit stays unique."""
+    import hashlib
+
+    def is_anchor(w):
+        return hashlib.md5(w.encode()).hexdigest().startswith("0")
+
+    anchor = next(w for w in (f"w{i:03d}" for i in range(4096)) if is_anchor(w))
+    plain = [
+        w for w in (f"p{i:03d}" for i in range(4096)) if not is_anchor(w)
+    ][:13]
+    prefix = " ".join(plain[:8])  # chunk 1: shared, ends at the anchor
+    tail = " ".join(plain[8:11])  # chunk 2 body: anchor + tail + last token
+    rows = [
+        (1, f"{prefix} {anchor} {tail} {plain[11]}", "en", "s", 0),
+        (2, f"{prefix} {anchor} {tail} {plain[12]}", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "editdocs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    res = {
+        r.doc_id: r for r in REGISTRY["cdc_chunk_dedup"].fn(spark, out).collect()
     }
-    # doc 4's copies ARE duplicated (4==5), so dup_tokens == n_tokens;
-    # the cross-group sharing shows up as doc 6 staying at zero while
-    # the near-dup family is fully duplicated
-    assert rows[4].dup_tokens == rows[4].n_tokens
+    for d in (1, 2):
+        assert res[d].n_chunks == 2, res[d]
+        assert res[d].n_tokens == 13, res[d]
+        # the 8-token prefix chunk dedups across the pair...
+        assert res[d].dup_tokens == 8, res[d]
+        # ...while the edited chunk stays unique (dup < total): the
+        # property a tumbling-span chunker cannot deliver for an edit
+        # that changes the span contents
+        assert 0 < res[d].dup_tokens < res[d].n_tokens
 
 
 def test_logreg_learns_separable_concept(spark, sf_dir):

@@ -525,6 +525,8 @@ def test_streaming_corpus_report_incremental(spark, sf_dir, tmp_path):
     equals the batch corpus_report exactly — including the
     corpus-WIDE duplicate counts, recovered from per-hash cell sums
     without ever re-reading the raw documents."""
+    import pyspark.sql.functions as F
+
     from p4_mapreduce_spark.registry import load_all
     from p4_mapreduce_spark.sources.tables import load
     from p4_mapreduce_spark.streaming.windows import (
@@ -564,3 +566,18 @@ def test_streaming_corpus_report_incremental(spark, sf_dir, tmp_path):
         for r in load_all()["corpus_report"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+    # Crash-replay idempotency: foreachBatch re-runs an interrupted
+    # batch under the SAME batch_id if the crash lands between the
+    # parquet append and the checkpoint commit. Simulate it by
+    # appending one batch's rows a second time — the derived report
+    # must not double-count.
+    replay_id = min(batch_ids)
+    st = spark.read.parquet(state)
+    st.where(F.col("batch_id") == replay_id).write.mode("append").parquet(
+        state
+    )
+    replayed = {
+        key(r): val(r) for r in corpus_report_from_state(spark, state).collect()
+    }
+    assert replayed == want
