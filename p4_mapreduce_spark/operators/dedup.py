@@ -216,26 +216,14 @@ WHERE len(list_intersect(x.shingles, y.shingles))
 _MINHASH_ORACLE = f"WITH {_MINHASH_CTES} {_MINHASH_PAIRS_SELECT}"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_MINHASH_ORACLE,
-    doc=f"MinHash-LSH near-dup: {MINHASH_PERMS} md5 permutations, "
-    f"{MINHASH_BANDS} bands x {ROWS_PER_BAND} rows, bucket join on band "
-    f"signature, candidates verified with true Jaccard >= {JACCARD_THRESHOLD}. "
-    "Minhashes are computed per-row with array lambdas (no explode); "
-    "the candidate shuffle is the equi-join on (band, signature). "
-    "r4: the exact-duplicate collapse runs FIRST (identical texts "
-    "have identical band signatures, so every copy of a duplicated "
-    "text collides in every band — an uncollapsed C-copy corpus pays "
-    "O(C^2) band-join candidates per text, the same cliff the sf1 "
-    "probe caught in the jaccard verify): signatures, band join, and "
-    "verification run over DISTINCT texts, and qualifying pairs "
-    "expand back to doc ids output-bound. Same result set, same "
-    "oracle.",
-    headline=True,
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide DISTINCT-TEXT MinHash signature table:
+    one row per distinct text (gh = md5(text)) with its shingle set
+    and the {MINHASH_BANDS} band signatures, persisted through the
+    bounded module cache. Shared by the full self-join dedup
+    (dedup_minhash_lsh) and the incremental batch-vs-corpus variant
+    (dedup_minhash_incremental) — the latter is exactly the "existing
+    corpus signature table" a steady-state pipeline keeps warm."""
     docs = load(spark, sf_dir, "documents")
     # 1. collapse exact-duplicate texts: every downstream stage runs
     #    over DISTINCT texts (copies of one text share all band
@@ -282,7 +270,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded module cache (max one entry, evicted on session or
     # sf_dir change) so repeated invocations reuse it without leaking
     # one cached copy per call.
-    sigs = _persist_sigs_bounded(spark, sf_dir, sigs)
+    return _persist_sigs_bounded(spark, sf_dir, sigs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc=f"MinHash-LSH near-dup: {MINHASH_PERMS} md5 permutations, "
+    f"{MINHASH_BANDS} bands x {ROWS_PER_BAND} rows, bucket join on band "
+    f"signature, candidates verified with true Jaccard >= {JACCARD_THRESHOLD}. "
+    "Minhashes are computed per-row with array lambdas (no explode); "
+    "the candidate shuffle is the equi-join on (band, signature). "
+    "r4: the exact-duplicate collapse runs FIRST (identical texts "
+    "have identical band signatures, so every copy of a duplicated "
+    "text collides in every band — an uncollapsed C-copy corpus pays "
+    "O(C^2) band-join candidates per text, the same cliff the sf1 "
+    "probe caught in the jaccard verify): signatures, band join, and "
+    "verification run over DISTINCT texts, and qualifying pairs "
+    "expand back to doc ids output-bound. Same result set, same "
+    "oracle.",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = _minhash_sig_table(spark, sf_dir)
     # melt bands to long form: one equi-join on (band_id, signature)
     # instead of one join per band
     bands_long = sigs.select(
@@ -581,6 +593,124 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
         .select("doc_id", "fp", "n_batch_copies")
+    )
+
+
+# Steady-state incremental NEAR-dedup: the daily operator of a 100 TB
+# pipeline. dedup_incremental_batch's anti-join posture composed with
+# MinHash-LSH — the incoming batch's signatures band-join against the
+# EXISTING corpus signature table only (never batch-vs-batch or
+# corpus-vs-corpus), so the daily cost is proportional to the batch.
+_MINHASH_INCR_CAND = " UNION ".join(
+    f"SELECT a.doc_id AS doc_id_new, b.doc_id AS doc_id_existing "
+    f"FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} "
+    f"WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0"
+    for b in range(MINHASH_BANDS)
+)
+
+_MINHASH_INCR_ORACLE = f"""
+WITH {_MINHASH_CTES},
+cand_incr AS ({_MINHASH_INCR_CAND})
+SELECT c.doc_id_new, c.doc_id_existing,
+       len(list_intersect(x.shingles, y.shingles))
+           / greatest(len(list_distinct(x.shingles || y.shingles)), 1)
+           AS jaccard
+FROM cand_incr c
+JOIN sigs x ON x.doc_id = c.doc_id_new
+JOIN sigs y ON y.doc_id = c.doc_id_existing
+WHERE len(list_intersect(x.shingles, y.shingles))
+      / greatest(len(list_distinct(x.shingles || y.shingles)), 1)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_MINHASH_INCR_ORACLE,
+    doc="Steady-state incremental NEAR-dedup: the incoming batch "
+    "(doc_id % 3 = 0 here) is near-dup-checked against the already-"
+    "ingested corpus via MinHash-LSH — batch signatures band-join "
+    "against the EXISTING corpus signature table, and only cross-"
+    "batch candidates are Jaccard-verified. This is the operator a "
+    "100 TB pipeline actually runs daily: the quadratic self-join "
+    "runs once at bootstrap, after which each day's cost is "
+    "batch-signatures + one band equi-join against the warm "
+    "signature table + output-bound verification. Composes the r4 "
+    "collapse rule: signatures/band-join/verify run over DISTINCT "
+    "texts (a text's side flags record whether it has batch and/or "
+    "corpus members), and qualifying rep-level pairs expand to "
+    "(new doc, existing doc) pairs output-bound; same-text cross-"
+    "batch pairs ride the side flags at Jaccard 1.0 with no pairwise "
+    "work at all. The oracle replays the uncollapsed doc-level band "
+    "join — parity proves the collapse is exact.",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = _minhash_sig_table(spark, sf_dir)
+    members = docs.select(F.md5("text").alias("gh"), "doc_id")
+    is_new = F.col("doc_id") % 3 == 0
+    # one row per distinct text: does it have batch members, corpus members?
+    sides = members.groupBy("gh").agg(
+        F.max(is_new.cast("int")).alias("has_new"),
+        F.max((~is_new).cast("int")).alias("has_ex"),
+    )
+    sided = sigs.join(sides, "gh")
+    bands_long = sided.select(
+        "gh",
+        "has_new",
+        "has_ex",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "sig"),
+    )
+    left = bands_long.where(F.col("has_new") == 1).select(
+        F.col("gh").alias("gh_n"), "band_id", "sig"
+    )
+    right = bands_long.where(F.col("has_ex") == 1).select(
+        F.col("gh").alias("gh_e"), "band_id", "sig"
+    )
+    cand = (
+        left.join(right, ["band_id", "sig"])
+        .where(F.col("gh_n") != F.col("gh_e"))
+        .select("gh_n", "gh_e")
+        .distinct()
+    )
+    x = sigs.select(F.col("gh").alias("gh_n"), F.col("shingles").alias("sh_n"))
+    y = sigs.select(F.col("gh").alias("gh_e"), F.col("shingles").alias("sh_e"))
+    inter = F.size(F.array_intersect("sh_n", "sh_e"))
+    union = F.size(F.array_distinct(F.concat("sh_n", "sh_e")))
+    jaccard = inter / F.greatest(union, F.lit(1))
+    cross = (
+        cand.join(x, "gh_n")
+        .join(y, "gh_e")
+        .select("gh_n", "gh_e", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    # same text on both sides of the batch boundary: exact cross-dups
+    # at Jaccard 1.0, no pairwise work (the collapse rule's free win);
+    # the semi-join keeps only texts that HAVE shingles, matching the
+    # oracle's len(shingles) > 0 gate
+    same = (
+        sides.where((F.col("has_new") == 1) & (F.col("has_ex") == 1))
+        .join(sigs.select("gh"), "gh", "left_semi")
+        .select(
+            F.col("gh").alias("gh_n"),
+            F.col("gh").alias("gh_e"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_pairs = cross.unionByName(same)
+    mn = members.where(is_new).select(
+        F.col("gh").alias("gh_n"), F.col("doc_id").alias("doc_id_new")
+    )
+    me = members.where(~is_new).select(
+        F.col("gh").alias("gh_e"), F.col("doc_id").alias("doc_id_existing")
+    )
+    return (
+        rep_pairs.join(mn, "gh_n")
+        .join(me, "gh_e")
+        .select("doc_id_new", "doc_id_existing", "jaccard")
     )
 
 

@@ -59,13 +59,15 @@ def _dist_sql(vec: str, cen: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte_body() -> str:
+    """The unrolled-CTE fit chain (``e``, ``c0``, ``a0``..``c{_ITERS}``)
+    WITHOUT the leading WITH — shared by the standalone kmeans oracle
+    and composed pipelines (similarity.semdedup_pipeline)."""
     mean_cols = ", ".join(
         _fq_sql(f"sum(e.v[{i}]) / count(*)") for i in range(1, _DIMS + 1)
     )
     parts = [
-        f"""
-    WITH e AS (
+        f"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c0 AS (
@@ -92,16 +94,40 @@ def _kmeans_oracle() -> str:
             GROUP BY a.cid
         ) m ON c.cid = m.cid
     )""")
+    return "".join(parts)
+
+
+def kmeans_assign_ctes() -> str:
+    """``_kmeans_cte_body()`` plus a ``kassign(vec_id, cluster)`` CTE
+    holding the final fitted-centroid assignment — embed as
+    ``WITH {kmeans_assign_ctes()}, ...`` in composed oracles."""
+    qd = _fq_sql(_dist_sql("e.v", "c.v"))
+    # MATERIALIZED: a composed oracle references kassign (and frames
+    # built on it) several times; without materialization DuckDB
+    # re-inlines the whole unrolled fit chain per reference and the
+    # planner's expression tree blows up (observed OOM on 500 rows).
+    return f"""{_kmeans_cte_body()},
+    kassign AS MATERIALIZED (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn
+            FROM e, c{_ITERS} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_oracle() -> str:
     qd_final = _fq_sql(_dist_sql("e.v", "c.v"))
-    parts.append(f"""
+    return f"""
+    WITH {_kmeans_cte_body()}
     SELECT vec_id, cid AS cluster, qd AS qdist FROM (
         SELECT e.vec_id, c.cid, {qd_final} AS qd,
                row_number() OVER (
                    PARTITION BY e.vec_id ORDER BY {qd_final}, c.cid) AS rn
         FROM e, c{_ITERS} c
     ) WHERE rn = 1
-    """)
-    return "".join(parts)
+    """
 
 
 def _dist_col(centroid: list[float]):
@@ -133,6 +159,22 @@ def _dist_col(centroid: list[float]):
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = fit_kmeans_centroids(emb)
+    qds = [
+        F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE for c in centroids
+    ]
+    qarr = F.array(*qds)
+    return emb.select(
+        "vec_id",
+        (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int").alias("cluster"),
+        F.array_min(qarr).alias("qdist"),
+    )
+
+
+def fit_kmeans_centroids(emb: DataFrame) -> list[list[float]]:
+    """Run the Lloyd's fit loop and return the fitted k x 64 centroid
+    literals — the "literal topology" every composed pipeline bakes
+    into its assignment expression (shared with semdedup_pipeline)."""
     init = emb.orderBy("vec_id").limit(_K).collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
 
@@ -163,16 +205,18 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             else centroids[j]
             for j in range(_K)
         ]
+    return centroids
 
+
+def kmeans_assign_col(centroids: list[list[float]]) -> F.Column:
+    """Fitted-centroid cluster assignment as a pure column expression
+    (quantized-distance argmin, tie-break on centroid id) — the Spark
+    twin of the ``kassign`` CTE from :func:`kmeans_assign_ctes`."""
     qds = [
         F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE for c in centroids
     ]
     qarr = F.array(*qds)
-    return emb.select(
-        "vec_id",
-        (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int").alias("cluster"),
-        F.array_min(qarr).alias("qdist"),
-    )
+    return (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int")
 
 
 # ---------------------------------------------------------------------------

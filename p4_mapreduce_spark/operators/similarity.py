@@ -85,9 +85,7 @@ def _qdot_sql(a: str, b: str) -> str:
     return f"floor(({dot_sql(a, b)}) * 1000000.0 + 0.5) / 1000000.0"
 
 
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
+_BF_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                WHERE vec_id IN ({_query_ids_sql()})),
     scored AS (
@@ -103,7 +101,12 @@ def _qdot_sql(a: str, b: str) -> str:
                                      ORDER BY cosine_sim DESC, neighbor_id) AS rk
         FROM scored
     ) WHERE rk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=_BF_ORACLE,
     doc=f"Brute-force cosine top-{TOP_K} for {len(QUERY_IDS)} query vectors "
     "— the exact-answer baseline every ANN tier is measured against. "
     "r3: the scan runs on the zero-copy Arrow batch path (mapInArrow): "
@@ -190,9 +193,7 @@ def _bucket_col(col: F.Column) -> F.Column:
     return acc
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
+_LSH_ORACLE = f"""
     WITH b AS (
         SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
         FROM embeddings
@@ -209,7 +210,12 @@ def _bucket_col(col: F.Column) -> F.Column:
                                      ORDER BY cosine_sim DESC, neighbor_id) AS rk
         FROM scored
     ) WHERE rk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=_LSH_ORACLE,
     doc="LSH-bucketed ANN: 8 seeded random hyperplanes → 8-bit sign "
     "sketch → candidates share the bucket (equi-join; scans ~1/256 of "
     "the corpus per query instead of all of it). Approximate by design; "
@@ -244,9 +250,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_probe",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS probe
                FROM embeddings WHERE vec_id IN ({_query_ids_sql()})),
     scored AS (
@@ -259,7 +263,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY cosine_sim DESC, neighbor_id) AS rk
         FROM scored
     ) WHERE rk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=_IVF_ORACLE,
     doc="IVF-style probe: the label column is the coarse centroid "
     "assignment; search only the query's cluster. At scale the table "
     "is partitioned by cluster id and this equi-join prunes partitions.",
@@ -418,28 +427,29 @@ _PQ_K = 16
 _PQ_SUBDIM = EMBEDDING_DIM // _PQ_M
 
 
-def _pq_dist_sql(q: int) -> str:
+def _pq_dist_sql(q: int, vec: str = "e.embedding", cen: str = "c.cvec") -> str:
     """Left-associative squared L2 over subspace ``q`` (matches the
-    Spark fold term-for-term)."""
+    Spark fold and the driver-side LUT build term-for-term)."""
     terms = " + ".join(
-        f"((CAST(e.embedding[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
-        f" - CAST(c.cvec[{q * _PQ_SUBDIM + j}] AS DOUBLE))"
-        f" * (CAST(e.embedding[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
-        f" - CAST(c.cvec[{q * _PQ_SUBDIM + j}] AS DOUBLE)))"
+        f"((CAST({vec}[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
+        f" - CAST({cen}[{q * _PQ_SUBDIM + j}] AS DOUBLE))"
+        f" * (CAST({vec}[{q * _PQ_SUBDIM + j}] AS DOUBLE)"
+        f" - CAST({cen}[{q * _PQ_SUBDIM + j}] AS DOUBLE)))"
         for j in range(1, _PQ_SUBDIM + 1)
     )
     return f"(0.0 + {terms})"
 
 
-def _pq_oracle_sql() -> str:
+def _pq_best_ctes() -> str:
+    """CTE chain ``cent``/``d``/``best`` (no leading WITH): per-
+    (vector, subspace) nearest codebook entry — shared by the encode
+    oracle and the ADC search oracle."""
     per_q = "\nUNION ALL\n".join(
         f"SELECT e.vec_id, {q} AS q, c.cid, {_pq_dist_sql(q)} AS dist "
         f"FROM embeddings e CROSS JOIN cent c"
         for q in range(_PQ_M)
     )
-    weight = " ".join(f"WHEN {q} THEN {16 ** q}" for q in range(_PQ_M))
-    return f"""
-    WITH cent AS (
+    return f"""cent AS (
         SELECT vec_id AS cid, embedding AS cvec FROM embeddings
         WHERE vec_id < {_PQ_K}
     ),
@@ -452,7 +462,13 @@ def _pq_oracle_sql() -> str:
                                          ORDER BY dist, cid) AS rn
             FROM d
         ) WHERE rn = 1
-    )
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    weight = " ".join(f"WHEN {q} THEN {16 ** q}" for q in range(_PQ_M))
+    return f"""
+    WITH {_pq_best_ctes()}
     SELECT vec_id,
            CAST(sum(cid * (CASE q {weight} END)) AS BIGINT) AS pq_code,
            floor(sum(qdist) * 1000000.0 + 0.5) / 1000000.0 AS recon_err
@@ -484,15 +500,38 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p4_mapreduce_spark.functions.deterministic import fix
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = {
+    cents = _pq_codebook(emb)
+    bests = _pq_best_structs(as_double("embedding"), cents)
+    pq_code = F.lit(0).cast("long")
+    recon = F.lit(0.0)
+    for q in range(_PQ_M):
+        pq_code = (
+            pq_code + bests[q]["code"].cast("long") * F.lit(16**q).cast("long")
+        )
+        recon = recon + fix(bests[q]["dist"], 6)
+    return emb.select(
+        "vec_id",
+        pq_code.alias("pq_code"),
+        fix(recon, 6).alias("recon_err"),
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> dict[int, list[float]]:
+    """Collect the {_PQ_K}-entry codebook once (k-means-literal
+    topology; {_PQ_K} x {EMBEDDING_DIM} doubles on the driver)."""
+    return {
         int(r["vec_id"]): [float(v) for v in r["embedding"]]
         for r in emb.where(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")
         .collect()
     }
-    x = as_double("embedding")
-    pq_code = F.lit(0).cast("long")
-    recon = F.lit(0.0)
+
+
+def _pq_best_structs(x: F.Column, cents: dict[int, list[float]]) -> list:
+    """Per-subspace argmin struct columns ``[(dist, code)] * _PQ_M``
+    over the literal codebook — a map-only codegen fold, shared by the
+    encode (pq_codes) and ADC search (pq_adc_topk) paths."""
+    bests = []
     for q in range(_PQ_M):
         off = q * _PQ_SUBDIM
         cands = []
@@ -502,20 +541,18 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = F.element_at(x, off + j) - F.lit(cents[c][off + j - 1])
                 d = d + t * t
             cands.append(F.struct(d.alias("dist"), F.lit(c).alias("code")))
-        best = F.aggregate(
-            F.array(*cands),
-            F.struct(
-                F.lit(float("inf")).alias("dist"), F.lit(-1).alias("code")
-            ),
-            lambda acc, s: F.when(s["dist"] < acc["dist"], s).otherwise(acc),
+        bests.append(
+            F.aggregate(
+                F.array(*cands),
+                F.struct(
+                    F.lit(float("inf")).alias("dist"), F.lit(-1).alias("code")
+                ),
+                lambda acc, s: F.when(s["dist"] < acc["dist"], s).otherwise(
+                    acc
+                ),
+            )
         )
-        pq_code = pq_code + best["code"].cast("long") * F.lit(16**q).cast("long")
-        recon = recon + fix(best["dist"], 6)
-    return emb.select(
-        "vec_id",
-        pq_code.alias("pq_code"),
-        fix(recon, 6).alias("recon_err"),
-    )
+    return bests
 
 
 # ---------------------------------------------------------------------------
@@ -667,4 +704,355 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _MINE_K)
         .select("query_id", "cand_id", "role", "cosine_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search: the serving half of the PQ index (pq_codes is the encode)
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle_sql() -> str:
+    per_q_lut = "\nUNION ALL\n".join(
+        f"SELECT qv.query_id, {q} AS q, c.cid, "
+        f"{_pq_dist_sql(q, 'qv.qe', 'c.cvec')} AS dist "
+        f"FROM qv CROSS JOIN cent c"
+        for q in range(_PQ_M)
+    )
+    return f"""
+    WITH {_pq_best_ctes()},
+    qv AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id IN ({_query_ids_sql()})
+    ),
+    lutd AS ({per_q_lut}),
+    lut AS (
+        SELECT query_id, q, cid,
+               CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dm
+        FROM lutd
+    ),
+    adc AS (
+        SELECT l.query_id, b.vec_id,
+               CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+        FROM best b JOIN lut l ON l.q = b.q AND l.cid = b.cid
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_micro, vec_id) AS rk
+        FROM adc WHERE vec_id <> query_id
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_adc_oracle_sql(),
+    doc=f"PQ asymmetric-distance (ADC) top-{TOP_K}: the serving half "
+    "of the PQ/IVFADC index (pq_codes is the encode half). Per query, "
+    f"an {_PQ_M} x {_PQ_K} lookup table of subspace distances is "
+    "built ON THE DRIVER from the collected codebook and the query "
+    "vector (the literal-topology rule: 8 x 16 integers per query, "
+    "not data), and every row's approximate distance is the sum of "
+    f"{_PQ_M} LUT lookups indexed by its per-subspace code — a pure "
+    "map-only codegen pass over the corpus, no join, no explode, the "
+    "reason PQ search is bandwidth-bound rather than FLOP-bound at "
+    "100 TB. Distances live as bigint micros (1e-6-quantized on both "
+    "engines BEFORE the 8-term sum), so the fold is exact in any "
+    "order and the oracle (windowed argmin codes joined to an "
+    "exploded LUT) hashes bit-identically. Top-k is a per-query "
+    "window heap over the 5-queries-per-row explode.",
+    tags=("similarity", "vector", "quantization"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _pq_codebook(emb)
+    q_ids, Q = _query_vectors(spark, sf_dir, emb)
+
+    # Driver-built LUT: lut[qi][q][c] = 1e-6-quantized micro-int of the
+    # left-assoc squared L2 between query qi's subvector q and codebook
+    # entry c — the identical IEEE sequence as _pq_dist_sql, so both
+    # engines index the same integers.
+    lut: list[list[list[int]]] = []
+    for qi in range(len(q_ids)):
+        per_sub = []
+        for q in range(_PQ_M):
+            off = q * _PQ_SUBDIM
+            row = []
+            for c in range(_PQ_K):
+                d = 0.0
+                for j in range(_PQ_SUBDIM):
+                    t = float(Q[qi][off + j]) - cents[c][off + j]
+                    d = d + t * t
+                row.append(int(math.floor(d * 1e6 + 0.5)))
+            per_sub.append(row)
+        lut.append(per_sub)
+
+    bests = _pq_best_structs(as_double("embedding"), cents)
+    coded = emb.select(
+        "vec_id", *[bests[q]["code"].alias(f"c{q}") for q in range(_PQ_M)]
+    )
+    arms = []
+    for qi, qid in enumerate(q_ids):
+        dist = F.lit(0).cast("long")
+        for q in range(_PQ_M):
+            lut_arr = F.array(
+                *[F.lit(lut[qi][q][c]).cast("long") for c in range(_PQ_K)]
+            )
+            dist = dist + F.element_at(lut_arr, F.col(f"c{q}") + 1)
+        arms.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                dist.alias("adc_dist_micro"),
+            )
+        )
+    pairs = (
+        coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
+        .select("vec_id", "s.query_id", "s.adc_dist_micro")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist_micro",
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall verdict: measure the approximate tiers against the exact arm
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH exact AS ({_BF_ORACLE}),
+lshq AS ({_LSH_ORACLE}),
+ivfq AS ({_IVF_ORACLE}),
+eb AS (
+    SELECT vec_id, label, {_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+n AS (SELECT count(*) AS n_corpus FROM embeddings),
+qv AS (SELECT vec_id AS query_id, bucket, label FROM eb
+       WHERE vec_id IN ({_query_ids_sql()})),
+cand AS (
+    SELECT 'lsh' AS method, q.query_id, count(*) AS n_candidates
+    FROM qv q JOIN eb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    GROUP BY q.query_id
+    UNION ALL
+    SELECT 'ivf' AS method, q.query_id, count(*) AS n_candidates
+    FROM qv q JOIN eb e ON e.label = q.label AND e.vec_id <> q.query_id
+    GROUP BY q.query_id
+),
+approx AS (
+    SELECT 'lsh' AS method, query_id, neighbor_id FROM lshq
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, neighbor_id FROM ivfq
+),
+hits AS (
+    SELECT a.method, a.query_id, count(*) AS n_hits
+    FROM approx a JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.method, a.query_id
+),
+base AS (
+    SELECT query_id, m.method FROM qv
+    CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+)
+SELECT b.query_id, b.method,
+       CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+       coalesce(h.n_hits, 0) / {float(TOP_K)} AS recall_at_10,
+       coalesce(h.n_hits, 0) / {float(TOP_K)}
+           > coalesce(c.n_candidates, 0) / (n.n_corpus - 1.0) AS beats_random
+FROM base b
+CROSS JOIN n
+LEFT JOIN cand c ON c.method = b.method AND c.query_id = b.query_id
+LEFT JOIN hits h ON h.method = b.method AND h.query_id = b.query_id
+"""
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=_RECALL_ORACLE,
+    doc=f"ANN approximation-quality verdict: recall@{TOP_K} of the two "
+    "approximate tiers (ann_lsh_bucketed, ann_ivf_probe) against the "
+    "exact brute-force arm, per query — the number a 100 TB ANN "
+    "deployment is actually tuned by, which the plan-shape tests "
+    "alone never measure. Each row also carries the candidate-set "
+    "size (the efficiency denominator: LSH scans ~1/256 of the "
+    "corpus, IVF one cluster) and a beats_random verdict boolean — "
+    "an approximate tier is only earning its keep if recall exceeds "
+    "the fraction of the corpus it scanned (random sampling of the "
+    "same budget would match that fraction in expectation). The "
+    "oracle replays the identical bucketing, probe, and brute-force "
+    "arms, so hits/candidates are exact integers and the booleans "
+    "hash bit-identically. Composite pipeline: both arms plus the "
+    "exact arm run in one plan; each arm is individually audited.",
+    tags=("similarity", "vector", "quality"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        ann_lsh_bucketed(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            ann_ivf_probe(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    eb = emb.select(
+        "vec_id", "label", _bucket_col(F.col("embedding")).alias("bucket")
+    )
+    qv = eb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("qbucket"),
+        F.col("label").alias("qlabel"),
+    )
+    lsh_cand = (
+        F.broadcast(qv)
+        .join(eb, eb.bucket == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .select(F.lit("lsh").alias("method"), "query_id", "n_candidates")
+    )
+    ivf_cand = (
+        F.broadcast(qv)
+        .join(eb, eb.label == F.col("qlabel"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .select(F.lit("ivf").alias("method"), "query_id", "n_candidates")
+    )
+    cand = lsh_cand.unionByName(ivf_cand)
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    base = qv.select(
+        "query_id",
+        F.explode(F.array(F.lit("lsh"), F.lit("ivf"))).alias("method"),
+    )
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K))
+    frac = F.coalesce(F.col("n_candidates"), F.lit(0)) / (
+        F.col("n_corpus") - F.lit(1.0)
+    )
+    return (
+        base.join(cand, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "query_id",
+            "method",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            recall.alias("recall_at_10"),
+            (recall > frac).alias("beats_random"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means -> SemDeDup: the composed end-to-end semantic dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_pipeline_oracle() -> str:
+    from p4_mapreduce_spark.operators.ml_cluster import kmeans_assign_ctes
+
+    return f"""
+    WITH {kmeans_assign_ctes()},
+    em AS MATERIALIZED (
+        SELECT emb.vec_id, emb.embedding, a.cluster
+        FROM embeddings emb JOIN kassign a USING (vec_id)
+    ),
+    dup AS (
+        SELECT a.vec_id,
+               count(*) AS n_dup_lower,
+               max({cosine_sql('a.embedding', 'b.embedding')}) AS max_sim_lower
+        FROM em a JOIN em b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, e.cluster,
+           d.vec_id IS NULL AS kept,
+           coalesce(d.n_dup_lower, 0) AS n_dup_lower,
+           d.max_sim_lower
+    FROM em e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    """
+
+
+@register(
+    "semdedup_pipeline",
+    oracle=_semdedup_pipeline_oracle(),
+    doc="k-means -> SemDeDup end-to-end: fit Lloyd's k-means "
+    "(kmeans_embedding_clusters' exact fit — literal centroids, "
+    "quantized-distance argmin) and prune within the FITTED clusters "
+    "— executing the claim in semdedup_prune's docstring that k-means "
+    "is the scale path that produces the blocking key. The final "
+    "query is ONE Catalyst plan: cluster assignment is a map-only "
+    "codegen expression over the fitted literals (no join), the "
+    "pairwise cosine is blocked by the fitted cluster key "
+    "(size-bounded equi-join shuffle), and the verdict/left-join "
+    "shape matches semdedup_prune. The oracle replays the fit as the "
+    "unrolled-CTE chain (the kmeans oracle recipe) and composes the "
+    "identical prune SQL over the kassign CTE.",
+    tags=("dedup", "similarity", "vector", "ml", "pipeline"),
+)
+def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        fit_kmeans_centroids,
+        kmeans_assign_col,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = fit_kmeans_centroids(emb.select("vec_id", "embedding"))
+    asg = emb.select(
+        "vec_id", "embedding", kmeans_assign_col(centroids).alias("cluster")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("va"),
+        F.col("cluster").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cluster").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
+        .where(sim >= F.lit(_SEMDEDUP_TAU))
+        .groupBy("va")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_lower"),
+            F.max(sim).alias("max_sim_lower"),
+        )
+    )
+    return (
+        asg.join(dup, asg.vec_id == dup.va, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("va").isNull().alias("kept"),
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
+            "max_sim_lower",
+        )
     )

@@ -1,0 +1,190 @@
+"""Behavioral tests for the r5 operators: incremental MinHash dedup,
+PQ ADC search, ANN recall verdict, and the composed k-means→SemDeDup
+pipeline. Oracle parity runs in test_oracle_parity; these pin the
+operator SEMANTICS on planted inputs and cross-query invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from p4_mapreduce_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def incr_docs_dir(spark, tmp_path_factory):
+    """Near-dup structure across the doc_id % 3 batch boundary:
+
+    - 1, 2 (existing) and 3 (incoming) identical -> exact cross pairs
+    - 4, 5 (existing) near-dup of the group (one token of 12 changed,
+      jaccard 9/11 >= 0.8) -> near cross pairs for incoming doc 3
+    - 6 (incoming) unrelated -> no pairs
+    - 7 (existing) empty, 8 (existing) single token -> no shingles
+    """
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    rows = [
+        (1, base, "en", "src0", len(base)),
+        (2, base, "en", "src0", len(base)),
+        (3, base, "en", "src0", len(base)),
+        (4, near, "en", "src0", len(near)),
+        (5, near, "es", "src2", len(near)),
+        (6, "completely different words here that share nothing at all",
+         "en", "src0", 57),
+        (7, "", "fr", "src3", 0),
+        (8, "solo", "en", "src0", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path_factory.mktemp("incrdocs"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_minhash_incremental_cross_batch_only(spark, incr_docs_dir):
+    """Every emitted pair crosses the batch boundary (new % 3 == 0,
+    existing % 3 != 0), exact cross-copies land at jaccard 1.0, near
+    dups at the rep-level jaccard, unrelated docs at nothing."""
+    out = {
+        (r.doc_id_new, r.doc_id_existing): r.jaccard
+        for r in REGISTRY["dedup_minhash_incremental"]
+        .fn(spark, incr_docs_dir)
+        .collect()
+    }
+    for (dn, de) in out:
+        assert dn % 3 == 0 and de % 3 != 0, (dn, de)
+    # doc 3 == docs 1, 2 exactly; near-dups 4, 5 at 9/11
+    assert out[(3, 1)] == 1.0 and out[(3, 2)] == 1.0
+    assert abs(out[(3, 4)] - 9.0 / 11.0) < 1e-12
+    assert abs(out[(3, 5)] - 9.0 / 11.0) < 1e-12
+    # incoming doc 6 shares nothing; 7/8 have no shingles
+    assert set(out) == {(3, 1), (3, 2), (3, 4), (3, 5)}, out
+
+
+def test_minhash_incremental_subset_of_full(spark, sf_dir):
+    """The incremental result is exactly the cross-batch slice of the
+    full self-join dedup — running the daily operator loses nothing
+    the bootstrap pass would have found across the boundary. Compared
+    as unordered pairs (the full dedup orients by id, the incremental
+    by batch side)."""
+    full_cross = {
+        frozenset((r.doc_id_a, r.doc_id_b))
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        if (r.doc_id_a % 3 == 0) != (r.doc_id_b % 3 == 0)
+    }
+    incr = {
+        frozenset((r.doc_id_new, r.doc_id_existing))
+        for r in REGISTRY["dedup_minhash_incremental"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert incr == full_cross
+
+
+def test_pq_adc_matches_reconstructed_bruteforce(spark, sf_dir):
+    """ADC distances are the true distances between each vector's PQ
+    RECONSTRUCTION and the query (up to 1e-6 micro-quantization per
+    subspace): recompute them from pq_codes + the codebook in Python
+    and pin the emitted top-k ordering."""
+    import math
+
+    from p4_mapreduce_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+        QUERY_IDS,
+        TOP_K,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in emb.where(F.col("vec_id") < _PQ_K).collect()
+    }
+    qvecs = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(*QUERY_IDS)).collect()
+    }
+    codes = {
+        r.vec_id: r.pq_code
+        for r in REGISTRY["pq_codes"].fn(spark, sf_dir).collect()
+    }
+
+    def adc(qid: int, code: int) -> int:
+        total = 0
+        for q in range(_PQ_M):
+            c = (code // (16**q)) % 16
+            d = 0.0
+            off = q * _PQ_SUBDIM
+            for j in range(_PQ_SUBDIM):
+                t = qvecs[qid][off + j] - cents[c][off + j]
+                d = d + t * t
+            total += int(math.floor(d * 1e6 + 0.5))
+        return total
+
+    rows = REGISTRY["pq_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(QUERY_IDS) * TOP_K
+    for r in rows:
+        assert r.adc_dist_micro == adc(r.query_id, codes[r.neighbor_id]), r
+    # per-query ranks are 1..k and distances non-decreasing in rank
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r.adc_dist_micro for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_ann_recall_counts_consistent(spark, sf_dir):
+    """The recall table's n_hits must equal the actual overlap between
+    each approximate arm's top-k and the exact top-k, and recall is
+    n_hits / k."""
+    from p4_mapreduce_spark.operators.similarity import QUERY_IDS, TOP_K
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    arms = {
+        "lsh": REGISTRY["ann_lsh_bucketed"],
+        "ivf": REGISTRY["ann_ivf_probe"],
+    }
+    want = {}
+    for m, spec in arms.items():
+        for r in spec.fn(spark, sf_dir).collect():
+            if (r.query_id, r.neighbor_id) in exact:
+                want[(m, r.query_id)] = want.get((m, r.query_id), 0) + 1
+    rows = REGISTRY["ann_lsh_recall"].fn(spark, sf_dir).collect()
+    assert len(rows) == 2 * len(QUERY_IDS)
+    for r in rows:
+        assert r.n_hits == want.get((r.method, r.query_id), 0), r
+        assert abs(r.recall_at_10 - r.n_hits / TOP_K) < 1e-15
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.n_candidates >= r.n_hits
+
+
+def test_semdedup_pipeline_uses_fitted_clusters(spark, sf_dir):
+    """The composed pipeline's cluster column IS the k-means fit
+    (matches kmeans_embedding_clusters row-for-row), and within every
+    fitted cluster the minimum vec_id is always kept."""
+    km = {
+        r.vec_id: r.cluster
+        for r in REGISTRY["kmeans_embedding_clusters"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["semdedup_pipeline"].fn(spark, sf_dir).collect()
+    assert {r.vec_id: r.cluster for r in rows} == km
+    min_per_cluster = {}
+    for r in rows:
+        if r.cluster not in min_per_cluster or r.vec_id < min_per_cluster[r.cluster]:
+            min_per_cluster[r.cluster] = r.vec_id
+    by_id = {r.vec_id: r for r in rows}
+    for c, v in min_per_cluster.items():
+        assert by_id[v].kept, (c, v)
+        assert by_id[v].n_dup_lower == 0
