@@ -712,17 +712,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_adc_oracle_sql() -> str:
+def _pq_lut_ctes() -> str:
+    """CTE chain ``qv``/``lutd``/``lut`` (no leading WITH): per-query
+    ADC lookup tables as bigint micros — shared by the flat ADC oracle
+    and the IVF-pruned one."""
     per_q_lut = "\nUNION ALL\n".join(
         f"SELECT qv.query_id, {q} AS q, c.cid, "
         f"{_pq_dist_sql(q, 'qv.qe', 'c.cvec')} AS dist "
         f"FROM qv CROSS JOIN cent c"
         for q in range(_PQ_M)
     )
-    return f"""
-    WITH {_pq_best_ctes()},
-    qv AS (
-        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    return f"""qv AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS probe
+        FROM embeddings
         WHERE vec_id IN ({_query_ids_sql()})
     ),
     lutd AS ({per_q_lut}),
@@ -730,7 +732,13 @@ def _pq_adc_oracle_sql() -> str:
         SELECT query_id, q, cid,
                CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dm
         FROM lutd
-    ),
+    )"""
+
+
+def _pq_adc_oracle_sql() -> str:
+    return f"""
+    WITH {_pq_best_ctes()},
+    {_pq_lut_ctes()},
     adc AS (
         SELECT l.query_id, b.vec_id,
                CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
@@ -745,6 +753,30 @@ def _pq_adc_oracle_sql() -> str:
         FROM adc WHERE vec_id <> query_id
     ) WHERE rk <= {TOP_K}
     """
+
+
+def _pq_query_luts(q_ids, Q, cents) -> list[list[list[int]]]:
+    """Driver-built ADC LUTs: lut[qi][q][c] = 1e-6-quantized micro-int
+    of the left-assoc squared L2 between query qi's subvector q and
+    codebook entry c — the identical IEEE sequence as _pq_dist_sql, so
+    both engines index the same integers."""
+    import math
+
+    lut: list[list[list[int]]] = []
+    for qi in range(len(q_ids)):
+        per_sub = []
+        for q in range(_PQ_M):
+            off = q * _PQ_SUBDIM
+            row = []
+            for c in range(_PQ_K):
+                d = 0.0
+                for j in range(_PQ_SUBDIM):
+                    t = float(Q[qi][off + j]) - cents[c][off + j]
+                    d = d + t * t
+                row.append(int(math.floor(d * 1e6 + 0.5)))
+            per_sub.append(row)
+        lut.append(per_sub)
+    return lut
 
 
 @register(
@@ -767,30 +799,10 @@ def _pq_adc_oracle_sql() -> str:
     tags=("similarity", "vector", "quantization"),
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _pq_codebook(emb)
     q_ids, Q = _query_vectors(spark, sf_dir, emb)
-
-    # Driver-built LUT: lut[qi][q][c] = 1e-6-quantized micro-int of the
-    # left-assoc squared L2 between query qi's subvector q and codebook
-    # entry c — the identical IEEE sequence as _pq_dist_sql, so both
-    # engines index the same integers.
-    lut: list[list[list[int]]] = []
-    for qi in range(len(q_ids)):
-        per_sub = []
-        for q in range(_PQ_M):
-            off = q * _PQ_SUBDIM
-            row = []
-            for c in range(_PQ_K):
-                d = 0.0
-                for j in range(_PQ_SUBDIM):
-                    t = float(Q[qi][off + j]) - cents[c][off + j]
-                    d = d + t * t
-                row.append(int(math.floor(d * 1e6 + 0.5)))
-            per_sub.append(row)
-        lut.append(per_sub)
+    lut = _pq_query_luts(q_ids, Q, cents)
 
     bests = _pq_best_structs(as_double("embedding"), cents)
     coded = emb.select(
@@ -814,6 +826,104 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
         .select("vec_id", "s.query_id", "s.adc_dist_micro")
         .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist_micro",
+            "rk",
+        )
+    )
+
+
+@register(
+    "ivfadc_search",
+    oracle=f"""
+    WITH {_pq_best_ctes()},
+    {_pq_lut_ctes()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    adc AS (
+        SELECT l.query_id, b.vec_id,
+               CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+        FROM best b
+        JOIN lab ON lab.vec_id = b.vec_id
+        JOIN qv q2 ON lab.label = q2.probe
+        JOIN lut l ON l.query_id = q2.query_id
+                  AND l.q = b.q AND l.cid = b.cid
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_micro, vec_id) AS rk
+        FROM adc WHERE vec_id <> query_id
+    ) WHERE rk <= {TOP_K}
+    """,
+    doc=f"IVFADC search (Jegou et al. 2011) — the canonical billion-"
+    "scale ANN architecture, composed from this module's own halves: "
+    "the IVF coarse probe prunes the scan to the query's cluster "
+    "(label; at scale the table is partitioned by cluster id, so "
+    "this is file-group pruning at the source), and within the "
+    "cluster every row is scored by PQ asymmetric distance — "
+    f"{_PQ_M} bigint-micro LUT lookups per row against a driver-"
+    "built per-query table, never the raw floats. The probe filter "
+    "is pushed below the code computation, so only probed-cluster "
+    "rows pay for encoding; everything after the pruned scan is the "
+    "map-only ADC pass plus one per-query window heap. Oracle: the "
+    "shared best/lut CTEs with the cluster probe join.",
+    tags=("similarity", "vector", "quantization"),
+)
+def ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = _pq_codebook(emb)
+    q_ids, Q = _query_vectors(spark, sf_dir, emb)
+    lut = _pq_query_luts(q_ids, Q, cents)
+    qlabels = {
+        int(r.vec_id): int(r.label)
+        for r in emb.where(F.col("vec_id").isin(*QUERY_IDS))
+        .select("vec_id", "label")
+        .collect()
+    }
+    probed = sorted(set(qlabels.values()))
+    # coarse probe FIRST: only probed-cluster rows enter the plan (the
+    # partition-pruning shape), and only they pay for code assignment
+    scan = emb.where(F.col("label").isin(*probed))
+    bests = _pq_best_structs(as_double("embedding"), cents)
+    coded = scan.select(
+        "vec_id",
+        "label",
+        *[bests[q]["code"].alias(f"c{q}") for q in range(_PQ_M)],
+    )
+    arms = []
+    for qi, qid in enumerate(q_ids):
+        dist = F.lit(0).cast("long")
+        for q in range(_PQ_M):
+            lut_arr = F.array(
+                *[F.lit(lut[qi][q][c]).cast("long") for c in range(_PQ_K)]
+            )
+            dist = dist + F.element_at(lut_arr, F.col(f"c{q}") + 1)
+        arms.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                F.when(
+                    F.col("label") == F.lit(qlabels[int(qid)]), dist
+                ).alias("adc_dist_micro"),
+            )
+        )
+    pairs = (
+        coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
+        .select("vec_id", "s.query_id", "s.adc_dist_micro")
+        .where(
+            F.col("adc_dist_micro").isNotNull()
+            & (F.col("vec_id") != F.col("query_id"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
     return (

@@ -853,6 +853,147 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher's SECOND rule table (Rae et al. 2021, repetition filters):
+# intra-document repetition. Count-fraction variants of the published
+# thresholds: most-frequent-2-gram share <= 0.20, duplicate-3-gram
+# fraction <= 0.30.
+_REP_MAX_TOP_BIGRAM_SHARE = 0.20
+_REP_MAX_DUP_TRIGRAM_FRAC = 0.30
+
+
+@register(
+    "quality_repetition_screen",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 2 THEN list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || '_' || ws[i + 1]) ELSE [] END AS bg,
+               CASE WHEN len(ws) >= 3 THEN list_transform(
+                   generate_series(1, len(ws) - 2),
+                   i -> ws[i] || '_' || ws[i + 1] || '_' || ws[i + 2])
+               ELSE [] END AS tg
+        FROM t
+    ),
+    topb AS (
+        SELECT doc_id, max(c) AS top_n FROM (
+            SELECT doc_id, gram, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS gram FROM g)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    ),
+    m AS (
+        SELECT g.doc_id,
+               CAST(len(bg) AS INTEGER) AS n_bigrams,
+               CAST(coalesce(tb.top_n, 0) AS INTEGER) AS top_bigram_n,
+               {fix_sql("coalesce(tb.top_n, 0) / greatest(len(bg), 1)", 6)}
+                   AS top_bigram_share,
+               CAST(len(tg) AS INTEGER) AS n_trigrams,
+               {fix_sql("(len(tg) - len(list_distinct(tg)))"
+                        " / greatest(len(tg), 1)", 6)} AS dup_trigram_frac
+        FROM g LEFT JOIN topb tb ON g.doc_id = tb.doc_id
+    )
+    SELECT *,
+           (top_bigram_share <= {_REP_MAX_TOP_BIGRAM_SHARE})
+               AS r_top_bigram,
+           (dup_trigram_frac <= {_REP_MAX_DUP_TRIGRAM_FRAC})
+               AS r_dup_trigram,
+           (top_bigram_share <= {_REP_MAX_TOP_BIGRAM_SHARE}
+               AND dup_trigram_frac <= {_REP_MAX_DUP_TRIGRAM_FRAC}) AS keep
+    FROM m
+    """,
+    doc="Gopher repetition screen (the second rule table of Rae et al. "
+    "2021): per-document most-frequent-bigram share and duplicate-"
+    "trigram fraction, each gated and ANDed into a keep flag — the "
+    "intra-document complement of the cross-document dedup family "
+    "(a looping scraped page dedups against NOTHING but drowns its "
+    "own n-gram distribution). The top-bigram count is a sort+fold "
+    "over the per-row bigram array — O(L log L) per row, NO explode, "
+    "no shuffle, no O(L^2) nested filter — so like the first Gopher "
+    "screen the whole operator pipelines with the scan at codegen "
+    "speed; the oracle recomputes it via the exploded groupBy form. "
+    "All fractions are small-int ratios floor-fixed at 1e-6, so the "
+    "gates hash bit-identically.",
+    tags=("text", "quality", "pipeline"),
+)
+def quality_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("raw")
+    ).select("doc_id", F.filter("raw", lambda x: x != "").alias("ws"))
+    n = F.size("ws")
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at("ws", i),
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", bg.alias("bg"), tg.alias("tg"))
+    # most-frequent-bigram count: sort the bigram array, then one fold
+    # tracking the longest equal run — O(L log L) per row, where the
+    # naive per-distinct-gram count-filter would be O(L^2)
+    run = F.aggregate(
+        F.array_sort("bg"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    nb = F.size("bg")
+    nt = F.size("tg")
+    m = g.select(
+        "doc_id",
+        nb.cast("int").alias("n_bigrams"),
+        run.cast("int").alias("top_bigram_n"),
+        fix(run / F.greatest(nb, F.lit(1)), 6).alias("top_bigram_share"),
+        nt.cast("int").alias("n_trigrams"),
+        fix(
+            (nt - F.size(F.array_distinct("tg"))) / F.greatest(nt, F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    r_top = F.col("top_bigram_share") <= _REP_MAX_TOP_BIGRAM_SHARE
+    r_dup = F.col("dup_trigram_frac") <= _REP_MAX_DUP_TRIGRAM_FRAC
+    return m.select(
+        "*",
+        r_top.alias("r_top_bigram"),
+        r_dup.alias("r_dup_trigram"),
+        (r_top & r_dup).alias("keep"),
+    )
+
+
 # Bigram-model prune floor: a bigram must carry at least this share of
 # all adjacent pairs to stay in the fitted model => the broadcast table
 # is bounded at 1/_BIGRAM_MIN_SHARE = 1000 rows at ANY corpus size

@@ -170,6 +170,73 @@ def test_ann_recall_counts_consistent(spark, sf_dir):
         assert r.n_candidates >= r.n_hits
 
 
+def test_repetition_screen_planted_loops(spark, tmp_path):
+    """A looping page (one bigram dominating) must fail the screen; a
+    normal page passes; degenerate short docs pass vacuously with
+    zeroed metrics."""
+    rows = [
+        (1, "buy now " * 20 + "buy", "en", "s", 0),  # top bigram ~1/2
+        (2, "the quick brown fox jumps over the lazy dog today", "en", "s", 0),
+        (3, "", "en", "s", 0),
+        (4, "solo", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "repdocs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    res = {
+        r.doc_id: r
+        for r in REGISTRY["quality_repetition_screen"].fn(spark, out).collect()
+    }
+    # doc 1: 41 tokens alternating buy/now -> 40 bigrams split evenly
+    # between 'buy_now' (20) and 'now_buy' (20); trigrams all repeats
+    # after the first two
+    assert res[1].top_bigram_n == 20 and res[1].n_bigrams == 40
+    assert res[1].top_bigram_share == 0.5
+    assert not res[1].r_top_bigram and not res[1].r_dup_trigram
+    assert not res[1].keep
+    assert res[2].top_bigram_n == 1 and res[2].dup_trigram_frac == 0.0
+    assert res[2].keep
+    for d in (3, 4):  # no bigrams/trigrams at all
+        assert res[d].n_bigrams == 0 and res[d].n_trigrams == 0
+        assert res[d].top_bigram_share == 0.0 and res[d].keep
+
+
+def test_ivfadc_consistent_with_flat_adc(spark, sf_dir):
+    """IVFADC == flat ADC restricted to the query's coarse cluster:
+    every emitted neighbor shares the query's label, its distance
+    equals the flat ADC distance for the same pair, and the result is
+    exactly the top-k of the flat ranking filtered to the cluster."""
+    from p4_mapreduce_spark.operators.similarity import QUERY_IDS, TOP_K
+    from p4_mapreduce_spark.sources.tables import load
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    flat = {
+        (r.query_id, r.neighbor_id): r.adc_dist_micro
+        for r in REGISTRY["pq_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["ivfadc_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(QUERY_IDS) * TOP_K
+    for r in rows:
+        assert labels[r.neighbor_id] == labels[r.query_id], r
+        # flat ADC only kept its own global top-k; where the pair
+        # appears in both, the micro distances must be identical
+        if (r.query_id, r.neighbor_id) in flat:
+            assert r.adc_dist_micro == flat[(r.query_id, r.neighbor_id)], r
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r.adc_dist_micro for r in rs]
+        assert dists == sorted(dists)
+
+
 def test_semdedup_pipeline_uses_fitted_clusters(spark, sf_dir):
     """The composed pipeline's cluster column IS the k-means fit
     (matches kmeans_embedding_clusters row-for-row), and within every
