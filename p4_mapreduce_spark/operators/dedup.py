@@ -642,7 +642,9 @@ WHERE len(list_intersect(x.shingles, y.shingles))
     "(new doc, existing doc) pairs output-bound; same-text cross-"
     "batch pairs ride the side flags at Jaccard 1.0 with no pairwise "
     "work at all. The oracle replays the uncollapsed doc-level band "
-    "join — parity proves the collapse is exact.",
+    "join — parity proves the collapse is exact. x60 probe: 2.60s "
+    "(2.4x on 60x data, SCALE.md r5 table).",
+    headline=True,
     tags=("dedup", "lsh", "incremental"),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -146,6 +146,117 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crude balance gate for the split audit: a hash split is declared
+# balanced when chi2 <= 2 per degree of freedom (E[chi2] = df under
+# independence; 2x leaves headroom without hiding real skew).
+_BALANCE_CHI2_PER_DF_MICRO = 2_000_000
+
+_SPLIT_CASE_SQL = """CASE WHEN strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 13
+           THEN 'train'
+           WHEN strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) <= 15
+           THEN 'val'
+           ELSE 'test' END"""
+
+
+@register(
+    "split_balance_audit",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, {_SPLIT_CASE_SQL} AS split FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM assigned),
+    ms AS (SELECT split, count(*) AS ns FROM assigned GROUP BY split),
+    ml AS (SELECT lang, count(*) AS nl FROM assigned GROUP BY lang),
+    nlang AS (SELECT count(*) AS n_langs FROM ml),
+    obs AS (
+        SELECT split, lang, count(*) AS o FROM assigned GROUP BY split, lang
+    ),
+    cells AS (
+        SELECT ms.split, ms.ns, ml.nl, coalesce(obs.o, 0) AS o
+        FROM ms CROSS JOIN ml
+        LEFT JOIN obs ON obs.split = ms.split AND obs.lang = ml.lang
+    ),
+    contrib AS (
+        SELECT split, ns,
+               CAST(floor((o - ns * nl / n) * (o - ns * nl / n)
+                          / (ns * nl / n) * 1000000.0 + 0.5) AS BIGINT)
+                   AS cm
+        FROM cells CROSS JOIN tot
+    )
+    SELECT c.split,
+           CAST(c.ns AS BIGINT) AS n_docs,
+           CAST(nlang.n_langs AS INTEGER) AS n_langs,
+           CAST(sum(cm) AS BIGINT) AS chi2_micro,
+           sum(cm) <= {_BALANCE_CHI2_PER_DF_MICRO} * (nlang.n_langs - 1)
+               AS balanced
+    FROM contrib c CROSS JOIN nlang
+    GROUP BY c.split, c.ns, nlang.n_langs
+    """,
+    doc="Split distribution-drift audit: chi-square independence test "
+    "of the language distribution across the hash-assigned train/val/"
+    "test splits (the check a 100 TB pipeline runs before trusting a "
+    "held-out set — a skewed split silently biases every eval). "
+    "Observed (split, lang) cells — INCLUDING structurally-zero ones, "
+    "built from the marginal cross product — against the independence "
+    "expectation ns*nl/n; per-cell contributions are floor-quantized "
+    "to bigint micros so the per-split chi2 sum is exact in any "
+    "reduction order, and the balanced verdict gates chi2 at 2 per "
+    "degree of freedom. Scale shape: one corpus scan into three tiny "
+    "marginal aggregates; everything after runs on splits x langs "
+    "rows. The 1-row total and the langs-count frame ride broadcast "
+    "cross joins.",
+    tags=("pipeline", "quality", "stats"),
+)
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    nibble = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    )
+    split = (
+        F.when(nibble <= 13, "train").when(nibble <= 15, "val").otherwise("test")
+    )
+    assigned = docs.select(split.alias("split"), "lang")
+    tot = assigned.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ms = assigned.groupBy("split").agg(F.count(F.lit(1)).alias("ns"))
+    ml = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    nlang = ml.agg(F.count(F.lit(1)).alias("n_langs"))
+    obs = assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("o"))
+    cells = (
+        ms.crossJoin(F.broadcast(ml))
+        .join(obs, ["split", "lang"], "left")
+        .select(
+            "split", "ns", "nl", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    exp = F.col("ns") * F.col("nl") / F.col("n")
+    cm = F.floor(
+        (F.col("o") - exp) * (F.col("o") - exp) / exp * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "split", "ns", cm.alias("cm")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(nlang))
+        .groupBy("split", "ns", "n_langs")
+        .agg(F.sum("cm").alias("chi2_micro"))
+        .select(
+            "split",
+            F.col("ns").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            F.col("chi2_micro").cast("bigint").alias("chi2_micro"),
+            (
+                F.col("chi2_micro")
+                <= F.lit(_BALANCE_CHI2_PER_DF_MICRO)
+                * (F.col("n_langs") - 1)
+            ).alias("balanced"),
+        )
+    )
+
+
 # out of 256 hash buckets: upsample src0/src1, downsample the long tail
 _MIX_WEIGHTS = {"src0": 256, "src1": 192, "src2": 128, "src3": 64}
 _MIX_DEFAULT = 32

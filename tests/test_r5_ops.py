@@ -237,6 +237,24 @@ def test_ivfadc_consistent_with_flat_adc(spark, sf_dir):
         assert dists == sorted(dists)
 
 
+def test_split_balance_audit_shape(spark, sf_dir):
+    """One row per split, n_docs partitions the corpus, chi2 micros are
+    non-negative, and df comes from the actual language count."""
+    from p4_mapreduce_spark.sources.tables import load
+
+    rows = REGISTRY["split_balance_audit"].fn(spark, sf_dir).collect()
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    n_corpus = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    n_langs = (
+        load(spark, sf_dir, "documents").select("lang").distinct().count()
+    )
+    for r in rows:
+        assert r.chi2_micro >= 0
+        assert r.n_langs == n_langs
+        assert r.balanced == (r.chi2_micro <= 2_000_000 * (n_langs - 1))
+
+
 def test_semdedup_pipeline_uses_fitted_clusters(spark, sf_dir):
     """The composed pipeline's cluster column IS the k-means fit
     (matches kmeans_embedding_clusters row-for-row), and within every
