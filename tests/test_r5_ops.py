@@ -237,6 +237,37 @@ def test_ivfadc_consistent_with_flat_adc(spark, sf_dir):
         assert dists == sorted(dists)
 
 
+def test_winnow_guarantee_and_sparsity(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a token run of
+    >= w + k - 1 = 6 tokens MUST share a fingerprint; unrelated docs
+    share none; and the fingerprint set is sparser than the k-gram
+    set (that is winnowing's point)."""
+    shared = "one two three four five six seven"  # 7-token shared run
+    rows = [
+        (1, shared + " aardvark bobcat caiman dingo egret", "en", "s", 0),
+        (2, "zebu yak wolf vole urchin " + shared, "en", "s", 0),
+        (3, "totally unrelated words in this document here now", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "winnowdocs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    res = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_winnow_fingerprint"].fn(spark, out).collect()
+    }
+    assert res[1].n_dup_fingerprints > 0
+    assert res[2].n_dup_fingerprints > 0
+    assert res[3].n_dup_fingerprints == 0
+    for d in (1, 2, 3):
+        # sparsity: selected fingerprints number at most the window
+        # count and strictly fewer than the k-grams for docs longer
+        # than one window
+        assert res[d].n_fingerprints <= res[d].n_kgrams
+        assert res[d].n_fingerprints <= res[d].n_kgrams - 4 + 1
+
+
 def test_split_balance_audit_shape(spark, sf_dir):
     """One row per split, n_docs partitions the corpus, chi2 micros are
     non-negative, and df comes from the actual language count."""
