@@ -409,3 +409,116 @@ def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.md5("decoded").alias("roundtrip_md5"),
     )
+
+
+# 10ms analysis frames at the 16 kHz convention used by the roundtrip.
+_AUDIO_FRAME = 160
+
+
+def _audio_features_oracle() -> str:
+    """PCM16-LE parsing REPLAYED IN SQL: the payload's hex dump is
+    sliced into nibbles, little-endian sample values are reassembled
+    (two's complement via the >= 32768 branch, zero pad for an odd
+    byte count), and the energies are exact bigint sums."""
+
+    def hv(e: str) -> str:
+        return f"(strpos('0123456789ABCDEF', {e}) - 1)"
+
+    val = f"""(
+        (16 * {hv('substr(hx, 4*i-3, 1)')} + {hv('substr(hx, 4*i-2, 1)')})
+        + 256 * (CASE WHEN 2*i <= nb
+                 THEN 16 * {hv('substr(hx, 4*i-1, 1)')}
+                      + {hv('substr(hx, 4*i, 1)')}
+                 ELSE 0 END))"""
+    smp = f"""list_transform(
+        generate_series(1, CAST(ceil(nb / 2.0) AS INTEGER)),
+        i -> CASE WHEN {val} >= 32768 THEN {val} - 65536 ELSE {val} END)"""
+    w = _AUDIO_FRAME
+    return f"""
+    WITH b AS (
+        SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+        SELECT doc_id, CAST(ceil(nb / 2.0) AS INTEGER) AS ns, {smp} AS smp
+        FROM b
+    )
+    SELECT doc_id,
+           ns AS n_samples,
+           CAST(ceil(ns / {w}.0) AS INTEGER) AS n_frames,
+           CAST(list_aggregate(list_transform(smp, v -> abs(v)), 'max')
+                AS INTEGER) AS peak_abs,
+           CAST(list_aggregate(list_transform(smp,
+                    v -> CAST(v AS BIGINT) * v), 'sum') AS BIGINT) AS sumsq,
+           CAST(list_aggregate(list_transform(
+                    generate_series(1, CAST(ceil(ns / {w}.0) AS INTEGER)),
+                    k -> list_aggregate(list_transform(
+                            smp[(k-1)*{w}+1 : least(k*{w}, ns)],
+                            v -> CAST(v AS BIGINT) * v), 'sum')),
+                'max') AS BIGINT) AS max_frame_energy
+    FROM s
+    """
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=_audio_features_oracle(),
+    doc=f"Audio feature extraction over the PCM16 interpretation of "
+    "the binary payload (the decode→feature step of a speech-data "
+    f"pipeline): per clip, sample/frame counts ({_AUDIO_FRAME}-sample "
+    "= 10 ms frames at 16 kHz), peak amplitude, total energy, and the "
+    "loudest-frame energy — the inputs to silence trimming and "
+    "clipping screens. Arrow-batched mapInPandas, one numpy "
+    "frombuffer + vectorized square-sums per batch; zero shuffle. "
+    "Every output is integer-exact (int16 squares summed as int64), "
+    "so the oracle can reassemble the SAME little-endian samples from "
+    "the payload's hex dump in pure SQL and hash bit-identically — no "
+    "float anywhere.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_frames": [],
+                "peak_abs": [],
+                "sumsq": [],
+                "max_frame_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                if len(raw) % 2:
+                    raw += b"\x00"
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                ns = len(arr)
+                nf = math.ceil(ns / _AUDIO_FRAME)
+                sq = arr * arr
+                frame_e = [
+                    int(sq[k * _AUDIO_FRAME : (k + 1) * _AUDIO_FRAME].sum())
+                    for k in range(nf)
+                ]
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(ns)
+                rows["n_frames"].append(nf)
+                rows["peak_abs"].append(int(np.abs(arr).max()))
+                rows["sumsq"].append(int(sq.sum()))
+                rows["max_frame_energy"].append(max(frame_e))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        feats,
+        schema="doc_id bigint, n_samples int, n_frames int, peak_abs int, "
+        "sumsq bigint, max_frame_energy bigint",
+    )

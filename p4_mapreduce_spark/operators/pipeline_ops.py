@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from p4_mapreduce_spark.functions.deterministic import fix_sql
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -142,6 +143,85 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# Weighted sampling (Efraimidis & Spirakis 2006, algorithm A-ES): the
+# distributed weighted-reservoir primitive — draw u ~ U(0,1) per row,
+# rank by u^(1/w); the top-k IS a weight-proportional sample without
+# replacement, and "top-k by key" is embarrassingly parallel +
+# mergeable, which is why it is THE cluster-scale weighted sampler.
+_AES_K = 25
+
+
+@register(
+    "weighted_sample_aes",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens,
+               {fix_sql(f'''floor(ln((CAST(CAST(CONCAT('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                        AS UBIGINT) AS DOUBLE) + 0.5) / {float(2**48)})
+                    * 1000000.0 + 0.5) / 1000000.0 / n_tokens''', 6)}
+                   AS sample_key
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, sample_key,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= {_AES_K}
+    """,
+    doc=f"Deterministic weighted sampling without replacement "
+    f"(Efraimidis-Spirakis A-ES): top-{_AES_K} documents by "
+    "ln(u)/weight with weight = token count and u a hash-uniform "
+    "draw from md5(doc_id) — selection probability proportional to "
+    "length, yet fully reproducible across runs, retries, and "
+    "engines (no rand()). The top-k-by-key formulation is what makes "
+    "A-ES the cluster-scale weighted sampler: per-partition heaps "
+    "merge associatively, so the plan is a single scan into "
+    "TakeOrderedAndProject — no shuffle of the corpus, no global "
+    "sort. Determinism: u is an exact dyadic rational (12 hex "
+    "nibbles / 2^48, +0.5 to dodge ln(0)), ln is floor-normalized at "
+    "1e-6 before the weight division (the engine-divergent-transcendental "
+    "rule), and the final key is re-fixed at 1e-6 with doc_id "
+    "tie-break.",
+    tags=("pipeline", "sampling"),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " ", -1), lambda x: x != ""))
+    t = docs.select("doc_id", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(2**48))
+    key = fix(fix(F.log(u), 6) / F.col("n_tokens"), 6)
+    keyed = t.select("doc_id", "n_tokens", key.alias("sample_key"))
+    order = [F.col("sample_key").desc(), F.col("doc_id")]
+    top = keyed.orderBy(*order).limit(_AES_K)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "sample_key",
+            F.col("rk").cast("int").alias("rk"),
         )
     )
 

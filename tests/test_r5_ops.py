@@ -268,6 +268,27 @@ def test_winnow_guarantee_and_sparsity(spark, tmp_path):
         assert res[d].n_fingerprints <= res[d].n_kgrams - 4 + 1
 
 
+def test_audio_features_invariants(spark, sf_dir):
+    """Frame accounting and energy bounds against an independent
+    Python decode of the same payload convention."""
+    import math
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    nbytes = {
+        r.doc_id: len(r.text.encode("utf-8"))
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        if len(r.text) > 0
+    }
+    rows = REGISTRY["multimodal_audio_features"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(nbytes)
+    for r in rows:
+        assert r.n_samples == math.ceil(nbytes[r.doc_id] / 2)
+        assert r.n_frames == math.ceil(r.n_samples / 160)
+        assert 0 <= r.max_frame_energy <= r.sumsq
+        assert r.peak_abs**2 <= r.max_frame_energy
+
+
 def test_split_balance_audit_shape(spark, sf_dir):
     """One row per split, n_docs partitions the corpus, chi2 micros are
     non-negative, and df comes from the actual language count."""
