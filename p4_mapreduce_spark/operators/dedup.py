@@ -217,9 +217,9 @@ _MINHASH_ORACLE = f"WITH {_MINHASH_CTES} {_MINHASH_PAIRS_SELECT}"
 
 
 def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-wide DISTINCT-TEXT MinHash signature table:
-    one row per distinct text (gh = md5(text)) with its shingle set
-    and the {MINHASH_BANDS} band signatures, persisted through the
+    """The corpus-wide DISTINCT-TEXT MinHash signature table: one row
+    per distinct text (gh = md5(text)) with its shingle set and one
+    signature per band (MINHASH_BANDS of them), persisted through the
     bounded module cache. Shared by the full self-join dedup
     (dedup_minhash_lsh) and the incremental batch-vs-corpus variant
     (dedup_minhash_incremental) — the latter is exactly the "existing
@@ -643,7 +643,15 @@ WHERE len(list_intersect(x.shingles, y.shingles))
     "batch pairs ride the side flags at Jaccard 1.0 with no pairwise "
     "work at all. The oracle replays the uncollapsed doc-level band "
     "join — parity proves the collapse is exact. x60 probe: 2.60s "
-    "(2.4x on 60x data, SCALE.md r5 table).",
+    "(2.4x on 60x data, SCALE.md r5 table). Honest cost note: the "
+    "(gh, doc_id) members frame derives from the documents scan and "
+    "is referenced by the sides aggregate and both expansion joins, "
+    "so this self-contained form md5-scans the corpus ~3x per run "
+    "(cheap — see the probe; a corpus-sized frame must not be "
+    "checkpointed per the bounded-frame rule). A production "
+    "deployment maintains members/signatures as incremental ON-DISK "
+    "tables (the dedup_incremental_batch posture), making the daily "
+    "cost batch-proportional for the scans too.",
     headline=True,
     tags=("dedup", "lsh", "incremental"),
 )

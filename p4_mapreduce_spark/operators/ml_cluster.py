@@ -160,13 +160,10 @@ def _dist_col(centroid: list[float]):
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = fit_kmeans_centroids(emb)
-    qds = [
-        F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE for c in centroids
-    ]
-    qarr = F.array(*qds)
+    qarr = _kmeans_qdist_arr(centroids)
     return emb.select(
         "vec_id",
-        (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int").alias("cluster"),
+        kmeans_assign_col(centroids).alias("cluster"),
         F.array_min(qarr).alias("qdist"),
     )
 
@@ -179,14 +176,7 @@ def fit_kmeans_centroids(emb: DataFrame) -> list[list[float]]:
     centroids = [[float(x) for x in r.embedding] for r in init]
 
     for _ in range(_ITERS):
-        qds = [
-            F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE
-            for c in centroids
-        ]
-        cluster = (
-            F.array_position(F.array(*qds), F.array_min(F.array(*qds))) - 1
-        ).cast("int")
-        assigned = emb.withColumn("cluster", cluster)
+        assigned = emb.withColumn("cluster", kmeans_assign_col(centroids))
         sums = (
             assigned.groupBy("cluster")
             .agg(
@@ -208,14 +198,23 @@ def fit_kmeans_centroids(emb: DataFrame) -> list[list[float]]:
     return centroids
 
 
+def _kmeans_qdist_arr(centroids: list[list[float]]) -> F.Column:
+    """Array of 1e-6-quantized squared distances to every centroid —
+    the single source of the assignment expression (fit loop, final
+    emit, and composed pipelines all build on it)."""
+    return F.array(
+        *[
+            F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE
+            for c in centroids
+        ]
+    )
+
+
 def kmeans_assign_col(centroids: list[list[float]]) -> F.Column:
     """Fitted-centroid cluster assignment as a pure column expression
     (quantized-distance argmin, tie-break on centroid id) — the Spark
     twin of the ``kassign`` CTE from :func:`kmeans_assign_ctes`."""
-    qds = [
-        F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE for c in centroids
-    ]
-    qarr = F.array(*qds)
+    qarr = _kmeans_qdist_arr(centroids)
     return (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int")
 
 

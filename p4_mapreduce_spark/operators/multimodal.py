@@ -505,16 +505,17 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ns = len(arr)
                 nf = math.ceil(ns / _AUDIO_FRAME)
                 sq = arr * arr
-                frame_e = [
-                    int(sq[k * _AUDIO_FRAME : (k + 1) * _AUDIO_FRAME].sum())
-                    for k in range(nf)
-                ]
+                # zero-pad to a whole number of frames, then all frame
+                # energies are ONE reshape + row-sum (no Python-level
+                # per-frame loop)
+                sqp = np.pad(sq, (0, nf * _AUDIO_FRAME - ns))
+                frame_e = sqp.reshape(nf, _AUDIO_FRAME).sum(axis=1)
                 rows["doc_id"].append(doc_id)
                 rows["n_samples"].append(ns)
                 rows["n_frames"].append(nf)
                 rows["peak_abs"].append(int(np.abs(arr).max()))
                 rows["sumsq"].append(int(sq.sum()))
-                rows["max_frame_energy"].append(max(frame_e))
+                rows["max_frame_energy"].append(int(frame_e.max()))
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(

@@ -500,7 +500,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p4_mapreduce_spark.functions.deterministic import fix
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = _pq_codebook(emb)
+    cents = _pq_codebook(spark, sf_dir, emb)
     bests = _pq_best_structs(as_double("embedding"), cents)
     pq_code = F.lit(0).cast("long")
     recon = F.lit(0.0)
@@ -516,15 +516,30 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codebook(emb: DataFrame) -> dict[int, list[float]]:
+# Bounded driver-side codebook cache, keyed like _QVEC_CACHE: the
+# collect is tiny (16 x 64 doubles) but puts a whole Spark job in
+# front of every PQ query's plan build — cache one entry per
+# (application, sf_dir).
+_PQ_CB_CACHE: dict[tuple[str, str], dict[int, list[float]]] = {}
+
+
+def _pq_codebook(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+) -> dict[int, list[float]]:
     """Collect the {_PQ_K}-entry codebook once (k-means-literal
     topology; {_PQ_K} x {EMBEDDING_DIM} doubles on the driver)."""
-    return {
-        int(r["vec_id"]): [float(v) for v in r["embedding"]]
-        for r in emb.where(F.col("vec_id") < _PQ_K)
-        .select("vec_id", "embedding")
-        .collect()
-    }
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_CB_CACHE.get(key)
+    if hit is None:
+        hit = {
+            int(r["vec_id"]): [float(v) for v in r["embedding"]]
+            for r in emb.where(F.col("vec_id") < _PQ_K)
+            .select("vec_id", "embedding")
+            .collect()
+        }
+        _PQ_CB_CACHE.clear()
+        _PQ_CB_CACHE[key] = hit
+    return hit
 
 
 def _pq_best_structs(x: F.Column, cents: dict[int, list[float]]) -> list:
@@ -562,24 +577,63 @@ def _pq_best_structs(x: F.Column, cents: dict[int, list[float]]) -> list:
 _SEMDEDUP_TAU = 0.3
 
 
-@register(
-    "semdedup_prune",
-    oracle=f"""
-    WITH dup AS (
+def _semdedup_sql(rel: str, block: str) -> str:
+    """The SemDeDup verdict as SQL over relation ``rel``(vec_id,
+    embedding, ``block``): a ``dup`` CTE (no leading WITH) plus the
+    final left-join select — shared by semdedup_prune (label blocking)
+    and semdedup_pipeline (fitted k-means blocking)."""
+    return f"""dup AS (
         SELECT a.vec_id,
                count(*) AS n_dup_lower,
                max({cosine_sql('a.embedding', 'b.embedding')}) AS max_sim_lower
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND b.vec_id < a.vec_id
+        FROM {rel} a JOIN {rel} b
+          ON a.{block} = b.{block} AND b.vec_id < a.vec_id
         WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
         GROUP BY a.vec_id
     )
-    SELECT e.vec_id, e.label,
+    SELECT e.vec_id, e.{block},
            d.vec_id IS NULL AS kept,
            coalesce(d.n_dup_lower, 0) AS n_dup_lower,
            d.max_sim_lower
-    FROM embeddings e LEFT JOIN dup d ON e.vec_id = d.vec_id
-    """,
+    FROM {rel} e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    """
+
+
+def _semdedup_verdict(frame: DataFrame, block_col: str) -> DataFrame:
+    """Spark twin of :func:`_semdedup_sql`: keep-lowest-id pruning
+    verdict per vector over ``frame``(vec_id, embedding, block_col)."""
+    a = frame.select(
+        F.col("vec_id").alias("va"),
+        F.col(block_col).alias("ba"),
+        F.col("embedding").alias("ea"),
+    )
+    b = frame.select(
+        F.col("vec_id").alias("vb"),
+        F.col(block_col).alias("bb"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    dup = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vb") < F.col("va")))
+        .where(sim >= F.lit(_SEMDEDUP_TAU))
+        .groupBy("va")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_lower"),
+            F.max(sim).alias("max_sim_lower"),
+        )
+    )
+    return frame.join(dup, frame.vec_id == dup.va, "left").select(
+        "vec_id",
+        block_col,
+        F.col("va").isNull().alias("kept"),
+        F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
+        "max_sim_lower",
+    )
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"WITH {_semdedup_sql('embeddings', 'label')}",
     doc="SemDeDup (Abbas et al. 2023): semantic deduplication by "
     "pruning, within each coarse cluster, every vector that has a "
     f"cosine-similarity >= {_SEMDEDUP_TAU} neighbor with a smaller "
@@ -602,37 +656,10 @@ _SEMDEDUP_TAU = 0.3
     tags=("dedup", "similarity", "vector", "pipeline"),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-    )
-    sim = cosine(F.col("ea"), F.col("eb"))
-    dup = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vb") < F.col("va")))
-        .where(sim >= F.lit(_SEMDEDUP_TAU))
-        .groupBy("va")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_lower"),
-            F.max(sim).alias("max_sim_lower"),
-        )
-    )
-    return (
-        emb.join(dup, emb.vec_id == dup.va, "left")
-        .select(
-            "vec_id",
-            "label",
-            F.col("va").isNull().alias("kept"),
-            F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
-            "max_sim_lower",
-        )
-    )
+    return _semdedup_verdict(emb, "label")
 
 
 # ---------------------------------------------------------------------------
@@ -779,6 +806,50 @@ def _pq_query_luts(q_ids, Q, cents) -> list[list[list[int]]]:
     return lut
 
 
+def _adc_topk(coded: DataFrame, q_ids, lut, label_of=None) -> DataFrame:
+    """Shared ADC scoring tail for pq_adc_topk and ivfadc_search:
+    ``coded`` carries vec_id (+label when ``label_of`` is given) and
+    the c0..c{_PQ_M-1} code columns; per query, the distance is the
+    sum of {_PQ_M} bigint-micro LUT lookups (exact in any order), with
+    an optional per-query cluster guard, then one per-query window
+    heap for the top-{TOP_K}."""
+    arms = []
+    for qi, qid in enumerate(q_ids):
+        dist = F.lit(0).cast("long")
+        for q in range(_PQ_M):
+            lut_arr = F.array(
+                *[F.lit(lut[qi][q][c]).cast("long") for c in range(_PQ_K)]
+            )
+            dist = dist + F.element_at(lut_arr, F.col(f"c{q}") + 1)
+        if label_of is not None:
+            dist = F.when(F.col("label") == F.lit(label_of[int(qid)]), dist)
+        arms.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                dist.alias("adc_dist_micro"),
+            )
+        )
+    pairs = (
+        coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
+        .select("vec_id", "s.query_id", "s.adc_dist_micro")
+        .where(
+            F.col("adc_dist_micro").isNotNull()
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist_micro",
+            "rk",
+        )
+    )
+
+
 @register(
     "pq_adc_topk",
     oracle=_pq_adc_oracle_sql(),
@@ -800,44 +871,14 @@ def _pq_query_luts(q_ids, Q, cents) -> list[list[list[int]]]:
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _pq_codebook(emb)
+    cents = _pq_codebook(spark, sf_dir, emb)
     q_ids, Q = _query_vectors(spark, sf_dir, emb)
     lut = _pq_query_luts(q_ids, Q, cents)
-
     bests = _pq_best_structs(as_double("embedding"), cents)
     coded = emb.select(
         "vec_id", *[bests[q]["code"].alias(f"c{q}") for q in range(_PQ_M)]
     )
-    arms = []
-    for qi, qid in enumerate(q_ids):
-        dist = F.lit(0).cast("long")
-        for q in range(_PQ_M):
-            lut_arr = F.array(
-                *[F.lit(lut[qi][q][c]).cast("long") for c in range(_PQ_K)]
-            )
-            dist = dist + F.element_at(lut_arr, F.col(f"c{q}") + 1)
-        arms.append(
-            F.struct(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                dist.alias("adc_dist_micro"),
-            )
-        )
-    pairs = (
-        coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
-        .select("vec_id", "s.query_id", "s.adc_dist_micro")
-        .where(F.col("vec_id") != F.col("query_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "adc_dist_micro",
-            "rk",
-        )
-    )
+    return _adc_topk(coded, q_ids, lut)
 
 
 @register(
@@ -879,18 +920,23 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "vector", "quantization"),
 )
 def ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    cents = _pq_codebook(emb)
-    q_ids, Q = _query_vectors(spark, sf_dir, emb)
+    cents = _pq_codebook(spark, sf_dir, emb)
+    # ONE driver action for the query rows — vectors AND probe labels
+    # together (r5 review: a separate labels collect was a third Spark
+    # job per invocation; the codebook collect above is cached).
+    qrows = sorted(
+        emb.where(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qlabels = {int(r.vec_id): int(r.label) for r in qrows}
     lut = _pq_query_luts(q_ids, Q, cents)
-    qlabels = {
-        int(r.vec_id): int(r.label)
-        for r in emb.where(F.col("vec_id").isin(*QUERY_IDS))
-        .select("vec_id", "label")
-        .collect()
-    }
     probed = sorted(set(qlabels.values()))
     # coarse probe FIRST: only probed-cluster rows enter the plan (the
     # partition-pruning shape), and only they pay for code assignment
@@ -901,41 +947,7 @@ def ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[bests[q]["code"].alias(f"c{q}") for q in range(_PQ_M)],
     )
-    arms = []
-    for qi, qid in enumerate(q_ids):
-        dist = F.lit(0).cast("long")
-        for q in range(_PQ_M):
-            lut_arr = F.array(
-                *[F.lit(lut[qi][q][c]).cast("long") for c in range(_PQ_K)]
-            )
-            dist = dist + F.element_at(lut_arr, F.col(f"c{q}") + 1)
-        arms.append(
-            F.struct(
-                F.lit(int(qid)).cast("long").alias("query_id"),
-                F.when(
-                    F.col("label") == F.lit(qlabels[int(qid)]), dist
-                ).alias("adc_dist_micro"),
-            )
-        )
-    pairs = (
-        coded.select("vec_id", F.explode(F.array(*arms)).alias("s"))
-        .select("vec_id", "s.query_id", "s.adc_dist_micro")
-        .where(
-            F.col("adc_dist_micro").isNotNull()
-            & (F.col("vec_id") != F.col("query_id"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_dist_micro", "vec_id")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "adc_dist_micro",
-            "rk",
-        )
-    )
+    return _adc_topk(coded, q_ids, lut, label_of=qlabels)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,20 +1103,7 @@ def _semdedup_pipeline_oracle() -> str:
         SELECT emb.vec_id, emb.embedding, a.cluster
         FROM embeddings emb JOIN kassign a USING (vec_id)
     ),
-    dup AS (
-        SELECT a.vec_id,
-               count(*) AS n_dup_lower,
-               max({cosine_sql('a.embedding', 'b.embedding')}) AS max_sim_lower
-        FROM em a JOIN em b
-          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-        WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_TAU}
-        GROUP BY a.vec_id
-    )
-    SELECT e.vec_id, e.cluster,
-           d.vec_id IS NULL AS kept,
-           coalesce(d.n_dup_lower, 0) AS n_dup_lower,
-           d.max_sim_lower
-    FROM em e LEFT JOIN dup d ON e.vec_id = d.vec_id
+    {_semdedup_sql('em', 'cluster')}
     """
 
 
@@ -1136,33 +1135,4 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = emb.select(
         "vec_id", "embedding", kmeans_assign_col(centroids).alias("cluster")
     )
-    a = asg.select(
-        F.col("vec_id").alias("va"),
-        F.col("cluster").alias("ca"),
-        F.col("embedding").alias("ea"),
-    )
-    b = asg.select(
-        F.col("vec_id").alias("vb"),
-        F.col("cluster").alias("cb"),
-        F.col("embedding").alias("eb"),
-    )
-    sim = cosine(F.col("ea"), F.col("eb"))
-    dup = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
-        .where(sim >= F.lit(_SEMDEDUP_TAU))
-        .groupBy("va")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_lower"),
-            F.max(sim).alias("max_sim_lower"),
-        )
-    )
-    return (
-        asg.join(dup, asg.vec_id == dup.va, "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.col("va").isNull().alias("kept"),
-            F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
-            "max_sim_lower",
-        )
-    )
+    return _semdedup_verdict(asg, "cluster")

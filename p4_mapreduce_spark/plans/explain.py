@@ -62,13 +62,24 @@ def single_partition_funnels(plan: str) -> list[str]:
     — and is exactly what this reports, so the plan audit can ban it
     registry-wide (with an allowlist for provably-reduced frames).
     """
+    import re
+
     lines = plan.splitlines()
 
     def depth(line: str) -> int:
+        # Tree-art indentation only (spaces and the ':'/'+'/'-'
+        # connectors). Whole-stage-codegen markers '*(N) ' are part of
+        # the NODE NAME, not the indentation — counting them as depth
+        # makes a starred parent look deeper than its child exchange
+        # and the scan walks past it (a confirmed false negative).
         i = 0
-        while i < len(line) and line[i] in " :+-*(0123456789)":
+        while i < len(line) and line[i] in " :+-":
             i += 1
         return i
+
+    def node_name(line: str) -> str:
+        text = line[depth(line):]
+        return re.sub(r"^\*\(\d+\)\s*", "", text)
 
     hits = []
     for i, line in enumerate(lines):
@@ -80,8 +91,11 @@ def single_partition_funnels(plan: str) -> list[str]:
             if not pj.strip():
                 continue
             if depth(pj) < d:
-                parent = pj.strip().lstrip(":+- ").lstrip("*(0123456789) ")
-                if parent.startswith(("Sort", "Window")):
+                parent = node_name(pj)
+                # Word-boundary match: 'Sort [' / 'Window [' are the
+                # funnel shapes; SortAggregate, SortMergeJoin, and
+                # WindowGroupLimit are legitimate and must NOT match.
+                if re.match(r"(Sort|Window)\b", parent):
                     hits.append(parent.split("[")[0].strip() or parent)
                 break
     return hits

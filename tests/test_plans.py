@@ -236,6 +236,39 @@ def test_funnel_detector_catches_global_window(spark, sf_dir):
     )
 
 
+def test_funnel_detector_synthetic_edges():
+    """Two confirmed r5-review failure modes, pinned on synthetic plan
+    text: (1) a whole-stage-codegen-starred Sort parent must still be
+    detected (the '*(N) ' marker is node name, not indentation);
+    (2) Sort/Window PREFIX nodes (SortAggregate, SortMergeJoin,
+    WindowGroupLimit) are legitimate and must not match."""
+    starred = """== Physical Plan ==
+*(3) Project [x#1]
++- *(3) Sort [x#1 DESC NULLS LAST], true, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+      +- *(2) HashAggregate(keys=[k#0], functions=[sum(v#2)])
+"""
+    assert single_partition_funnels(starred), "starred Sort parent missed"
+
+    benign = """== Physical Plan ==
+SortAggregate(key=[], functions=[collect_list(v#2, 0, 0)])
++- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+   +- SortAggregate(key=[], functions=[partial_collect_list(v#2, 0, 0)])
+"""
+    assert not single_partition_funnels(benign), (
+        "SortAggregate final agg falsely flagged"
+    )
+
+    wgl = """== Physical Plan ==
+WindowGroupLimit [rank(x#1)], 20
++- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+   +- FileScan parquet [x#1]
+"""
+    assert not single_partition_funnels(wgl), (
+        "WindowGroupLimit falsely flagged"
+    )
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Runtime bloom-filter join pruning: with a selective build side,
     Catalyst injects bloom_filter_agg on the build and
