@@ -216,22 +216,13 @@ WHERE len(list_intersect(x.shingles, y.shingles))
 _MINHASH_ORACLE = f"WITH {_MINHASH_CTES} {_MINHASH_PAIRS_SELECT}"
 
 
-def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-wide DISTINCT-TEXT MinHash signature table: one row
-    per distinct text (gh = md5(text)) with its shingle set and one
-    signature per band (MINHASH_BANDS of them), persisted through the
-    bounded module cache. Shared by the full self-join dedup
-    (dedup_minhash_lsh) and the incremental batch-vs-corpus variant
-    (dedup_minhash_incremental) — the latter is exactly the "existing
-    corpus signature table" a steady-state pipeline keeps warm."""
-    docs = load(spark, sf_dir, "documents")
-    # 1. collapse exact-duplicate texts: every downstream stage runs
-    #    over DISTINCT texts (copies of one text share all band
-    #    signatures, so the band join would otherwise emit O(C^2)
-    #    candidate rows per duplicated text)
-    groups = docs.groupBy(F.md5("text").alias("gh")).agg(
-        F.min("text").alias("rtext")
-    )
+def minhash_signatures(groups: DataFrame) -> DataFrame:
+    """MinHash band signatures over a DISTINCT-TEXT frame
+    ``groups(gh, rtext)``: one row per text with its shingle set and
+    one signature per band. Shared by the batch dedup operators (via
+    _minhash_sig_table) and the streaming incremental near-dedup sink
+    (streaming/windows.streaming_minhash_incremental), which runs it
+    over each micro-batch's distinct texts."""
     # Filter on token count, NOT on size(shingles): a >=3-token doc
     # always yields >=1 shingle, and a filter over the shingles column
     # gets predicate-pushed below the aggregation where Catalyst
@@ -251,7 +242,7 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
         *[_minhash_col(p, F.col("hh")).alias(f"mh{p}") for p in range(MINHASH_PERMS)],
     )
-    sigs = mh.select(
+    return mh.select(
         "gh",
         "shingles",
         *[
@@ -262,6 +253,36 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ],
     )
+
+
+def melt_bands(sigs: DataFrame) -> DataFrame:
+    """Band signatures to long form ``(gh, band_id, sig)`` — ONE
+    equi-join key for all bands instead of one join per band."""
+    return sigs.select(
+        "gh",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "sig"),
+    )
+
+
+def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide DISTINCT-TEXT MinHash signature table: one row
+    per distinct text (gh = md5(text)) with its shingle set and one
+    signature per band (MINHASH_BANDS of them), persisted through the
+    bounded module cache. Shared by the full self-join dedup
+    (dedup_minhash_lsh) and the incremental batch-vs-corpus variant
+    (dedup_minhash_incremental) — the latter is exactly the "existing
+    corpus signature table" a steady-state pipeline keeps warm."""
+    docs = load(spark, sf_dir, "documents")
+    # 1. collapse exact-duplicate texts: every downstream stage runs
+    #    over DISTINCT texts (copies of one text share all band
+    #    signatures, so the band join would otherwise emit O(C^2)
+    #    candidate rows per duplicated text)
+    groups = docs.groupBy(F.md5("text").alias("gh")).agg(
+        F.min("text").alias("rtext")
+    )
+    sigs = minhash_signatures(groups)
     # The signature table feeds both sides of the candidate self-join
     # AND the verify join — without persistence, Spark recomputes the
     # whole shingle+minhash pipeline once per reference (5x+). It is
@@ -295,14 +316,7 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _minhash_sig_table(spark, sf_dir)
-    # melt bands to long form: one equi-join on (band_id, signature)
-    # instead of one join per band
-    bands_long = sigs.select(
-        "gh",
-        F.posexplode(
-            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
-        ).alias("band_id", "sig"),
-    )
+    bands_long = melt_bands(sigs)
     left = bands_long.select(F.col("gh").alias("gh_a"), "band_id", "sig")
     right = bands_long.select(F.col("gh").alias("gh_b"), "band_id", "sig")
     cand = (

@@ -494,6 +494,147 @@ def streaming_corpus_report_incremental(
     )
 
 
+def streaming_minhash_incremental(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming steady-state NEAR-dedup: the streaming twin of
+    operators.dedup.dedup_minhash_incremental, maintaining the warm
+    corpus signature index as a state table instead of re-deriving it.
+
+    Each micro-batch of documents:
+
+    1. collapses to DISTINCT batch texts and computes their MinHash
+       band signatures (the collapse-before-pairwise rule, per batch);
+    2. band-joins the batch signatures against the ACCUMULATED
+       signature state from all prior batches — never batch-vs-batch
+       quadratics, never a corpus self-join;
+    3. Jaccard-verifies cross candidates, adds same-text matches at
+       1.0, and expands rep-level pairs to (new doc, prior doc) pairs
+       via the accumulated members table;
+    4. appends its own signatures/members (keyed by batch_id) to the
+       state and the emitted pairs to ``{state_dir}/pairs``.
+
+    This is the daily-ingest operator running at micro-batch cadence:
+    per-batch cost is batch-signatures + one equi-join against the
+    index. State lives in plain parquet here (a production deployment
+    uses a transactional table format); replayed batches re-append
+    identical rows under the same batch_id, and the reader
+    (minhash_pairs_from_state) collapses them, so the derived pair set
+    is idempotent under crash-replay — the corpus_report_from_state
+    contract."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        melt_bands,
+        minhash_signatures,
+    )
+
+    docs = stream_documents(spark, docs_dir)
+    sigs_path = os.path.join(state_dir, "sigs")
+    members_path = os.path.join(state_dir, "members")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        groups = batch_df.groupBy(F.md5("text").alias("gh")).agg(
+            F.min("text").alias("rtext")
+        )
+        sigs_b = minhash_signatures(groups).localCheckpoint()
+        members_b = batch_df.select(F.md5("text").alias("gh"), "doc_id")
+
+        prior_sigs = _read_parquet_or_none(spark, sigs_path)
+        if prior_sigs is not None:
+            new_b = melt_bands(sigs_b).select(
+                F.col("gh").alias("gh_n"), "band_id", "sig"
+            )
+            old_b = melt_bands(prior_sigs).select(
+                F.col("gh").alias("gh_e"), "band_id", "sig"
+            )
+            cand = (
+                new_b.join(old_b, ["band_id", "sig"])
+                .where(F.col("gh_n") != F.col("gh_e"))
+                .select("gh_n", "gh_e")
+                .distinct()
+            )
+            x = sigs_b.select(
+                F.col("gh").alias("gh_n"), F.col("shingles").alias("sh_n")
+            )
+            y = prior_sigs.select(
+                F.col("gh").alias("gh_e"), F.col("shingles").alias("sh_e")
+            ).distinct()
+            inter = F.size(F.array_intersect("sh_n", "sh_e"))
+            union = F.size(F.array_distinct(F.concat("sh_n", "sh_e")))
+            jaccard = inter / F.greatest(union, F.lit(1))
+            cross = (
+                cand.join(x, "gh_n")
+                .join(y, "gh_e")
+                .select("gh_n", "gh_e", jaccard.alias("jaccard"))
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+            )
+            same = (
+                sigs_b.select("gh")
+                .join(prior_sigs.select("gh"), "gh", "left_semi")
+                .select(
+                    F.col("gh").alias("gh_n"),
+                    F.col("gh").alias("gh_e"),
+                    F.lit(1.0).alias("jaccard"),
+                )
+            )
+            rep_pairs = cross.unionByName(same)
+            prior_members = spark.read.parquet(members_path)
+            out = (
+                rep_pairs.join(
+                    members_b.select(
+                        F.col("gh").alias("gh_n"),
+                        F.col("doc_id").alias("doc_id_new"),
+                    ),
+                    "gh_n",
+                )
+                .join(
+                    prior_members.select(
+                        F.col("gh").alias("gh_e"),
+                        F.col("doc_id").alias("doc_id_existing"),
+                    ),
+                    "gh_e",
+                )
+                .select("doc_id_new", "doc_id_existing", "jaccard")
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            out.write.mode("append").parquet(pairs_path)
+        sigs_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sigs_path)
+        members_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(members_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # first batch: no state yet
+
+
+def minhash_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All cross-batch near-dup pairs accumulated by
+    streaming_minhash_incremental. Replay-safe: a re-run batch appends
+    byte-identical rows under the same batch_id, so distinct() restores
+    exactly-once semantics."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "pairs"))
+        .select("doc_id_new", "doc_id_existing", "jaccard")
+        .distinct()
+    )
+
+
 def corpus_report_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Derive the full corpus card from the incremental state table —
     no access to the raw corpus. Matches operators.pipeline_ops.

@@ -581,3 +581,72 @@ def test_streaming_corpus_report_incremental(spark, sf_dir, tmp_path):
         key(r): val(r) for r in corpus_report_from_state(spark, state).collect()
     }
     assert replayed == want
+
+
+def test_streaming_minhash_incremental(spark, sf_dir, tmp_path):
+    """Streaming steady-state near-dedup == the batch answer: running
+    the corpus through micro-batches (each band-joined against the
+    accumulated signature state only) must emit exactly the cross-
+    batch slice of dedup_minhash_lsh's full self-join pairs, oriented
+    later-batch -> earlier-batch, with identical jaccard values — and
+    the derived pair set must be idempotent under batch replay."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        minhash_pairs_from_state,
+        streaming_minhash_incremental,
+    )
+
+    base = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/documents.parquet")
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_minhash_incremental(
+        spark, f"{base}/documents.parquet", state, ckpt
+    )
+    q.awaitTermination(180)
+
+    members = (
+        spark.read.parquet(f"{state}/members")
+        .groupBy("doc_id")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .collect()
+    )
+    batch_of = {r.doc_id: r.batch_id for r in members}
+    assert len(set(batch_of.values())) >= 2, "need >= 2 micro-batches"
+
+    full = load_all()["dedup_minhash_lsh"].fn(spark, base).collect()
+    want = {}
+    for r in full:
+        ba, bb = batch_of[r.doc_id_a], batch_of[r.doc_id_b]
+        if ba == bb:
+            continue  # intra-batch: bootstrap territory, not emitted
+        new, old = (
+            (r.doc_id_a, r.doc_id_b) if ba > bb else (r.doc_id_b, r.doc_id_a)
+        )
+        want[(new, old)] = r.jaccard
+
+    got = {
+        (r.doc_id_new, r.doc_id_existing): r.jaccard
+        for r in minhash_pairs_from_state(spark, state).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's pair rows under
+    # the same batch_id; the derived pair set must not change
+    pairs = spark.read.parquet(f"{state}/pairs")
+    some_batch = pairs.agg(F.min("batch_id")).collect()[0][0]
+    pairs.where(F.col("batch_id") == some_batch).write.mode(
+        "append"
+    ).parquet(f"{state}/pairs")
+    replayed = {
+        (r.doc_id_new, r.doc_id_existing): r.jaccard
+        for r in minhash_pairs_from_state(spark, state).collect()
+    }
+    assert replayed == want
