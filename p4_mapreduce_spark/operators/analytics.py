@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from p4_mapreduce_spark.functions.deterministic import fsum, fsum_sql
+from p4_mapreduce_spark.functions.deterministic import fix_sql, fsum, fsum_sql
 from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
@@ -630,4 +630,163 @@ def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_per_key"),
         fix(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
         fix(F.max("cnt") / avg, 4).alias("skew_ratio"),
+    )
+
+
+# Market-basket minimum support: a brand pair must co-occur in at
+# least this fraction of baskets to be reported. Relative (not
+# absolute) so the same query is meaningful at every scale factor.
+_BASKET_MIN_SUPPORT = 0.025
+
+
+@register(
+    "frequent_itemsets_pairs",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    nb AS (SELECT count(DISTINCT ok) AS n FROM ob),
+    isupp AS (SELECT b, count(*) AS s FROM ob GROUP BY b),
+    pairs AS (
+        SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS support
+        FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support,
+           {fix_sql("support / n", 6)} AS support_frac,
+           {fix_sql("(support * n) / (sa.s * sb.s)", 6)} AS lift,
+           {fix_sql("support / sa.s", 6)} AS conf_a_b,
+           {fix_sql("support / sb.s", 6)} AS conf_b_a
+    FROM pairs
+    JOIN isupp sa ON brand_a = sa.b
+    JOIN isupp sb ON brand_b = sb.b
+    CROSS JOIN nb
+    WHERE support >= CAST({_BASKET_MIN_SUPPORT} AS DOUBLE) * n
+    """,
+    doc="Market-basket frequent-pair mining (the A-Priori L2 pass): "
+    "baskets are orders, items the part brands they contain; emits "
+    "every brand pair above 2.5% support with lift and both-direction "
+    "confidences — the association-rule triple. Scale shape: the only "
+    "corpus-sized steps are the lineitem-part equi-join and ONE "
+    "groupBy(orderkey) whose collect_set partial-aggregates (set "
+    "bounded by |brands| = 25, so per-basket state is tiny); pair "
+    "generation is an array-combination explode per basket — "
+    "quadratic in basket WIDTH, never in corpus size — and everything "
+    "after lives on a <= |brands|^2/2-row frame. Item supports and "
+    "the basket count re-aggregate that tiny frame (broadcast back), "
+    "so no second corpus scan. Lift/confidence are single IEEE "
+    "divisions of exact bigint products, floor-quantized at 1e-6.",
+    tags=("aggregation", "pattern-mining", "pipeline"),
+)
+def frequent_itemsets_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("arr"))
+    )
+    # ordered combinations of the sorted set: (arr[i], arr[j]) for i<j
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, (x, i) -> "
+                "transform(slice(arr, i + 2, size(arr)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    supp = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    isupp = (
+        baskets.select(F.explode("arr").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n"))
+    sa = isupp.select(F.col("b").alias("brand_a"), F.col("s").alias("s_a"))
+    sb = isupp.select(F.col("b").alias("brand_b"), F.col("s").alias("s_b"))
+    return (
+        supp.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("support") >= F.lit(_BASKET_MIN_SUPPORT) * F.col("n"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            fix(F.col("support") / F.col("n"), 6).alias("support_frac"),
+            fix(
+                (F.col("support") * F.col("n")) / (F.col("s_a") * F.col("s_b")), 6
+            ).alias("lift"),
+            fix(F.col("support") / F.col("s_a"), 6).alias("conf_a_b"),
+            fix(F.col("support") / F.col("s_b"), 6).alias("conf_b_a"),
+        )
+    )
+
+
+@register(
+    "mutual_information_lang_source",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS n_joint
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(n_joint) AS n FROM cells),
+    mx AS (SELECT lang, sum(n_joint) AS n_x FROM cells GROUP BY lang),
+    my AS (SELECT source, sum(n_joint) AS n_y FROM cells GROUP BY source)
+    SELECT c.lang, c.source, c.n_joint,
+           {fix_sql("(c.n_joint * n) / (n_x * n_y)", 6)} AS lift,
+           {fix_sql("ln((c.n_joint * n) / (n_x * n_y))", 6)} AS pmi,
+           {fix_sql(
+               "c.n_joint * (" + fix_sql(
+                   "ln((c.n_joint * n) / (n_x * n_y))", 6) + ") / n", 9)}
+               AS mi_term
+    FROM cells c
+    JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+    """,
+    doc="Mutual-information decomposition of the corpus (lang x "
+    "source): per-cell joint count, lift, PMI, and the cell's "
+    "additive MI contribution — sum(mi_term) IS I(lang; source), the "
+    "number that says whether language mix is independent of data "
+    "source (the mixture-design diagnostic: a high-MI corpus cannot "
+    "be re-weighted per-language without also shifting the source "
+    "mix). Scale shape: ONE map-side-combined corpus aggregation to "
+    "the (lang, source) contingency table, bounded by the label-space "
+    "product; marginals and the total re-aggregate that tiny frame "
+    "and broadcast back, so the corpus is scanned exactly once. Lift "
+    "is one IEEE division of exact bigint products; ln (the only "
+    "engine-divergent op) is floor-quantized at 1e-6 before the "
+    "per-cell MI product, mi_term at 1e-9.",
+    tags=("stats", "aggregation", "pipeline", "text"),
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+    )
+    tot = cells.agg(F.sum("n_joint").alias("n"))
+    mx = cells.groupBy("lang").agg(F.sum("n_joint").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_joint").alias("n_y"))
+    lift = (F.col("n_joint") * F.col("n")) / (F.col("n_x") * F.col("n_y"))
+    pmi = fix(F.log(lift), 6)
+    return (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_joint",
+            fix(lift, 6).alias("lift"),
+            pmi.alias("pmi"),
+            fix(F.col("n_joint") * pmi / F.col("n"), 9).alias("mi_term"),
+        )
     )

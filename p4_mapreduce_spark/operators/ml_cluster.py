@@ -407,3 +407,125 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("score"),
         (sig >= F.lit(0.5)).alias("predicted_long"),
     )
+
+
+@register(
+    "naive_bayes_langid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS word
+        FROM documents
+    ),
+    cwc AS (SELECT word, lang AS lm, count(*) AS c FROM toks GROUP BY 1, 2),
+    nc AS (SELECT lang AS lm, count(*) AS n_c FROM toks GROUP BY 1),
+    v AS (SELECT count(DISTINCT word) AS vs FROM cwc),
+    dprior AS (SELECT lang AS lm, count(*) AS nd_c FROM documents GROUP BY 1),
+    dtot AS (SELECT count(*) AS nd FROM documents),
+    cls AS (
+        SELECT lm,
+               CAST(floor(ln(nd_c / nd) * 1000000.0 + 0.5) AS BIGINT)
+                   AS prior_u,
+               CAST(floor(ln(n_c + vs) * 1000000.0 + 0.5) AS BIGINT)
+                   AS base_u
+        FROM dprior JOIN nc USING (lm) CROSS JOIN v CROSS JOIN dtot
+    ),
+    dlen AS (SELECT doc_id, lang, count(*) AS n_d FROM toks GROUP BY 1, 2),
+    terms AS (
+        SELECT t.doc_id, c.lm,
+               CAST(sum(CAST(floor(ln(c.c + 1) * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_u
+        FROM toks t JOIN cwc c ON t.word = c.word GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang, cls.lm,
+               coalesce(s_u, 0) + prior_u - d.n_d * base_u AS score_u
+        FROM dlen d CROSS JOIN cls
+        LEFT JOIN terms ON terms.doc_id = d.doc_id AND terms.lm = cls.lm
+    ),
+    pred AS (
+        SELECT doc_id, lang, lm AS pred_lang FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_u DESC, lm DESC) = 1
+    )
+    SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+    doc="Multinomial Naive Bayes language classifier trained AND "
+    "applied in-engine (the fastText-speed baseline a pipeline runs "
+    "before any neural lang-id): add-1-smoothed per-(word, class) "
+    "log-likelihoods + class priors, argmax over classes per doc, "
+    "emitted as the (true lang x predicted lang) confusion matrix. "
+    "The smoothing identity makes this scale: unseen (word, class) "
+    "pairs contribute ln(1) = 0, so ONLY observed vocabulary rows "
+    "ever materialize, and the per-class normalizer factors out as "
+    "n_d * ln(N_c + V) — the model join is a plain shuffle equi-join "
+    "on word (web vocabularies are not broadcastable), every frame "
+    "bounded by corpus tokens x n_classes. All scores are bigint "
+    "micros (ln floor-quantized at 1e-6 BEFORE summation), so every "
+    "reduction is exact integer arithmetic in any order, and the "
+    "argmax tie-breaks on class name — bit-reproducible end to end. "
+    "Class frame (priors/normalizers) is a bounded broadcast; argmax "
+    "is a per-doc window (WindowGroupLimit top-1).",
+    tags=("ml", "text", "classification", "pipeline"),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    uln = lambda c: F.floor(F.log(c) * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    cwc = toks.groupBy("word", F.col("lang").alias("lm")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nc = cwc.groupBy("lm").agg(F.sum("c").alias("n_c"))
+    v = cwc.agg(F.countDistinct("word").alias("vs"))
+    dprior = docs.groupBy(F.col("lang").alias("lm")).agg(
+        F.count(F.lit(1)).alias("nd_c")
+    )
+    dtot = docs.agg(F.count(F.lit(1)).alias("nd"))
+    cls = (
+        dprior.join(nc, "lm")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "lm",
+            uln(F.col("nd_c") / F.col("nd")).alias("prior_u"),
+            uln(F.col("n_c") + F.col("vs")).alias("base_u"),
+        )
+    )
+    dlen = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_d"))
+    terms = (
+        toks.join(cwc, "word")
+        .groupBy("doc_id", "lm")
+        .agg(F.sum(uln(F.col("c") + 1)).alias("s_u"))
+    )
+    scored = (
+        dlen.crossJoin(F.broadcast(cls))
+        .join(terms, ["doc_id", "lm"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "lm",
+            (
+                F.coalesce(F.col("s_u"), F.lit(0))
+                + F.col("prior_u")
+                - F.col("n_d") * F.col("base_u")
+            ).alias("score_u"),
+        )
+    )
+    top = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("lm").desc()
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(top))
+        .where(F.col("rk") == 1)
+        .select("lang", F.col("lm").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))

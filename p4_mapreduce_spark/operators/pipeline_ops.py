@@ -917,3 +917,208 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gh").alias("n_distinct_texts"),
         )
     )
+
+
+# Rendezvous (highest-random-weight) sharding: shard counts before and
+# after adding one shard. HRW's contract is minimal disruption — only
+# ~1/(S+1) of keys move when a shard joins, vs ~all keys under mod-S.
+_HRW_SHARDS = 8
+
+
+@register(
+    "rendezvous_shard_assign",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(s AS VARCHAR))) AS shard8
+        FROM documents, unnest(range({_HRW_SHARDS})) AS t(s)
+        GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id,
+               arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(s AS VARCHAR))) AS shard9
+        FROM documents, unnest(range({_HRW_SHARDS + 1})) AS t(s)
+        GROUP BY doc_id
+    )
+    SELECT CAST(shard8 AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE shard8 <> shard9) AS BIGINT)
+               AS n_moved,
+           {fix_sql("count(*) FILTER (WHERE shard8 <> shard9)"
+                    " / CAST(count(*) AS DOUBLE)", 6)} AS moved_frac
+    FROM a JOIN b USING (doc_id)
+    GROUP BY shard8
+    """,
+    doc=f"Rendezvous (HRW) shard assignment with a stability audit: "
+    f"each doc scores every shard id via md5(doc_id || ':' || s) and "
+    f"joins the argmax; computed for S={_HRW_SHARDS} and "
+    f"S={_HRW_SHARDS + 1} side by side, the per-shard moved_frac "
+    f"verifies the HRW contract (only ~1/{_HRW_SHARDS + 1} of keys "
+    "move when a shard joins — mod-hashing would move ~8/9). This is "
+    "how a 100 TB pipeline assigns work/storage shards that survive "
+    "elastic resizing without a global reshuffle. Scale shape: both "
+    "assignments are per-row argmax folds over a literal shard list — "
+    "map-only, fused into one scan, zero joins (the oracle's "
+    "doc_id join is replayed in-row); the only shuffle is the final "
+    f"{_HRW_SHARDS}-key rollup. Pure hex-string comparisons, no "
+    "floats anywhere until the final quantized ratio.",
+    tags=("pipeline", "partitioning", "hash"),
+)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    def argmax_shard(n: int) -> F.Column:
+        return F.expr(
+            f"array_max(transform(sequence(0, {n - 1}), s -> "
+            "struct(md5(concat(cast(doc_id as string), ':', "
+            "cast(s as string))) AS h, s AS s))).s"
+        )
+
+    docs = load(spark, sf_dir, "documents").select(
+        argmax_shard(_HRW_SHARDS).alias("shard8"),
+        argmax_shard(_HRW_SHARDS + 1).alias("shard9"),
+    )
+    moved = F.sum((F.col("shard8") != F.col("shard9")).cast("bigint"))
+    return docs.groupBy("shard8").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        moved.alias("n_moved"),
+        fix(moved / F.count(F.lit(1)).cast("double"), 6).alias("moved_frac"),
+    ).select(
+        F.col("shard8").cast("int").alias("shard"),
+        "n_docs",
+        "n_moved",
+        "moved_frac",
+    )
+
+
+# UniMax mixture budgeting (Chung et al. 2023): total token budget as
+# a multiple of the corpus, per-source epoch cap. Greedy: visit
+# sources by size ascending; each takes min(cap * its tokens, an even
+# share of the remaining budget).
+_UNIMAX_EPOCH_CAP = 4
+_UNIMAX_BUDGET_X = 2  # budget = 2x total corpus tokens
+
+
+@register(
+    "unimax_mixture_budget",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, n_tok,
+               CAST(row_number() OVER w AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n_src,
+               CAST(sum(n_tok) OVER () * {_UNIMAX_BUDGET_X} AS BIGINT)
+                   AS budget,
+               CAST(sum({_UNIMAX_EPOCH_CAP} * n_tok)
+                    OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cap
+        FROM src
+        WINDOW w AS (ORDER BY n_tok, source)
+    ),
+    flagged AS (
+        SELECT *,
+               ({_UNIMAX_EPOCH_CAP} * n_tok * (n_src - rk + 1)
+                <= budget - (cum_cap - {_UNIMAX_EPOCH_CAP} * n_tok))
+                   AS capped
+        FROM ranked
+    ),
+    closed AS (
+        SELECT count(*) FILTER (WHERE capped) AS m,
+               coalesce(CAST(sum({_UNIMAX_EPOCH_CAP} * n_tok)
+                             FILTER (WHERE capped) AS BIGINT), 0)
+                   AS cap_spent
+        FROM flagged
+    )
+    SELECT source, n_tok, CAST(rk AS INTEGER) AS rk, capped,
+           {fix_sql(f"CASE WHEN capped THEN "
+                    f"CAST({_UNIMAX_EPOCH_CAP} * n_tok AS DOUBLE) "
+                    "ELSE (budget - cap_spent)"
+                    " / CAST(n_src - m AS DOUBLE) END", 6)} AS alloc_tok,
+           {fix_sql(f"(CASE WHEN capped THEN "
+                    f"CAST({_UNIMAX_EPOCH_CAP} * n_tok AS DOUBLE) "
+                    "ELSE (budget - cap_spent)"
+                    " / CAST(n_src - m AS DOUBLE) END) / n_tok", 6)}
+               AS epochs,
+           {fix_sql(f"(CASE WHEN capped THEN "
+                    f"CAST({_UNIMAX_EPOCH_CAP} * n_tok AS DOUBLE) "
+                    "ELSE (budget - cap_spent)"
+                    " / CAST(n_src - m AS DOUBLE) END) / budget", 6)}
+               AS weight
+    FROM flagged CROSS JOIN closed
+    """,
+    doc=f"UniMax mixture budgeting (Chung et al. 2023): allocate a "
+    f"{_UNIMAX_BUDGET_X}x-corpus token budget across sources with a "
+    f"{_UNIMAX_EPOCH_CAP}-epoch repetition cap — visit sources "
+    "smallest-first, each takes min(cap * its tokens, an even share "
+    "of what remains); small sources hit the epoch cap, the budget "
+    "they leave flows to larger ones. The greedy has a closed form "
+    "(capped sources are a prefix of the size-ascending order), so "
+    "it compiles to ONE windowed pass over the per-source frame — no "
+    "driver loop. Scale shape: one map-side-combined corpus "
+    "aggregation to per-source token counts (bounded by source "
+    "cardinality); the window/closure runs on that tiny frame (the "
+    "single-partition window is bounded-frame-safe). The cap "
+    "comparison is multiplied through to pure bigint arithmetic — "
+    "floats appear only in the final quantized allocation ratios.",
+    tags=("pipeline", "mixture", "window"),
+)
+def unimax_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    E, BX = _UNIMAX_EPOCH_CAP, _UNIMAX_BUDGET_X
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split("text", " ", -1), lambda x: x != ""))
+            ).cast("bigint").alias("n_tok")
+        )
+    )
+    w = Window.orderBy("n_tok", "source")
+    wall = Window.partitionBy()
+    ranked = src.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_src"),
+        (F.sum("n_tok").over(wall) * BX).cast("bigint").alias("budget"),
+        F.sum(F.lit(E) * F.col("n_tok"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_cap"),
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.lit(E) * F.col("n_tok") * (F.col("n_src") - F.col("rk") + 1)
+        <= F.col("budget") - (F.col("cum_cap") - F.lit(E) * F.col("n_tok")),
+    )
+    closed = flagged.agg(
+        F.count(F.when(F.col("capped"), 1)).alias("m"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.lit(E) * F.col("n_tok"))), F.lit(0)
+        ).cast("bigint").alias("cap_spent"),
+    )
+    alloc = F.when(
+        F.col("capped"), (F.lit(E) * F.col("n_tok")).cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("cap_spent"))
+        / (F.col("n_src") - F.col("m")).cast("double")
+    )
+    return flagged.crossJoin(F.broadcast(closed)).select(
+        "source",
+        "n_tok",
+        F.col("rk").cast("int").alias("rk"),
+        "capped",
+        fix(alloc, 6).alias("alloc_tok"),
+        fix(alloc / F.col("n_tok"), 6).alias("epochs"),
+        fix(alloc / F.col("budget"), 6).alias("weight"),
+    )

@@ -482,9 +482,10 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_MIN_SHARE = 0.002
 
 
-@register(
-    "quality_unigram_logppl",
-    oracle="""
+# The unigram-logppl scoring chain as a standalone SELECT — shared by
+# the quality_unigram_logppl register below and (as a CTE) by the
+# CCNet-style bucketing oracle, so the two can never drift.
+_UNIGRAM_LOGPPL_SQL = """
     WITH words AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                           x -> x <> '')) AS word
@@ -513,7 +514,12 @@ _VOCAB_MIN_SHARE = 0.002
     LEFT JOIN logp l USING (word)
     CROSS JOIN oov o
     GROUP BY w.doc_id
-    """,
+"""
+
+
+@register(
+    "quality_unigram_logppl",
+    oracle=_UNIGRAM_LOGPPL_SQL,
     doc="Unigram log-perplexity quality score (the classic cheap "
     "LM-quality filter for pretraining corpora): fit a corpus-level "
     "unigram model in one aggregation, prune it to terms holding >= "
@@ -1569,4 +1575,292 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1000000.0)
             ).alias("chars_per_bpe_token"),
         )
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH scores AS ({_UNIGRAM_LOGPPL_SQL}),
+    scored AS (
+        SELECT s.doc_id, d.lang, s.avg_neg_logp AS ppl
+        FROM scores s JOIN documents d USING (doc_id)
+    ),
+    bounds AS (
+        SELECT lang,
+               quantile_cont(ppl, CAST(1 AS DOUBLE) / 3) AS q1,
+               quantile_cont(ppl, CAST(2 AS DOUBLE) / 3) AS q2
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CASE WHEN ppl <= q1 THEN 'head'
+                WHEN ppl <= q2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           (CAST(sum(CAST(floor(ppl * 1000000.0 + 0.5) AS BIGINT))
+                 AS BIGINT) / count(*)) / 1000000.0 AS avg_ppl
+    FROM scored s JOIN bounds b USING (lang)
+    GROUP BY 1, 2
+    """,
+    doc="CCNet-style per-language perplexity bucketing (Wenzek et al. "
+    "2020): score every document with the corpus-fit unigram LM "
+    "(quality_unigram_logppl's exact chain — shared SQL constant, so "
+    "the two registrations cannot drift), then split EACH LANGUAGE at "
+    "its own perplexity terciles into head/middle/tail — the "
+    "pretraining-data curation move that keeps low-perplexity text "
+    "without biasing against low-resource languages (a global "
+    "threshold would gut them). Emits per-(lang, bucket) doc counts "
+    "and mean score. Scale shape: the scoring chain is the audited "
+    "unigram plan (bounded 500-row model broadcast, one fact "
+    "shuffle); terciles are one exact-percentile aggregation per "
+    "language (swap in approx_percentile at 100 TB — the exact path "
+    "is the contract it is tested against), broadcast back as a "
+    "lang-cardinality frame. Bucket comparisons are bit-safe without "
+    "quantizing the boundaries: every score is bit-identical in both "
+    "engines, and an interpolated boundary lies strictly between two "
+    "adjacent scores (or exactly on one), so the engines' ~1e-11 "
+    "interpolation-formula difference can never flip a comparison. "
+    "Mean scores are bigint-micro sums — exact in any order.",
+    tags=("text", "quality", "pipeline", "aggregation"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        quality_unigram_logppl(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", F.col("avg_neg_logp").alias("ppl"))
+    )
+    bounds = scored.groupBy("lang").agg(
+        F.percentile("ppl", F.lit(1.0) / 3).alias("q1"),
+        F.percentile("ppl", F.lit(2.0) / 3).alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("q1"), "head")
+        .when(F.col("ppl") <= F.col("q2"), "middle")
+        .otherwise("tail")
+    )
+    ppl_u = F.floor(F.col("ppl") * 1000000.0 + 0.5).cast("bigint")
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                (F.sum(ppl_u) / F.count(F.lit(1))) / 1000000.0
+            ).alias("avg_ppl"),
+        )
+    )
+
+
+@register(
+    "kl_source_drift",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS word
+        FROM documents
+    ),
+    swc AS (SELECT source, word, count(*) AS c_sw FROM words GROUP BY 1, 2),
+    wc AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM swc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM wc),
+    kept AS (
+        SELECT word, c_w FROM wc CROSS JOIN tot
+        WHERE c_w >= {_VOCAB_MIN_SHARE} * n
+    ),
+    ka AS (SELECT CAST(sum(c_w) AS BIGINT) AS nk,
+                  count(*) AS k FROM kept),
+    ns AS (
+        SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+        FROM swc JOIN kept USING (word) GROUP BY 1
+    ),
+    grid AS (
+        SELECT ns.source, ns.n_s, kept.word, kept.c_w, ka.nk, ka.k,
+               coalesce(s.c_sw, 0) AS c_sw
+        FROM ns CROSS JOIN kept CROSS JOIN ka
+        LEFT JOIN swc s ON s.source = ns.source AND s.word = kept.word
+    ),
+    terms AS (
+        SELECT source, n_s,
+               ((c_sw + 1) / CAST(n_s + k AS DOUBLE))
+                   * ({fix_sql("ln(((c_sw + 1) / CAST(n_s + k AS DOUBLE))"
+                               " / (c_w / CAST(nk AS DOUBLE)))", 6)}) AS t
+        FROM grid
+    )
+    SELECT source, n_s AS n_kept_tokens,
+           CAST(sum(CAST(floor(t * 1000000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 1000000000.0 AS kl_nats
+    FROM terms GROUP BY 1, 2
+    """,
+    doc="Per-source distribution drift: KL(source || corpus) over the "
+    "share-pruned vocabulary — the monitoring number a continuously- "
+    "ingesting 100 TB pipeline alerts on when a crawl source suddenly "
+    "shifts its token distribution (spam injection, language flip, "
+    "template change). Both distributions live on the SAME bounded "
+    "support (terms holding >= 0.2% of corpus tokens, <= 500 by the "
+    "share-prune argument); the source side is add-1 smoothed so "
+    "absent terms contribute finite mass via the (source x kept-term) "
+    "scaffold — a bounded crossJoin, never corpus-sized. Scale shape: "
+    "ONE corpus aggregation to (source, word) counts (map-side "
+    "combined); the corpus marginal, prune, per-source totals and the "
+    "scaffold all re-aggregate that frame. Probability ratios are "
+    "exact IEEE on integer counts; ln is floor-quantized at 1e-6, "
+    "per-term products at 1e-9 into bigint-nano sums — exact in any "
+    "reduction order.",
+    tags=("text", "stats", "pipeline", "aggregation"),
+)
+def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    swc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    wc = swc.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    tot = wc.agg(F.sum("c_w").cast("bigint").alias("n"))
+    kept = (
+        wc.crossJoin(F.broadcast(tot))
+        .where(F.col("c_w") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
+        .select("word", "c_w")
+    )
+    ka = kept.agg(
+        F.sum("c_w").cast("bigint").alias("nk"), F.count(F.lit(1)).alias("k")
+    )
+    ns = (
+        swc.join(F.broadcast(kept.select("word")), "word")
+        .groupBy("source")
+        .agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(ka))
+        .join(F.broadcast(swc), ["source", "word"], "left")
+        .withColumn("c_sw", F.coalesce(F.col("c_sw"), F.lit(0)))
+    )
+    p_s = (F.col("c_sw") + 1) / (F.col("n_s") + F.col("k")).cast("double")
+    p_c = F.col("c_w") / F.col("nk").cast("double")
+    t = p_s * fix(F.log(p_s / p_c), 6)
+    return (
+        grid.select(
+            "source",
+            "n_s",
+            F.floor(t * 1000000000.0 + 0.5).cast("bigint").alias("t_u"),
+        )
+        .groupBy("source", F.col("n_s").alias("n_kept_tokens"))
+        .agg((F.sum("t_u").cast("bigint") / 1000000000.0).alias("kl_nats"))
+    )
+
+
+@register(
+    "zipf_fit_top_terms",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
+    kept AS (
+        SELECT word, c,
+               CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+                   AS rk
+        FROM wc CROSS JOIN tot WHERE c >= {_VOCAB_MIN_SHARE} * n
+    ),
+    q AS (
+        SELECT CAST(floor(ln(rk) * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+               CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT) AS y_u
+        FROM kept
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x_u) AS BIGINT) / 1000000.0 AS sx,
+               CAST(sum(y_u) AS BIGINT) / 1000000.0 AS sy,
+               CAST(sum(x_u * y_u) AS BIGINT) / 1000000000000.0 AS sxy,
+               CAST(sum(x_u * x_u) AS BIGINT) / 1000000000000.0 AS sxx,
+               CAST(sum(y_u * y_u) AS BIGINT) / 1000000000000.0 AS syy
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {fix_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+               AS slope,
+           {fix_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+                    " * sx) / n", 6)} AS intercept,
+           {fix_sql("((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
+               AS r2
+    FROM s
+    """,
+    doc="Zipf's-law fit over the share-pruned head vocabulary: OLS of "
+    "ln(frequency) on ln(rank) — slope ~ -1 is the signature of "
+    "natural language, and a corpus whose slope drifts (toward 0: "
+    "template/boilerplate soup; steeper: vocabulary collapse) fails "
+    "the linguistic sanity check before any model sees it. Scale "
+    "shape: one map-side-combined vocabulary aggregation; the prune "
+    "bounds the ranked frame at <= 500 rows, so the rank window runs "
+    "on a bounded frame and the regression sums are five bigint "
+    "cells. Determinism: ln(rank)/ln(count) floor-quantized at 1e-6 "
+    "into bigint micros, moment sums exact integer products, and the "
+    "closed-form OLS is evaluated as the IDENTICAL expression tree on "
+    "exactly-converted doubles in both engines. Rank ties break on "
+    "the term string.",
+    tags=("text", "stats", "aggregation"),
+)
+def zipf_fit_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " ", -1), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.agg(F.sum("c").cast("bigint").alias("n"))
+    kept = (
+        wc.crossJoin(F.broadcast(tot))
+        .where(F.col("c") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "word"))
+            .cast("bigint"),
+        )
+    )
+    q = kept.select(
+        F.floor(F.log("rk") * 1000000.0 + 0.5).cast("bigint").alias("x_u"),
+        F.floor(F.log("c") * 1000000.0 + 0.5).cast("bigint").alias("y_u"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("x_u").cast("bigint") / 1000000.0).alias("sx"),
+        (F.sum("y_u").cast("bigint") / 1000000.0).alias("sy"),
+        (
+            F.sum(F.col("x_u") * F.col("y_u")).cast("bigint") / 1000000000000.0
+        ).alias("sxy"),
+        (
+            F.sum(F.col("x_u") * F.col("x_u")).cast("bigint") / 1000000000000.0
+        ).alias("sxx"),
+        (
+            F.sum(F.col("y_u") * F.col("y_u")).cast("bigint") / 1000000000000.0
+        ).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        fix(slope, 6).alias("slope"),
+        fix((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        fix(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
     )

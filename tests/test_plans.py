@@ -114,6 +114,10 @@ _BNLJ_ALLOWED = {
     "heavy_hitters_words",  # 1-row lazy threshold frame vs candidate counts
     "ann_lsh_recall",  # 1-row corpus-count frame vs 10-row recall table
     "split_balance_audit",  # 3x5 marginal cross + 1-row total/df frames
+    "frequent_itemsets_pairs",  # 1-row basket-count frame vs pair supports
+    "mutual_information_lang_source",  # 1-row grand total vs cell frame
+    "unimax_mixture_budget",  # 1-row greedy-closure frame vs source frame
+    "naive_bayes_langid",  # 1-row vocab-size/doc-total frames vs class frame
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -157,6 +161,16 @@ _SHUFFLE_CAP_EXEMPT = {
     # the candidate-count joins; every post-arm exchange moves <=10-row
     # per-(query, method) frames.
     "ann_lsh_recall",
+    # lineitem-part equi-join (2) + ONE basket rollup are the only
+    # fact-sized exchanges; pair explode is per-basket array math and
+    # every later exchange moves <= |brands|^2 / 2 rows.
+    "frequent_itemsets_pairs",
+    # 3 fact-sized map-side-combined exchanges (the (word, class)
+    # model aggregation, the token-model equi-join on word, the
+    # per-(doc, class) score rollup); the rest move vocabulary-,
+    # class- or doc-bounded frames, and the argmax window is
+    # WindowGroupLimit top-1 partitioned by doc_id.
+    "naive_bayes_langid",
 }
 
 
@@ -172,6 +186,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     "mr_partition_replay",  # replays the reference's single-merge stage
     "hybrid_search_rrf",  # fusion rank over two <=20-row top-k lists
     "mixture_temperature_resample",  # window over <=256 x n_langs histogram
+    "unimax_mixture_budget",  # rank/cumsum over the per-source frame
 }
 
 

@@ -325,3 +325,133 @@ def test_semdedup_pipeline_uses_fitted_clusters(spark, sf_dir):
     for c, v in min_per_cluster.items():
         assert by_id[v].kept, (c, v)
         assert by_id[v].n_dup_lower == 0
+
+
+def _write_docs(spark, out, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def test_rendezvous_minimal_disruption(spark, sf_dir):
+    """HRW contract: adding shard 9 moves ~1/9 of keys (mod-hashing
+    would move ~8/9); shard ids stay in range and counts cover the
+    corpus."""
+    rows = REGISTRY["rendezvous_shard_assign"].fn(spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    n_moved = sum(r.n_moved for r in rows)
+    assert {r.shard for r in rows} <= set(range(8))
+    frac = n_moved / n_docs
+    assert 0.04 < frac < 0.25, frac  # expected 1/9 ~ 0.111
+    for r in rows:
+        assert 0 <= r.n_moved <= r.n_docs
+
+
+def test_unimax_budget_conservation(spark, sf_dir):
+    """The greedy spends the whole budget (uncapped sources must exist
+    when budget_x < epoch_cap), capped sources sit exactly at the
+    epoch cap, uncapped sources share one equal allocation >= every
+    capped one."""
+    rows = REGISTRY["unimax_mixture_budget"].fn(spark, sf_dir).collect()
+    total = sum(r.n_tok for r in rows)
+    budget = 2 * total
+    spent = sum(r.alloc_tok for r in rows)
+    assert abs(spent - budget) < 1e-3 * budget, (spent, budget)
+    uncapped = sorted(r.alloc_tok for r in rows if not r.capped)
+    assert uncapped, "budget_x < epoch_cap forces an uncapped source"
+    assert uncapped[-1] - uncapped[0] < 1e-6  # equal share
+    for r in rows:
+        if r.capped:
+            assert abs(r.epochs - 4.0) < 1e-6
+            assert r.alloc_tok <= uncapped[0] + 1e-6
+        else:
+            assert r.epochs <= 4.0 + 1e-6
+
+
+def test_unimax_planted_two_sources(spark, tmp_path):
+    """10-token source capped at 4 epochs; the big source takes the
+    remainder of the 2x budget."""
+    out = str(tmp_path / "unimax")
+    rows = [(1, " ".join(["a"] * 10), "en", "tiny", 20)]
+    rows += [
+        (2 + i, " ".join(["b"] * 100), "en", "big", 200) for i in range(10)
+    ]
+    _write_docs(spark, out, rows)
+    res = {r.source: r for r in
+           REGISTRY["unimax_mixture_budget"].fn(spark, out).collect()}
+    assert res["tiny"].capped and res["tiny"].alloc_tok == 40.0
+    assert not res["big"].capped
+    assert abs(res["big"].alloc_tok - (2 * 1010 - 40)) < 1e-6
+    assert abs(res["big"].epochs - 1980 / 1000) < 1e-6
+
+
+def test_naive_bayes_separable_vocab(spark, tmp_path):
+    """Disjoint vocabularies => NB classifies every doc correctly:
+    the confusion matrix is diagonal."""
+    out = str(tmp_path / "nb")
+    rows = [
+        (i, "aa bb cc aa", "en", "s", 11) for i in range(6)
+    ] + [
+        (10 + i, "xx yy zz xx", "fr", "s", 11) for i in range(6)
+    ]
+    _write_docs(spark, out, rows)
+    res = REGISTRY["naive_bayes_langid"].fn(spark, out).collect()
+    assert {(r.lang, r.pred_lang, r.n) for r in res} == {
+        ("en", "en", 6), ("fr", "fr", 6)
+    }
+
+
+def test_frequent_itemsets_planted_baskets(spark, tmp_path):
+    """Orders 1-20 hold brands {A, B}, 21-40 hold {C, D}: only those
+    two pairs survive, each with support 20, lift 2 (perfect
+    co-occurrence across half the baskets), confidence 1."""
+    out = str(tmp_path / "basket")
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B"), (3, "Brand#C"), (4, "Brand#D")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        [(ok, pk) for ok in range(1, 21) for pk in (1, 2)]
+        + [(ok, pk) for ok in range(21, 41) for pk in (3, 4)],
+        "l_orderkey long, l_partkey long",
+    )
+    part.coalesce(1).write.mode("overwrite").parquet(f"{out}/part.parquet")
+    li.coalesce(1).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    res = REGISTRY["frequent_itemsets_pairs"].fn(spark, out).collect()
+    got = {(r.brand_a, r.brand_b): r for r in res}
+    assert set(got) == {("Brand#A", "Brand#B"), ("Brand#C", "Brand#D")}
+    for r in got.values():
+        assert r.support == 20
+        assert r.support_frac == 0.5
+        assert r.lift == 2.0
+        assert r.conf_a_b == 1.0 and r.conf_b_a == 1.0
+
+
+def test_mutual_information_extremes(spark, tmp_path):
+    """Perfect lang<->source dependence gives MI = ln 2 (2 symmetric
+    cells); full independence gives MI = 0 and every lift = 1."""
+    import math
+
+    out1 = str(tmp_path / "dep")
+    rows = [(i, "t", "en", "s_en", 1) for i in range(10)]
+    rows += [(100 + i, "t", "fr", "s_fr", 1) for i in range(10)]
+    _write_docs(spark, out1, rows)
+    res = REGISTRY["mutual_information_lang_source"].fn(spark, out1).collect()
+    assert abs(sum(r.mi_term for r in res) - math.log(2)) < 1e-5
+    for r in res:
+        assert abs(r.lift - 2.0) < 1e-6
+
+    out2 = str(tmp_path / "ind")
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for src in ("s0", "s1"):
+            for _ in range(5):
+                rows.append((i, "t", lang, src, 1))
+                i += 1
+    _write_docs(spark, out2, rows)
+    res = REGISTRY["mutual_information_lang_source"].fn(spark, out2).collect()
+    assert abs(sum(r.mi_term for r in res)) < 1e-5
+    for r in res:
+        assert r.lift == 1.0 and r.pmi == 0.0
