@@ -118,6 +118,9 @@ _BNLJ_ALLOWED = {
     "mutual_information_lang_source",  # 1-row grand total vs cell frame
     "unimax_mixture_budget",  # 1-row greedy-closure frame vs source frame
     "naive_bayes_langid",  # 1-row vocab-size/doc-total frames vs class frame
+    "ccnet_perplexity_buckets",  # unigram arm's 1-row total/OOV frames
+    "kl_source_drift",  # 1-row corpus total + bounded (source x term) grid
+    "zipf_fit_top_terms",  # 1-row corpus-total frame vs vocab frame
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -171,6 +174,14 @@ _SHUFFLE_CAP_EXEMPT = {
     # class- or doc-bounded frames, and the argmax window is
     # WindowGroupLimit top-1 partitioned by doc_id.
     "naive_bayes_langid",
+    # The audited unigram-logppl chain (vocab agg + fact rollup) plus
+    # the per-language exact-percentile aggregation and the final
+    # (lang, bucket) rollup; the added exchanges move doc-level score
+    # rows once and lang-cardinality frames after.
+    "ccnet_perplexity_buckets",
+    # ONE fact-sized (source, word) aggregation; every later exchange
+    # re-aggregates that frame or the <= |sources| x 500 scaffold.
+    "kl_source_drift",
 }
 
 
@@ -187,6 +198,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     "hybrid_search_rrf",  # fusion rank over two <=20-row top-k lists
     "mixture_temperature_resample",  # window over <=256 x n_langs histogram
     "unimax_mixture_budget",  # rank/cumsum over the per-source frame
+    "zipf_fit_top_terms",  # rank over the share-pruned <= 500-term vocab
 }
 
 

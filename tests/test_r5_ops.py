@@ -455,3 +455,48 @@ def test_mutual_information_extremes(spark, tmp_path):
     assert abs(sum(r.mi_term for r in res)) < 1e-5
     for r in res:
         assert r.lift == 1.0 and r.pmi == 0.0
+
+
+def test_ccnet_buckets_ordered(spark, sf_dir):
+    """Per language: tercile buckets are ~n/3 each and mean perplexity
+    is monotone head <= middle <= tail (CCNet's defining invariant)."""
+    rows = REGISTRY["ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        n = sum(r.n_docs for r in b.values())
+        for r in b.values():
+            assert abs(r.n_docs - n / 3) <= n / 6 + 2, (lang, r)
+        assert b["head"].avg_ppl <= b["middle"].avg_ppl <= b["tail"].avg_ppl
+
+
+def test_kl_drift_nonnegative_and_orders_skew(spark, sf_dir, tmp_path):
+    """KL(source || corpus) is >= 0 (both sides are proper
+    distributions over the kept support); a source collapsed onto one
+    token scores far above a corpus-typical source."""
+    for r in REGISTRY["kl_source_drift"].fn(spark, sf_dir).collect():
+        assert r.kl_nats >= -1e-9, r
+
+    out = str(tmp_path / "kl")
+    rows = [(i, "aa bb cc dd", "en", "balanced", 11) for i in range(80)]
+    rows += [(100 + i, "aa aa aa aa", "en", "collapsed", 11) for i in range(8)]
+    _write_docs(spark, out, rows)
+    res = {r.source: r.kl_nats for r in
+           REGISTRY["kl_source_drift"].fn(spark, out).collect()}
+    assert res["collapsed"] > res["balanced"] + 0.2, res
+
+
+def test_zipf_planted_power_law(spark, tmp_path):
+    """A corpus built with count(rank r) = floor(100/r) must fit
+    slope ~ -1 with near-perfect r2."""
+    out = str(tmp_path / "zipf")
+    toks = []
+    for r in range(1, 11):
+        toks += [f"w{r:02d}"] * (100 // r)
+    _write_docs(spark, out, [(1, " ".join(toks), "en", "s", len(toks))])
+    row = REGISTRY["zipf_fit_top_terms"].fn(spark, out).collect()[0]
+    assert row.n_terms == 10
+    assert -1.1 < row.slope < -0.9, row
+    assert row.r2 > 0.98, row
