@@ -272,3 +272,58 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.count(F.lit(1)).over(wc).cast("long").alias("n_in_type"),
     )
+
+
+@register(
+    "skyline_pareto_orders",
+    oracle="""
+    WITH xs AS (
+        SELECT o_orderdate AS d, max(o_totalprice) AS my
+        FROM orders GROUP BY 1
+    ),
+    wins AS (
+        SELECT d, my,
+               max(my) OVER (ORDER BY d DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS better
+        FROM xs
+    ),
+    sd AS (SELECT d, my FROM wins WHERE better IS NULL OR my > better)
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders JOIN sd ON o_orderdate = d AND o_totalprice = my
+    """,
+    doc="Skyline / Pareto-frontier operator (Borzsonyi et al., ICDE "
+    "2001): orders not weakly dominated on (recency, total price) — "
+    "no other order is at least as recent AND at least as expensive "
+    "with one strict. The classic multi-criteria shortlist operator "
+    "relational engines lack natively, recomposed from two facts: "
+    "(1) per-date only the max price can survive, so ONE map-side- "
+    "combined groupBy(date) reduces the corpus to the DATE DOMAIN "
+    "(~2.4k rows for 7 years — bounded by the calendar, not the "
+    "data); (2) a date survives iff its max beats every max at a "
+    "strictly later date — a running-max window over that bounded "
+    "frame (allowlisted: calendar-bounded, never corpus-sized). "
+    "Survivor (date, price) pairs broadcast back against the fact "
+    "scan to recover the order rows — ties on the frontier all "
+    "emitted. Price equality joins are safe: money doubles are "
+    "2-decimal-clean parquet values, bit-identical in both engines.",
+    tags=("relational", "window", "skyline"),
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    xs = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("my")
+    )
+    w = (
+        Window.orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sd = (
+        xs.withColumn("better", F.max("my").over(w))
+        .where(F.col("better").isNull() | (F.col("my") > F.col("better")))
+        .select("d", "my")
+    )
+    return o.join(
+        F.broadcast(sd),
+        (o.o_orderdate == F.col("d")) & (o.o_totalprice == F.col("my")),
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")

@@ -199,6 +199,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     "mixture_temperature_resample",  # window over <=256 x n_langs histogram
     "unimax_mixture_budget",  # rank/cumsum over the per-source frame
     "zipf_fit_top_terms",  # rank over the share-pruned <= 500-term vocab
+    "skyline_pareto_orders",  # running max over the calendar-bounded dates
 }
 
 

@@ -500,3 +500,32 @@ def test_zipf_planted_power_law(spark, tmp_path):
     assert row.n_terms == 10
     assert -1.1 < row.slope < -0.9, row
     assert row.r2 > 0.98, row
+
+
+def test_skyline_exact_vs_bruteforce(spark, sf_dir):
+    """Every emitted order is non-dominated and every omitted order is
+    weakly dominated — checked against the O(n^2) definition."""
+    import pandas as pd
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    sky = {
+        r.o_orderkey
+        for r in REGISTRY["skyline_pareto_orders"].fn(spark, sf_dir).collect()
+    }
+    d = orders["o_orderdate"].to_numpy()
+    p = orders["o_totalprice"].to_numpy()
+    dominated = set()
+    for i in range(len(orders)):
+        mask = (
+            (d >= d[i]) & (p >= p[i]) & ((d > d[i]) | (p > p[i]))
+        )
+        if mask.any():
+            dominated.add(int(orders["o_orderkey"].iloc[i]))
+    expected = set(orders["o_orderkey"].astype(int)) - dominated
+    assert sky == expected, (len(sky), len(expected))
