@@ -790,3 +790,77 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             fix(F.col("n_joint") * pmi / F.col("n"), 9).alias("mi_term"),
         )
     )
+
+
+@register(
+    "markov_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                   AS prev_type
+        FROM events
+    ),
+    tr AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outdeg AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        FROM tr GROUP BY 1
+    )
+    SELECT from_type, to_type, n,
+           {fix_sql("n / CAST(total AS DOUBLE)", 6)} AS p
+    FROM tr JOIN outdeg USING (from_type)
+    """,
+    doc="First-order Markov model of user journeys: per-user "
+    "time-ordered event sequences reduced to the transition matrix "
+    "(from_type, to_type, count, conditional probability) — the "
+    "product-analytics primitive behind next-action prediction, "
+    "anomalous-flow detection, and funnel discovery. Scale shape: "
+    "ONE shuffle on user_id for the lag window (sequences stay "
+    "within their user partition — exactly how a 100 TB event log "
+    "is already bucketed), then a map-side-combined rollup to the "
+    "event-type-squared matrix; out-degree totals re-aggregate that "
+    "bounded frame and join back broadcast. Epoch ordering uses the "
+    "timestamp-type-proof micros helper (bit-identical to DuckDB "
+    "epoch_us), ties broken on event_id; probabilities are single "
+    "IEEE divisions of exact bigints, floor-quantized at 1e-6.",
+    tags=("events", "window", "aggregation", "stats"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                epoch_micros(ev), "event_id"
+            )
+        )
+        .alias("prev_type"),
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = tr.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    return tr.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        fix(F.col("n") / F.col("total").cast("double"), 6).alias("p"),
+    )
