@@ -529,3 +529,111 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("lm").alias("pred_lang"))
     )
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "label_centroid_medoid",
+    oracle=f"""
+    WITH d AS (
+        SELECT label, CAST(i + 1 AS BIGINT) AS pos,
+               CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                                   * 1000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS su,
+               count(*) AS n
+        FROM embeddings, unnest(range({_DIMS})) AS t(i)
+        GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT label, min(n) AS n_members,
+               list((su / n) / 1000000.0 ORDER BY pos) AS carr
+        FROM d GROUP BY 1
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.n_members,
+               CAST(list_sum(list_transform(range({_DIMS}), i ->
+                   CAST(floor((CAST(embedding[i + 1] AS DOUBLE) - carr[i + 1])
+                              * (CAST(embedding[i + 1] AS DOUBLE) - carr[i + 1])
+                              * 1000000000.0 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS dist_u
+        FROM embeddings e JOIN cent c USING (label)
+    )
+    SELECT label, vec_id AS medoid_vec_id, n_members,
+           dist_u / 1000000000.0 AS centroid_dist_sq
+    FROM dist
+    QUALIFY row_number() OVER (PARTITION BY label
+                               ORDER BY dist_u, vec_id) = 1
+    """,
+    doc="Per-label centroid + medoid: the cluster-summarization "
+    "primitive (IVF codebook refresh, per-class prototype selection, "
+    "diversity sampling seeds) — mean vector per label, then the "
+    "REAL member closest to it. Scale shape: the centroid is one "
+    "posexplode + map-side-combined groupBy(label, dim) whose "
+    "shuffle carries |labels| x dims rows per partition (never the "
+    "corpus); arrays reassemble on the bounded label frame and "
+    "broadcast back; the distance pass is a map-only zip_with fold "
+    "and the medoid a per-label WindowGroupLimit top-1. Determinism: "
+    "per-dim addends quantized to bigint micros before summation "
+    "(exact in any order), centroid = two exact IEEE divisions, "
+    "per-dim squared diffs quantized to bigint nanos and "
+    "integer-summed — so the argmin ordering is integer comparison, "
+    "tie-broken on vec_id. Cites the k-means module recipe "
+    "(ml_cluster.py:1) with joined (not literal) centroids.",
+    tags=("ml", "similarity", "vector", "aggregation"),
+)
+def label_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "x")
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+            .cast("bigint")
+            .alias("x_u"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("x_u").cast("bigint").alias("su"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = d.groupBy("label").agg(
+        F.min("n").alias("n_members"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", ((F.col("su") / F.col("n")) / 1000000.0).alias("c"))
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("carr"),
+    )
+    sq = lambda a, b: F.floor(  # noqa: E731
+        ((a.cast("double") - b) * (a.cast("double") - b)) * 1000000000.0
+        + 0.5
+    ).cast("bigint")
+    dist = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        "n_members",
+        F.aggregate(
+            F.zip_with("embedding", "carr", sq),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist_u"),
+    )
+    w = Window.partitionBy("label").orderBy("dist_u", "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_vec_id"),
+            "n_members",
+            (F.col("dist_u") / 1000000000.0).alias("centroid_dist_sq"),
+        )
+    )

@@ -27,6 +27,7 @@ from typing import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from p4_mapreduce_spark.functions.deterministic import fix_sql
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -122,4 +123,159 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(threshold))
         .where(F.col("n") >= F.col("threshold"))
         .select("word", "n")
+    )
+
+
+# Bloom filter geometry: m bits packed 32 per word (staying off the
+# bigint sign bit keeps the shift/mask arithmetic identical in both
+# engines), k independent md5-derived probe positions per key.
+_BLOOM_M = 16384
+_BLOOM_K = 4
+_BLOOM_WORD = 32
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0
+    ),
+    bits AS (
+        SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(key AS VARCHAR)
+                    || ':' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % {_BLOOM_M} AS BIGINT) AS pos
+        FROM members, unnest(range({_BLOOM_K})) AS t(i)
+    ),
+    filt AS (
+        SELECT pos // {_BLOOM_WORD} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER))
+                   AS mask
+        FROM bits GROUP BY 1
+    ),
+    probes AS (
+        SELECT c_custkey AS key, (c_acctbal > 0) AS is_member FROM customer
+    ),
+    ppos AS (
+        SELECT key, is_member,
+               CAST(CAST(CONCAT('0x', substr(md5(CAST(key AS VARCHAR)
+                    || ':' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % {_BLOOM_M} AS BIGINT) AS pos
+        FROM probes, unnest(range({_BLOOM_K})) AS t(i)
+    ),
+    tested AS (
+        SELECT key, is_member,
+               bool_and((coalesce(mask, 0)
+                         & (CAST(1 AS BIGINT)
+                            << CAST(pos % {_BLOOM_WORD} AS INTEGER))) <> 0)
+                   AS bloom_hit
+        FROM ppos LEFT JOIN filt ON pos // {_BLOOM_WORD} = word
+        GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_probes,
+           CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_hits,
+           CAST(count(*) FILTER (WHERE is_member AND NOT bloom_hit)
+                AS BIGINT) AS n_missed_members,
+           CAST(count(*) FILTER (WHERE bloom_hit AND NOT is_member)
+                AS BIGINT) AS n_false_pos,
+           {fix_sql("count(*) FILTER (WHERE bloom_hit AND NOT is_member)"
+                    " / CAST(greatest(count(*) FILTER (WHERE NOT is_member),"
+                    " 1) AS DOUBLE)", 6)} AS fpr
+    FROM tested
+    """,
+    doc=f"Bloom-filter membership with a measured false-positive "
+    f"audit: a {_BLOOM_M}-bit / {_BLOOM_K}-hash filter built over the "
+    "positive-balance customers as a RELATIONAL bitmap — md5-derived "
+    "bit positions bit_or-aggregated into 32-bits-per-word rows (the "
+    "mergeable representation: partition filters OR together "
+    "associatively, which is why Bloom filters are THE runtime "
+    "semi-join prune at 100 TB — ship the 2 KiB word table, not the "
+    "key set). Every customer then probes the filter: zero false "
+    "negatives (structural guarantee, emitted as n_missed_members "
+    "for the oracle to pin at 0) and the measured FPR on true "
+    "negatives. Scale shape: build = one bounded aggregation "
+    f"(<= {_BLOOM_M // _BLOOM_WORD} word rows) broadcast to the "
+    "probe scan; probe = per-row hash arithmetic + a bounded "
+    "broadcast join; one bounded rollup. All arithmetic is integer "
+    "(md5 hex -> positions -> shifts/masks) — deterministic in both "
+    "engines by construction.",
+    tags=("sketch", "join", "hash"),
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def pos_col() -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("key").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _BLOOM_M
+
+    members = cust.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = members.select(
+        "key", F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    ).select(pos_col().alias("pos"))
+    filt = bits.groupBy(
+        F.expr(f"cast(pos div {_BLOOM_WORD} as bigint)").alias("word")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(cast(1 as bigint),"
+            f" cast(pos % {_BLOOM_WORD} as int)))"
+        ).alias("mask")
+    )
+    ppos = (
+        cust.select(
+            F.col("c_custkey").alias("key"),
+            (F.col("c_acctbal") > 0).alias("is_member"),
+        )
+        .select(
+            "key",
+            "is_member",
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+        )
+        .select("key", "is_member", pos_col().alias("pos"))
+    )
+    hit = (
+        F.expr(
+            f"coalesce(mask, cast(0 as bigint))"
+            f" & shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))"
+        )
+        != 0
+    )
+    tested = (
+        ppos.join(
+            F.broadcast(filt),
+            F.expr(f"cast(pos div {_BLOOM_WORD} as bigint)") == F.col("word"),
+            "left",
+        )
+        .select("key", "is_member", hit.alias("h"))
+        .groupBy("key", "is_member")
+        .agg(F.bool_and("h").alias("bloom_hit"))
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return tested.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        cnt(F.col("is_member")).alias("n_members"),
+        cnt(F.col("bloom_hit")).alias("n_hits"),
+        cnt(F.col("is_member") & ~F.col("bloom_hit")).alias("n_missed_members"),
+        cnt(F.col("bloom_hit") & ~F.col("is_member")).alias("n_false_pos"),
+        fix(
+            cnt(F.col("bloom_hit") & ~F.col("is_member"))
+            / F.greatest(cnt(~F.col("is_member")), F.lit(1)).cast("double"),
+            6,
+        ).alias("fpr"),
     )

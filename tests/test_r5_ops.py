@@ -529,3 +529,50 @@ def test_skyline_exact_vs_bruteforce(spark, sf_dir):
             dominated.add(int(orders["o_orderkey"].iloc[i]))
     expected = set(orders["o_orderkey"].astype(int)) - dominated
     assert sky == expected, (len(sky), len(expected))
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, sf_dir):
+    """Structural: zero false negatives; statistical: measured FPR in
+    the ballpark of (1 - e^{-kn/m})^k for the geometry."""
+    row = REGISTRY["bloom_filter_membership"].fn(spark, sf_dir).collect()[0]
+    assert row.n_missed_members == 0
+    assert row.n_hits == row.n_members + row.n_false_pos
+    assert 0.0 <= row.fpr < 0.05, row
+
+
+def test_markov_probabilities_normalize(spark, sf_dir):
+    """Outgoing probabilities per from_type sum to ~1 and counts are
+    consistent with the conditional definition."""
+    rows = REGISTRY["markov_event_transitions"].fn(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for f_, rs in by_from.items():
+        total = sum(r.n for r in rs)
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4, f_
+        for r in rs:
+            assert abs(r.p - r.n / total) < 1e-6
+
+
+def test_medoid_is_argmin_member(spark, sf_dir):
+    """The emitted medoid must be the member of its label with the
+    smallest quantized distance to the label centroid — recomputed in
+    numpy."""
+    import numpy as np
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").toPandas()
+    res = {r.label: r for r in
+           REGISTRY["label_centroid_medoid"].fn(spark, sf_dir).collect()}
+    for label, grp in emb.groupby("label"):
+        X = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        xu = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        cent = (xu.sum(axis=0) / len(xu)) / 1e6
+        d = np.floor((X - cent) ** 2 * 1e9 + 0.5).astype(np.int64).sum(axis=1)
+        order = sorted(zip(d, grp["vec_id"].to_numpy()))
+        r = res[label]
+        assert r.n_members == len(grp)
+        assert (order[0][0], order[0][1]) == (
+            int(r.centroid_dist_sq * 1e9 + 0.5), r.medoid_vec_id
+        ), (label, order[0], r)
