@@ -1122,3 +1122,151 @@ def unimax_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix(alloc / F.col("n_tok"), 6).alias("epochs"),
         fix(alloc / F.col("budget"), 6).alias("weight"),
     )
+
+
+# Discrete-Laplace (two-sided geometric) mechanism: eps=1.0, so
+# alpha = e^-eps and each geometric arm is floor(ln(u)/ln(alpha)).
+# The uniforms here are HASH-derived (md5 of the group key + salt) so
+# the whole query stays reproducible and oracle-checkable; a real
+# privacy release swaps them for true randomness — the mechanism,
+# sensitivity-1 count shape, and post-processing are what this
+# operator pins.
+_DP_EPS = 1.0
+
+
+@register(
+    "dp_noisy_lang_counts",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS true_n FROM documents GROUP BY 1),
+    u AS (
+        SELECT lang, true_n,
+               (CAST(CAST(CONCAT('0x', substr(md5(lang || ':a'), 1, 12))
+                     AS UBIGINT) AS DOUBLE) + 0.5) / {float(2**48)} AS u1,
+               (CAST(CAST(CONCAT('0x', substr(md5(lang || ':b'), 1, 12))
+                     AS UBIGINT) AS DOUBLE) + 0.5) / {float(2**48)} AS u2
+        FROM c
+    )
+    SELECT lang, true_n,
+           CAST(floor(({fix_sql("ln(u1)", 6)}) / -{_DP_EPS}) AS BIGINT)
+           - CAST(floor(({fix_sql("ln(u2)", 6)}) / -{_DP_EPS}) AS BIGINT)
+               AS noise,
+           greatest(true_n
+                    + CAST(floor(({fix_sql("ln(u1)", 6)}) / -{_DP_EPS})
+                           AS BIGINT)
+                    - CAST(floor(({fix_sql("ln(u2)", 6)}) / -{_DP_EPS})
+                           AS BIGINT), 0) AS noisy_n
+    FROM u
+    """,
+    doc=f"Differentially-private count release (discrete Laplace / "
+    f"two-sided geometric, eps={_DP_EPS}): per-language doc counts "
+    "plus G1 - G2 noise where each geometric arm is "
+    "floor(ln(u)/-eps) — the sensitivity-1 counting mechanism a "
+    "pipeline uses to publish corpus composition without exposing "
+    "individual membership, with max(., 0) post-processing (free "
+    "under DP). The uniforms are md5-derived dyadic rationals so the "
+    "query is reproducible and oracle-checkable; a production "
+    "release swaps ONLY the u columns for true randomness — the "
+    "mechanism shape is what this operator pins (and the noise "
+    "column makes the geometric marginals testable). Scale: one "
+    "map-side-combined rollup to the language frame; noise is "
+    "per-group scalar math. ln floor-quantized at 1e-6 (the "
+    "transcendental rule), everything after is exact integer.",
+    tags=("pipeline", "privacy", "aggregation"),
+)
+def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+
+    def geo(salt: str) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("lang"), F.lit(salt))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        u = (h + F.lit(0.5)) / F.lit(float(2**48))
+        return F.floor(fix(F.log(u), 6) / F.lit(-_DP_EPS)).cast("bigint")
+
+    noise = geo(":a") - geo(":b")
+    return c.select(
+        "lang",
+        "true_n",
+        noise.alias("noise"),
+        F.greatest(F.col("true_n") + noise, F.lit(0)).alias("noisy_n"),
+    )
+
+
+# GDPR erasure-scope audit: the hash bucket of customers selected for
+# deletion (13/256 ~ 5%, the same md5-bucket idiom as the split
+# assignment above).
+_ERASE_BUCKET = 13
+
+
+@register(
+    "cascade_delete_audit",
+    oracle=f"""
+    WITH del_cust AS (
+        SELECT c_custkey FROM customer
+        WHERE CAST(CONCAT('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2))
+                   AS UBIGINT) < {_ERASE_BUCKET}
+    ),
+    del_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM del_cust) AS n_rows
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem', (SELECT count(*) FROM lineitem
+                        WHERE l_orderkey IN
+                              (SELECT o_orderkey FROM del_orders))
+    """,
+    doc="GDPR erasure-scope audit: given a deletion cohort (hash-"
+    "bucketed ~5% of customers — stand-in for a right-to-be-forgotten "
+    "request list), count every row that must cascade: their orders, "
+    "and those orders' lineitems. The dry-run a compliant 100 TB "
+    "warehouse runs BEFORE a destructive erasure job, and the shape "
+    "IS the erasure plan: each hop is a semi-join down the foreign-"
+    "key chain (customer -> orders -> lineitem), map-side prunable "
+    "and broadcastable when the cohort is small; counts are one "
+    "rollup per table, unioned. Pure integer/hash arithmetic "
+    "throughout.",
+    tags=("pipeline", "join", "governance"),
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2), 16, 10
+    ).cast("bigint")
+    del_cust = (
+        load(spark, sf_dir, "customer")
+        .where(bucket < _ERASE_BUCKET)
+        .select("c_custkey")
+    )
+    del_orders = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(del_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+    )
+    del_li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(del_orders),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    one = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        one("customer", del_cust)
+        .unionAll(one("orders", del_orders))
+        .unionAll(one("lineitem", del_li))
+    )

@@ -219,3 +219,77 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "value", fix(num / den, 4).alias("ewma")
     )
+
+
+# Seasonal anomaly bands: a day is anomalous when its revenue is this
+# far (ratio) from its weekday baseline.
+_SEASONAL_HI = 1.3
+_SEASONAL_LO = 0.7
+
+
+@register(
+    "seasonal_baseline_anomalies",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                             o_orderdate) % 7 AS INTEGER) AS dow,
+               {fsum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT dow,
+               (CAST(sum(CAST(floor(rev * 100.0 + 0.5) AS BIGINT))
+                     AS BIGINT) / count(*)) / 100.0 AS baseline
+        FROM daily GROUP BY 1
+    ),
+    scored AS (
+        SELECT d, daily.dow, rev, baseline,
+               {fix_sql("rev / baseline", 4)} AS ratio
+        FROM daily JOIN base ON daily.dow = base.dow
+    )
+    SELECT d AS day, dow, rev, ratio
+    FROM scored
+    WHERE ratio > {_SEASONAL_HI} OR ratio < {_SEASONAL_LO}
+    """,
+    doc="Seasonal-baseline anomaly detection: daily revenue compared "
+    "to its WEEKDAY baseline (mean daily revenue for that day-of-"
+    "week), flagging days outside the [0.7x, 1.3x] band — the "
+    "seasonality-aware alert that a naive global mean would botch "
+    "(every weekend would page). Day-of-week is pure integer "
+    "epoch-day arithmetic (engines disagree on dayofweek()'s "
+    "0-vs-1-based Sunday; days-since-epoch mod 7 is dialect-proof). "
+    "Scale shape: one map-side-combined rollup to the calendar-"
+    "bounded daily frame; baselines re-aggregate that frame into 7 "
+    "rows and broadcast back. Daily revenues are 2-decimal fsum-"
+    "quantized, baselines are bigint-cent sums (exact any order), "
+    "the ratio one IEEE division quantized at 1e-4.",
+    tags=("timeseries", "aggregation", "stats"),
+)
+def seasonal_baseline_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("d"),
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(fsum("o_totalprice").alias("rev"))
+    base = daily.groupBy("dow").agg(
+        (
+            (
+                F.sum(F.floor(F.col("rev") * 100.0 + 0.5).cast("bigint")).cast(
+                    "bigint"
+                )
+                / F.count(F.lit(1))
+            )
+            / 100.0
+        ).alias("baseline")
+    )
+    ratio = fix(F.col("rev") / F.col("baseline"), 4)
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .select(F.col("d").alias("day"), "dow", "rev", ratio.alias("ratio"))
+        .where(
+            (F.col("ratio") > _SEASONAL_HI) | (F.col("ratio") < _SEASONAL_LO)
+        )
+    )

@@ -576,3 +576,37 @@ def test_medoid_is_argmin_member(spark, sf_dir):
         assert (order[0][0], order[0][1]) == (
             int(r.centroid_dist_sq * 1e9 + 0.5), r.medoid_vec_id
         ), (label, order[0], r)
+
+
+def test_seasonal_anomalies_outside_band(spark, sf_dir):
+    rows = REGISTRY["seasonal_baseline_anomalies"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ratio > 1.3 or r.ratio < 0.7, r
+        assert 0 <= r.dow <= 6
+        assert r.rev > 0
+
+
+def test_dp_counts_postprocessing(spark, sf_dir):
+    from p4_mapreduce_spark.sources.tables import load
+
+    rows = REGISTRY["dp_noisy_lang_counts"].fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.true_n for r in rows) == n_docs
+    for r in rows:
+        assert r.noisy_n == max(r.true_n + r.noise, 0)
+        assert abs(r.noise) < 40  # eps=1 two-sided geometric tail
+
+
+def test_cascade_delete_consistency(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    rows = {r.table_name: r.n_rows for r in
+            REGISTRY["cascade_delete_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    n_cust = load(spark, sf_dir, "customer").count()
+    # ~5% bucket, loose binomial bounds
+    assert 0.01 * n_cust < rows["customer"] < 0.12 * n_cust
+    assert rows["lineitem"] >= rows["orders"] >= rows["customer"] >= 1
