@@ -677,6 +677,7 @@ _BASKET_MIN_SUPPORT = 0.025
     "the basket count re-aggregate that tiny frame (broadcast back), "
     "so no second corpus scan. Lift/confidence are single IEEE "
     "divisions of exact bigint products, floor-quantized at 1e-6.",
+    headline=True,
     tags=("aggregation", "pattern-mining", "pipeline"),
 )
 def frequent_itemsets_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

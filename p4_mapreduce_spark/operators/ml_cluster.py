@@ -467,6 +467,7 @@ def logreg_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax tie-breaks on class name — bit-reproducible end to end. "
     "Class frame (priors/normalizers) is a bounded broadcast; argmax "
     "is a per-doc window (WindowGroupLimit top-1).",
+    headline=True,
     tags=("ml", "text", "classification", "pipeline"),
 )
 def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -199,6 +199,7 @@ _BLOOM_WORD = 32
     "broadcast join; one bounded rollup. All arithmetic is integer "
     "(md5 hex -> positions -> shifts/masks) — deterministic in both "
     "engines by construction.",
+    headline=True,
     tags=("sketch", "join", "hash"),
 )
 def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
