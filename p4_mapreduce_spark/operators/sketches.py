@@ -280,3 +280,114 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr"),
     )
+
+
+# Count-Min geometry: d independent rows of w counters. Overestimate
+# per row is <= N/w in expectation; the min over d rows makes a large
+# error exponentially unlikely.
+_CMS_W = 1024
+_CMS_D = 4
+_CMS_PROBE_K = 10
+
+
+@register(
+    "countmin_sketch_estimates",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS word
+        FROM documents
+    ),
+    counters AS (
+        SELECT d,
+               CAST(CAST(CONCAT('0x', substr(md5(word || '#'
+                        || CAST(d AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % {_CMS_W} AS BIGINT) AS pos,
+               count(*) AS c
+        FROM w, unnest(range({_CMS_D})) AS t(d)
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT word, count(*) AS exact_n FROM w GROUP BY 1),
+    probes AS (
+        SELECT word, exact_n FROM exact
+        ORDER BY exact_n DESC, word LIMIT {_CMS_PROBE_K}
+    ),
+    est AS (
+        SELECT p.word, p.exact_n, min(c.c) AS cms_est
+        FROM probes p, unnest(range({_CMS_D})) AS t(d)
+        JOIN counters c
+          ON c.d = t.d
+         AND c.pos = CAST(CAST(CONCAT('0x', substr(md5(p.word || '#'
+                          || CAST(t.d AS VARCHAR)), 1, 8)) AS UBIGINT)
+                          % {_CMS_W} AS BIGINT)
+        GROUP BY 1, 2
+    )
+    SELECT word, exact_n, cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overestimate,
+           (cms_est >= exact_n) AS never_underestimates
+    FROM est
+    """,
+    doc=f"Count-Min sketch with an exact-verify audit: a "
+    f"{_CMS_D}x{_CMS_W} counter grid built as a RELATIONAL aggregate "
+    "(md5-derived positions, map-side-combined groupBy bounded at "
+    f"{_CMS_D * _CMS_W} rows — the mergeable representation: "
+    "partition grids ADD elementwise, which is what makes CMS the "
+    "streaming/distributed frequency sketch), probed for the exact "
+    f"top-{_CMS_PROBE_K} words. Emits estimate vs exact count, the "
+    "overestimate, and the structural never-underestimates verdict "
+    "(CMS error is one-sided by construction — pinned per row). "
+    "Completes the sketch family: Misra-Gries (candidates), HLL "
+    "(distinct), Bloom (membership), CMS (point frequency). Scale "
+    "shape: the counter aggregation is the only corpus-sized step "
+    f"(tokens x {_CMS_D}, map-side combined to the bounded grid); "
+    "probes ride TakeOrderedAndProject; estimates join the broadcast "
+    "grid. All integer arithmetic.",
+    tags=("sketch", "text", "aggregation"),
+)
+def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+
+    def pos(word_col: "F.Column", d_col: "F.Column") -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(word_col, F.lit("#"), d_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _CMS_W
+
+    counters = (
+        toks.select(
+            "word",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .select("d", pos(F.col("word"), F.col("d")).alias("pos"))
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), "word"
+    ).limit(_CMS_PROBE_K)
+    est = (
+        probes.select(
+            "word",
+            "exact_n",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .withColumn("pos", pos(F.col("word"), F.col("d")))
+        .join(F.broadcast(counters), ["d", "pos"])
+        .groupBy("word", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias(
+            "overestimate"
+        ),
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+    )

@@ -610,3 +610,27 @@ def test_cascade_delete_consistency(spark, sf_dir):
     # ~5% bucket, loose binomial bounds
     assert 0.01 * n_cust < rows["customer"] < 0.12 * n_cust
     assert rows["lineitem"] >= rows["orders"] >= rows["customer"] >= 1
+
+
+def test_cms_collisions_overestimate_only(spark, tmp_path):
+    """With vocabulary >> width the grid must collide: estimates may
+    exceed exact counts but never undercut them, and the overestimate
+    stays within a generous multiple of N/w."""
+    out = str(tmp_path / "cms")
+    toks = []
+    # 3000 distinct filler words (one occurrence each) + 10 heavy words
+    toks += [f"f{i:04d}" for i in range(3000)]
+    for r in range(10):
+        toks += [f"heavy{r}"] * (200 - r)
+    docs = [
+        (i, " ".join(toks[i * 100:(i + 1) * 100]), "en", "s", 100)
+        for i in range((len(toks) + 99) // 100)
+    ]
+    _write_docs(spark, out, docs)
+    rows = REGISTRY["countmin_sketch_estimates"].fn(spark, out).collect()
+    assert len(rows) == 10
+    n_total = len(toks)
+    for r in rows:
+        assert r.never_underestimates and r.overestimate >= 0
+        assert r.exact_n == 200 - int(r.word[-1])
+        assert r.overestimate <= 8 * n_total / 1024, r
