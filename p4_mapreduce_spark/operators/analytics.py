@@ -865,3 +865,134 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         fix(F.col("n") / F.col("total").cast("double"), 6).alias("p"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_touch
+        FROM events
+    ),
+    att AS (
+        SELECT coalesce(prev_touch, 'direct') AS channel
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT channel, count(*) AS n_purchases FROM att GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS t FROM c)
+    SELECT channel, n_purchases,
+           {fix_sql("n_purchases / CAST(t AS DOUBLE)", 6)} AS share
+    FROM c CROSS JOIN tot
+    """,
+    doc="Last-touch attribution: every purchase is credited to the "
+    "user's most recent preceding non-purchase event (ignore-nulls "
+    "last_value over the user's time-ordered stream; no prior touch "
+    "=> 'direct'), rolled up to per-channel purchase counts and "
+    "shares — the marketing-attribution baseline every event "
+    "warehouse ships first. Scale shape: ONE shuffle on user_id for "
+    "the window (the event log's native bucketing), then a "
+    "channel-cardinality rollup; the share denominator re-aggregates "
+    "that bounded frame. Epoch ordering via the timestamp-type-proof "
+    "micros helper, ties on event_id; shares are single IEEE "
+    "divisions of exact bigints, quantized at 1e-6.",
+    tags=("events", "window", "aggregation", "funnel"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(ev), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("prev_touch"),
+    )
+    c = (
+        seq.where(F.col("event_type") == "purchase")
+        .select(F.coalesce(F.col("prev_touch"), F.lit("direct")).alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    tot = c.agg(F.sum("n_purchases").cast("bigint").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_purchases",
+        fix(F.col("n_purchases") / F.col("t").cast("double"), 6).alias("share"),
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+    contrib AS (
+        SELECT day + i AS w, user_id
+        FROM du, unnest(range(7)) AS t(i)
+    ),
+    wau AS (
+        SELECT w AS day, count(DISTINCT user_id) AS wau
+        FROM contrib GROUP BY 1
+    )
+    SELECT day,
+           strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+               AS date,
+           dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    """,
+    doc="Rolling engagement: exact daily active users and trailing-"
+    "7-day active users per day — the DAU/WAU pair every growth "
+    "dashboard is built on, computed exactly (not HLL) by the "
+    "contribute-forward trick: each (day, user) activity row is "
+    "exploded into the <= 7 trailing windows it supports, so the "
+    "sliding distinct count becomes a plain groupBy — no self-join, "
+    "no re-scan per window. Day boundaries are pure integer "
+    "epoch-microsecond division (dialect-proof; no timezone "
+    "dependence). Scale shape: one distinct to the (day, user) "
+    "activity frame (the corpus-sized step, map-side combined), a "
+    "7x explode of THAT reduced frame, and two bounded-key rollups. "
+    "All integer arithmetic.",
+    tags=("events", "aggregation", "timeseries"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        (epoch_micros(ev) / F.lit(86400000000)).cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select((F.col("day") + F.col("i")).alias("w"), "user_id")
+    wau = contrib.groupBy(F.col("w").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("day").cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        "dau",
+        "wau",
+    )

@@ -121,6 +121,7 @@ _BNLJ_ALLOWED = {
     "ccnet_perplexity_buckets",  # unigram arm's 1-row total/OOV frames
     "kl_source_drift",  # 1-row corpus total + bounded (source x term) grid
     "zipf_fit_top_terms",  # 1-row corpus-total frame vs vocab frame
+    "attribution_last_touch",  # 1-row purchase-total frame vs channel frame
 }
 
 # Composite pipelines that chain several registered arms; their shuffle

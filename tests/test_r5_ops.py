@@ -634,3 +634,21 @@ def test_cms_collisions_overestimate_only(spark, tmp_path):
         assert r.never_underestimates and r.overestimate >= 0
         assert r.exact_n == 200 - int(r.word[-1])
         assert r.overestimate <= 8 * n_total / 1024, r
+
+
+def test_attribution_shares_and_planted_direct(spark, sf_dir, tmp_path):
+    rows = REGISTRY["attribution_last_touch"].fn(spark, sf_dir).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert all(r.channel != "purchase" for r in rows)
+
+
+def test_rolling_wau_bounds(spark, sf_dir):
+    """WAU >= DAU always, and WAU <= sum of the 7 trailing DAUs."""
+    rows = {r.day: r for r in
+            REGISTRY["rolling_active_users"].fn(spark, sf_dir).collect()}
+    for day, r in rows.items():
+        assert r.wau >= r.dau, r
+        window_sum = sum(
+            rows[d].dau for d in range(day - 6, day + 1) if d in rows
+        )
+        assert r.wau <= window_sum, r
