@@ -652,3 +652,84 @@ def test_rolling_wau_bounds(spark, sf_dir):
             rows[d].dau for d in range(day - 6, day + 1) if d in rows
         )
         assert r.wau <= window_sum, r
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=500),
+                  min_size=2, max_size=8)
+)
+def test_unimax_matches_reference_greedy(spark, tmp_path_factory, toks):
+    """The windowed closed form must equal the sequential greedy
+    (visit sources smallest-first; each takes min(4 * its tokens, an
+    even share of the remaining budget)) on random size profiles."""
+    out = str(tmp_path_factory.mktemp("unimax_fuzz"))
+    rows = [
+        (i, " ".join(["w"] * n), "en", f"s{i:02d}", n)
+        for i, n in enumerate(toks)
+    ]
+    _write_docs(spark, out, rows)
+    res = {r.source: r for r in
+           REGISTRY["unimax_mixture_budget"].fn(spark, out).collect()}
+
+    budget = 2 * sum(toks)
+    order = sorted(range(len(toks)), key=lambda i: (toks[i], f"s{i:02d}"))
+    remaining, alloc = float(budget), {}
+    for pos, i in enumerate(order):
+        quota = remaining / (len(toks) - pos)
+        take = min(4.0 * toks[i], quota)
+        alloc[f"s{i:02d}"] = take
+        remaining -= take
+    assert len(res) == len(toks)
+    for src, want in alloc.items():
+        assert abs(res[src].alloc_tok - want) < 1e-6 + 1e-9 * want, (
+            src, res[src].alloc_tok, want
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),
+                  st.integers(min_value=1, max_value=20)),
+        min_size=1, max_size=40,
+    )
+)
+def test_skyline_fuzz_vs_bruteforce(spark, tmp_path_factory, pts):
+    """Random (date, price) clouds with heavy ties: the calendar-
+    reduced skyline must equal the O(n^2) weak-dominance definition."""
+    import datetime
+
+    out = str(tmp_path_factory.mktemp("sky_fuzz"))
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + d), float(p))
+        for i, (d, p) in enumerate(pts)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    sky = {
+        r.o_orderkey
+        for r in REGISTRY["skyline_pareto_orders"].fn(spark, out).collect()
+    }
+    expected = set()
+    for i, (d, p) in enumerate(pts):
+        dominated = any(
+            (d2 >= d and p2 >= p and (d2 > d or p2 > p))
+            for j, (d2, p2) in enumerate(pts) if j != i
+        )
+        if not dominated:
+            expected.add(i)
+    assert sky == expected, (sky, expected, pts)
