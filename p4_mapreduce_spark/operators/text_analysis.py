@@ -1864,3 +1864,78 @@ def zipf_fit_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# Character-entropy floor: natural prose sits ~2.8-3.0 nats of char
+# entropy; repetitive/boilerplate text collapses well below it.
+_CHAR_ENTROPY_MIN = 2.5
+
+
+@register(
+    "char_entropy_screen",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    cc AS (SELECT doc_id, ch, count(*) AS n_c FROM chars
+           WHERE ch <> '' GROUP BY 1, 2),
+    dl AS (
+        SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS len,
+               count(*) AS n_distinct_chars
+        FROM cc GROUP BY 1
+    ),
+    terms AS (
+        SELECT cc.doc_id, dl.len, dl.n_distinct_chars,
+               CAST(floor(-((n_c / CAST(len AS DOUBLE))
+                            * ({fix_sql("ln(n_c / CAST(len AS DOUBLE))", 6)}))
+                          * 1000000000.0 + 0.5) AS BIGINT) AS t_u
+        FROM cc JOIN dl USING (doc_id)
+    )
+    SELECT doc_id, len AS n_chars_counted, n_distinct_chars,
+           CAST(sum(t_u) AS BIGINT) / 1000000000.0 AS entropy_nats,
+           (CAST(sum(t_u) AS BIGINT) / 1000000000.0)
+               < {_CHAR_ENTROPY_MIN} AS is_low_entropy
+    FROM terms GROUP BY 1, 2, 3
+    """,
+    doc=f"Character-entropy quality screen: per-document Shannon "
+    "entropy of the character distribution — the compression-ratio "
+    "proxy (low char entropy == highly compressible == repetitive "
+    "boilerplate, ASCII art, key-mash) that C4/Gopher-class filters "
+    f"pair with word-level rules; docs under {_CHAR_ENTROPY_MIN} "
+    "nats are flagged. Scale shape: one char-explode aggregation to "
+    "(doc, char) counts (map-side combined; the char alphabet per "
+    "doc is tiny so the shuffle is ~alphabet x docs, not characters), "
+    "a per-doc length rollup joined back, and a final per-doc sum. "
+    "Determinism: p = n_c/len is an exact IEEE ratio of bigints, "
+    "ln is floor-quantized at 1e-6, the -p*ln(p) products quantized "
+    "to bigint nanos and integer-summed (exact in any order). Empty "
+    "documents have no characters and are excluded (no rows).",
+    tags=("text", "quality", "aggregation", "pipeline"),
+)
+def char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "", -1)).alias("ch"))
+        # Spark's split('', '') yields one empty element where DuckDB
+        # yields none — drop it so empty docs vanish in both engines
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    dl = cc.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("len"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    p = F.col("n_c") / F.col("len").cast("double")
+    t_u = F.floor(-(p * fix(F.log(p), 6)) * 1000000000.0 + 0.5).cast("bigint")
+    ent = F.sum("t_u").cast("bigint") / 1000000000.0
+    return (
+        cc.join(dl, "doc_id")
+        .select("doc_id", "len", "n_distinct_chars", t_u.alias("t_u"))
+        .groupBy("doc_id", F.col("len").alias("n_chars_counted"), "n_distinct_chars")
+        .agg(
+            ent.alias("entropy_nats"),
+            (ent < _CHAR_ENTROPY_MIN).alias("is_low_entropy"),
+        )
+    )

@@ -733,3 +733,25 @@ def test_skyline_fuzz_vs_bruteforce(spark, tmp_path_factory, pts):
         if not dominated:
             expected.add(i)
     assert sky == expected, (sky, expected, pts)
+
+
+def test_char_entropy_planted_extremes(spark, tmp_path):
+    """A single-character doc has zero entropy (flagged); a uniform
+    4-char doc has exactly ln(4); natural-ish prose clears the floor."""
+    import math
+
+    out = str(tmp_path / "ent")
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa", "en", "s", 16),
+        (2, "abcd" * 8, "en", "s", 32),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (4, "", "en", "s", 0),
+    ]
+    _write_docs(spark, out, rows)
+    res = {r.doc_id: r for r in
+           REGISTRY["char_entropy_screen"].fn(spark, out).collect()}
+    assert set(res) == {1, 2, 3}  # empty doc excluded
+    assert res[1].entropy_nats == 0.0 and res[1].is_low_entropy
+    assert abs(res[2].entropy_nats - math.log(4)) < 1e-5
+    assert res[2].is_low_entropy  # ln(4) ~ 1.386 < 2.5
+    assert res[3].entropy_nats > 2.5 and not res[3].is_low_entropy
