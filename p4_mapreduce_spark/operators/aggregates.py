@@ -254,3 +254,59 @@ def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         q(0.25, "p25_price"), q(0.50, "p50_price"), q(0.75, "p75_price")
     )
+
+
+@register(
+    "percentile_approx_audit",
+    oracle=f"""
+    SELECT l_returnflag,
+           {fix_sql('quantile_cont(l_extendedprice, 0.50)', 4)} AS exact_p50,
+           {fix_sql('quantile_cont(l_extendedprice, 0.95)', 4)} AS exact_p95,
+           true AS p50_within_1pct,
+           true AS p95_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Quantile-sketch audit: approx_percentile (Spark's KLL-style "
+    "mergeable sketch, accuracy 10000) scored against the exact "
+    "interpolated percentile per group — the 100 TB quantile path is "
+    "the sketch (single pass, fixed memory, merges associatively "
+    "across partitions); the exact arm exists only to measure it, "
+    "exactly like the HLL and Misra-Gries audits. Sketch outputs are "
+    "engine-specific numerics, so the query emits the exact values "
+    "plus |approx-exact|/exact <= 1% verdict booleans and the oracle "
+    "asserts them true (the sketch at this accuracy is rank-exact to "
+    "~1e-4 of the group size; 1% value tolerance is conservative for "
+    "this price distribution).",
+    tags=("aggregation", "sketch", "stats"),
+)
+def percentile_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def q(p: float, alias: str):
+        return (
+            F.floor(
+                F.percentile("l_extendedprice", F.lit(p)) * 10000.0 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias(alias)
+
+    a = li.groupBy("l_returnflag").agg(
+        q(0.50, "exact_p50"),
+        q(0.95, "exact_p95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias(
+            "a50"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "a95"
+        ),
+    )
+    ok = lambda a_, e: (  # noqa: E731
+        F.abs(F.col(a_) - F.col(e)) / F.col(e) <= 0.01
+    )
+    return a.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        ok("a50", "exact_p50").alias("p50_within_1pct"),
+        ok("a95", "exact_p95").alias("p95_within_1pct"),
+    )
