@@ -1939,3 +1939,71 @@ def char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ent < _CHAR_ENTROPY_MIN).alias("is_low_entropy"),
         )
     )
+
+
+from p4_mapreduce_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "quality_screen_funnel",
+    oracle=f"""
+    WITH gop AS ({_REG["quality_gopher_rules"].oracle}),
+    rep AS ({_REG["quality_repetition_screen"].oracle}),
+    ent AS ({_REG["char_entropy_screen"].oracle})
+    SELECT count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE gop.keep) AS BIGINT) AS pass_gopher,
+           CAST(count(*) FILTER (WHERE rep.keep) AS BIGINT)
+               AS pass_repetition,
+           CAST(count(*) FILTER (WHERE coalesce(NOT ent.is_low_entropy,
+                                                false)) AS BIGINT)
+               AS pass_entropy,
+           CAST(count(*) FILTER (WHERE gop.keep AND rep.keep
+                                 AND coalesce(NOT ent.is_low_entropy, false))
+                AS BIGINT) AS pass_all
+    FROM documents d
+    LEFT JOIN gop ON d.doc_id = gop.doc_id
+    LEFT JOIN rep ON d.doc_id = rep.doc_id
+    LEFT JOIN ent ON d.doc_id = ent.doc_id
+    """,
+    doc="The composed quality funnel: Gopher rule screen + repetition "
+    "screen + char-entropy screen evaluated on every document and "
+    "reduced to the per-stage pass counts and the all-stages survivor "
+    "count — the one-row report a corpus-curation run publishes after "
+    "each ingest. Built by COMPOSING the three registered screens "
+    "into ONE Catalyst plan (their DataFrames join on doc_id lazily; "
+    "the oracle embeds their registered SQL verbatim via the "
+    "registry, so the composition can never drift from the parts). "
+    "Empty documents, which the entropy screen excludes structurally, "
+    "count as entropy failures via the null-coalesce. Scale shape: "
+    "two map-only screens fuse with the scan; the entropy arm's "
+    "bounded aggregations and the doc_id joins are the only "
+    "shuffles; output is one row.",
+    tags=("text", "quality", "pipeline"),
+)
+def quality_screen_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gop = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    rep = quality_repetition_screen(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("r_keep")
+    )
+    ent = char_entropy_screen(spark, sf_dir).select(
+        "doc_id", (~F.col("is_low_entropy")).alias("e_keep")
+    )
+    joined = (
+        docs.join(gop, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .withColumn("e_keep", F.coalesce(F.col("e_keep"), F.lit(False)))
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(F.col("g_keep")).alias("pass_gopher"),
+        cnt(F.col("r_keep")).alias("pass_repetition"),
+        cnt(F.col("e_keep")).alias("pass_entropy"),
+        cnt(F.col("g_keep") & F.col("r_keep") & F.col("e_keep")).alias(
+            "pass_all"
+        ),
+    )

@@ -755,3 +755,39 @@ def test_char_entropy_planted_extremes(spark, tmp_path):
     assert abs(res[2].entropy_nats - math.log(4)) < 1e-5
     assert res[2].is_low_entropy  # ln(4) ~ 1.386 < 2.5
     assert res[3].entropy_nats > 2.5 and not res[3].is_low_entropy
+
+
+def test_quality_funnel_planted(spark, tmp_path):
+    """A curated English-like doc passes all three screens; a looping
+    doc fails repetition; a key-mash fails entropy; the funnel counts
+    reflect the per-screen verdicts exactly."""
+    out = str(tmp_path / "funnel")
+    stops = ["the", "of", "and", "that", "have", "with"]
+    good = " ".join(
+        f"{stops[i % 6]} w{i:03d}" for i in range(60)
+    )  # mean word len (3 + 4) / 2 = 3.5, inside the [3.0, 4.5] gate
+    rows = [
+        (1, good.strip(), "en", "s", len(good)),
+        (2, "buy now " * 60 + "buy", "en", "s", 0),
+        (3, "a" * 400, "en", "s", 400),
+        (4, "", "en", "s", 0),
+    ]
+    _write_docs(spark, out, rows)
+    row = REGISTRY["quality_screen_funnel"].fn(spark, out).collect()[0]
+    gop = {r.doc_id: r.keep for r in
+           REGISTRY["quality_gopher_rules"].fn(spark, out).collect()}
+    rep = {r.doc_id: r.keep for r in
+           REGISTRY["quality_repetition_screen"].fn(spark, out).collect()}
+    ent = {r.doc_id: not r.is_low_entropy for r in
+           REGISTRY["char_entropy_screen"].fn(spark, out).collect()}
+    assert row.n_docs == 4
+    assert row.pass_gopher == sum(gop.values())
+    assert row.pass_repetition == sum(rep.values())
+    assert row.pass_entropy == sum(ent.values())  # doc 4 absent -> fail
+    assert row.pass_all == sum(
+        gop[d] and rep[d] and ent.get(d, False) for d in gop
+    )
+    assert gop[1] and rep[1] and ent[1]  # the curated doc survives all
+    assert not rep[2]
+    assert not ent[3]
+    assert row.pass_all >= 1
