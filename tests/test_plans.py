@@ -358,42 +358,3 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     }
     assert pruned == plain
 
-
-def test_runtime_bloom_filter_injection(spark, sf_dir):
-    """The 100 TB big-big join discipline: when the dim side is too
-    large to broadcast (simulated by disabling broadcast), Catalyst's
-    runtime-filter rule must inject a bloom_filter_agg on the filtered
-    build side and a might_contain probe into the fact scan — the
-    semi-join prune that cuts shuffle volume before it happens. This
-    pins the capability (and its config recipe) so the engine's scale
-    posture is executable, not aspirational."""
-    import pyspark.sql.functions as F
-
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
-            F.col("p_brand") == "Brand#12"
-        )
-        j = (
-            li.join(part, li.l_partkey == part.p_partkey)
-            .groupBy("p_brand")
-            .count()
-        )
-        plan = plan_string(j)
-        assert "might_contain" in plan, plan[:2000]
-        assert "bloom_filter_agg" in plan, plan[:2000]
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
