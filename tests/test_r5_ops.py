@@ -791,3 +791,114 @@ def test_quality_funnel_planted(spark, tmp_path):
     assert not rep[2]
     assert not ent[3]
     assert row.pass_all >= 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_naive_bayes_fuzz_vs_reference(spark, tmp_path_factory, data):
+    """Replicate the NB scoring (bigint-micro quantized lns, factored
+    normalizer, score-desc/class-desc argmax) in pure Python on random
+    corpora and pin the confusion matrix."""
+    import math
+    from collections import Counter, defaultdict
+
+    langs = data.draw(st.sampled_from([("en", "fr"), ("en", "fr", "zh")]))
+    vocab = [f"v{i}" for i in range(data.draw(st.integers(4, 10)))]
+    docs = []
+    n_docs = data.draw(st.integers(3, 10))
+    for i in range(n_docs):
+        lang = langs[i % len(langs)]
+        words = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12)
+        )
+        docs.append((i, " ".join(words), lang, "s", 0))
+    out = str(tmp_path_factory.mktemp("nb_fuzz"))
+    _write_docs(spark, out, docs)
+
+    uln = lambda x: math.floor(math.log(x) * 1e6 + 0.5)  # noqa: E731
+    cwc, nc, dprior = Counter(), Counter(), Counter()
+    toks = {}
+    for i, text, lang, _, _ in docs:
+        ws = [w for w in text.split(" ") if w]
+        toks[i] = (ws, lang)
+        dprior[lang] += 1
+        for w in ws:
+            cwc[(w, lang)] += 1
+            nc[lang] += 1
+    V = len({w for w, _ in cwc})
+    nd = len(docs)
+    conf = defaultdict(int)
+    for i, (ws, lang) in toks.items():
+        best = None
+        for lm in sorted(dprior, reverse=True):
+            s = sum(uln(cwc[(w, lm)] + 1) for w in ws if (w, lm) in cwc)
+            score = (
+                s + uln(dprior[lm] / nd) - len(ws) * uln(nc[lm] + V)
+            )
+            if best is None or score > best[0]:
+                best = (score, lm)
+        conf[(lang, best[1])] += 1
+
+    got = {
+        (r.lang, r.pred_lang): r.n
+        for r in REGISTRY["naive_bayes_langid"].fn(spark, out).collect()
+    }
+    assert got == dict(conf), (got, dict(conf))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_frequent_itemsets_fuzz_vs_itertools(spark, tmp_path_factory, data):
+    """Random baskets: supports/lift/confidence must match the direct
+    itertools computation over the same threshold."""
+    from itertools import combinations
+
+    brands = [f"Brand#{c}" for c in "ABCDE"]
+    n_orders = data.draw(st.integers(4, 12))
+    baskets = {
+        ok: sorted(
+            set(data.draw(st.lists(st.sampled_from(brands),
+                                   min_size=1, max_size=4)))
+        )
+        for ok in range(1, n_orders + 1)
+    }
+    part = [(i + 1, b) for i, b in enumerate(brands)]
+    pk = {b: i + 1 for i, b in enumerate(brands)}
+    li = [(ok, pk[b]) for ok, bs in baskets.items() for b in bs]
+    out = str(tmp_path_factory.mktemp("fi_fuzz"))
+    spark.createDataFrame(part, "p_partkey long, p_brand string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out}/part.parquet")
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    supp, isupp = {}, {}
+    for bs in baskets.values():
+        for b in bs:
+            isupp[b] = isupp.get(b, 0) + 1
+        for a, b in combinations(bs, 2):
+            supp[(a, b)] = supp.get((a, b), 0) + 1
+    n = len(baskets)
+    want = {
+        p: s for p, s in supp.items() if s >= 0.025 * n
+    }
+    got = {
+        (r.brand_a, r.brand_b): r
+        for r in REGISTRY["frequent_itemsets_pairs"].fn(spark, out).collect()
+    }
+    assert set(got) == set(want), (set(got), set(want))
+    for (a, b), r in got.items():
+        s = want[(a, b)]
+        assert r.support == s
+        assert abs(r.lift - (s * n) / (isupp[a] * isupp[b])) < 2e-6
+        assert abs(r.conf_a_b - s / isupp[a]) < 2e-6
+        assert abs(r.conf_b_a - s / isupp[b]) < 2e-6
