@@ -1270,3 +1270,77 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders", del_orders))
         .unionAll(one("lineitem", del_li))
     )
+
+
+@register(
+    "shard_manifest_checksums",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id, text, source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok,
+               arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(s AS VARCHAR))) AS shard
+        FROM documents, unnest(range({_HRW_SHARDS})) AS t(s)
+        GROUP BY doc_id, text, source
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(CAST(CAST(CONCAT('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)),
+                           1, 8)) AS UBIGINT) AS BIGINT)) AS BIGINT)
+               AS content_checksum
+    FROM a GROUP BY shard
+    """,
+    doc="Per-shard dataset manifest: for every rendezvous-assigned "
+    "shard, the doc count, token count, source cardinality, and an "
+    "ORDER-FREE content checksum — the sum of per-document 32-bit "
+    "digests of (doc_id, md5(text)), which is commutative/associative "
+    "so any partitioning, retry order, or cluster size produces the "
+    "same value. This is the reproducibility contract a training run "
+    "publishes with its shards: re-run the pipeline, diff one row per "
+    "shard, and know bit-for-bit whether the data changed — without "
+    "sorting or collecting anything. 32-bit terms keep the bigint "
+    "sum exact past 10^9 docs per shard. Scale shape: map-only HRW "
+    "assignment + digests fused into the scan, ONE bounded "
+    "groupBy(shard) rollup.",
+    tags=("pipeline", "partitioning", "hash", "governance"),
+)
+def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"array_max(transform(sequence(0, {_HRW_SHARDS - 1}), s -> "
+        "struct(md5(concat(cast(doc_id as string), ':', "
+        "cast(s as string))) AS h, s AS s))).s"
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    n_tok = F.size(F.filter(F.split("text", " ", -1), lambda x: x != ""))
+    return (
+        docs.select(
+            shard.cast("int").alias("shard"),
+            n_tok.alias("n_tok"),
+            "source",
+            digest.alias("digest"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("digest").cast("bigint").alias("content_checksum"),
+        )
+    )

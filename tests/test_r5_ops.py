@@ -902,3 +902,27 @@ def test_frequent_itemsets_fuzz_vs_itertools(spark, tmp_path_factory, data):
         assert abs(r.lift - (s * n) / (isupp[a] * isupp[b])) < 2e-6
         assert abs(r.conf_a_b - s / isupp[a]) < 2e-6
         assert abs(r.conf_b_a - s / isupp[b]) < 2e-6
+
+
+def test_shard_checksum_partition_invariance(spark, sf_dir):
+    """The content checksum must not depend on partitioning or row
+    order: recompute on a repartitioned/shuffled copy and match, and
+    agreement with the HRW shard counts from rendezvous_shard_assign."""
+    base = {r.shard: r for r in
+            REGISTRY["shard_manifest_checksums"].fn(spark, sf_dir).collect()}
+    hrw = {r.shard: r.n_docs for r in
+           REGISTRY["rendezvous_shard_assign"].fn(spark, sf_dir).collect()}
+    assert {s: r.n_docs for s, r in base.items()} == hrw
+
+    import tempfile
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    out = tempfile.mkdtemp()
+    (load(spark, sf_dir, "documents").repartition(13)
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    re = {r.shard: r for r in
+          REGISTRY["shard_manifest_checksums"].fn(spark, out).collect()}
+    assert {s: (r.n_docs, r.content_checksum) for s, r in re.items()} == {
+        s: (r.n_docs, r.content_checksum) for s, r in base.items()
+    }
