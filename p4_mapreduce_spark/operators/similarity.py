@@ -1136,3 +1136,110 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", kmeans_assign_col(centroids).alias("cluster")
     )
     return _semdedup_verdict(asg, "cluster")
+
+
+# Matryoshka (MRL) serving evaluation: keep only the leading dims.
+_MRL_DIMS = 16
+
+
+def _mrl_trunc_sql() -> str:
+    """Truncated-dim brute-force top-k CTE body (prefix dot products,
+    same fix6 quantization as the full-dim arm)."""
+    qd = lambda a, b: (  # noqa: E731
+        f"floor(({dot_sql(a, b, _MRL_DIMS)}) * 1000000.0 + 0.5) / 1000000.0"
+    )
+    return f"""
+        SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rk FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ({qd('qe', 'e.embedding')})
+                                / sqrt(({qd('qe', 'qe')})
+                                       * ({qd('e.embedding', 'e.embedding')}))
+                                DESC, e.vec_id) AS rk
+            FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                  WHERE vec_id IN ({_query_ids_sql()})) q
+            JOIN embeddings e ON e.vec_id <> q.query_id
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "mrl_truncation_recall",
+    oracle=f"""
+    WITH full_bf AS ({_BF_ORACLE}),
+    trunc AS ({_mrl_trunc_sql()}),
+    hits AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM trunc t JOIN full_bf f
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST({_MRL_DIMS} AS INTEGER) AS kept_dims,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(n_hits, 0) / CAST({TOP_K} AS DOUBLE) AS recall_at_{TOP_K}
+    FROM embeddings q LEFT JOIN hits ON q.vec_id = hits.query_id
+    WHERE q.vec_id IN ({_query_ids_sql()})
+    """,
+    doc=f"Matryoshka-truncation serving audit: recall@{TOP_K} of "
+    f"brute-force search over only the LEADING {_MRL_DIMS} of "
+    f"{EMBEDDING_DIM} dims against the full-dim exact top-{TOP_K} — "
+    "the number an MRL/dimension-truncation deployment is tuned by "
+    "(serve a prefix, store 4x less, measure exactly what ranking "
+    "quality it costs). Same shape as ann_lsh_recall with the "
+    "truncated arm standing in for the sketch: both arms are "
+    "quantized-fold cosine scans with per-query window heaps; the "
+    "recall join runs on two 5x10-row frames. At 100 TB the eval "
+    "runs over a fixed query panel against a corpus sample — "
+    "map-only scans, nothing quadratic.",
+    tags=("similarity", "vector"),
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+    from p4_mapreduce_spark.functions.vector import as_double, dot
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    def trunc_topk() -> DataFrame:
+        a = F.slice(as_double(F.col("qe")), 1, _MRL_DIMS)
+        b = F.slice(as_double(F.col("embedding")), 1, _MRL_DIMS)
+        qd = lambda x, y: fix(dot(x, y), 6)  # noqa: E731
+        cos = qd(a, b) / F.sqrt(qd(a, a) * qd(b, b))
+        w = Window.partitionBy("query_id").orderBy(
+            cos.desc(), F.col("vec_id")
+        )
+        return (
+            emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        trunc_topk()
+        .join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(_MRL_DIMS).cast("int").alias("kept_dims"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.lit(float(TOP_K))
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+    )

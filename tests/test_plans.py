@@ -113,6 +113,7 @@ _BNLJ_ALLOWED = {
     "mixture_temperature_resample",  # 1-row total/sumw/max frames vs histogram
     "heavy_hitters_words",  # 1-row lazy threshold frame vs candidate counts
     "ann_lsh_recall",  # 1-row corpus-count frame vs 10-row recall table
+    "mrl_truncation_recall",  # 5 broadcast query vectors x corpus, non-equi
     "split_balance_audit",  # 3x5 marginal cross + 1-row total/df frames
     "frequent_itemsets_pairs",  # 1-row basket-count frame vs pair supports
     "mutual_information_lang_source",  # 1-row grand total vs cell frame

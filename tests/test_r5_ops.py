@@ -926,3 +926,36 @@ def test_shard_checksum_partition_invariance(spark, sf_dir):
     assert {s: (r.n_docs, r.content_checksum) for s, r in re.items()} == {
         s: (r.n_docs, r.content_checksum) for s, r in base.items()
     }
+
+
+def test_mrl_recall_consistent_with_arms(spark, sf_dir):
+    """n_hits equals the real overlap between the truncated top-k and
+    the exact top-k, recomputed in numpy with the same quantization."""
+    import numpy as np
+
+    from p4_mapreduce_spark.operators.similarity import QUERY_IDS, TOP_K
+    from p4_mapreduce_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+
+    def topk(mat):
+        out = {}
+        q6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        for qid in QUERY_IDS:
+            qv = mat[ids == qid][0]
+            cos = q6(mat @ qv) / np.sqrt(q6((mat * mat).sum(1)) * q6(qv @ qv))
+            order = sorted(
+                ((-c, i) for c, i in zip(cos, ids) if i != qid)
+            )[:TOP_K]
+            out[qid] = {i for _, i in order}
+        return out
+
+    full, trunc = topk(X), topk(np.ascontiguousarray(X[:, :16]))
+    rows = {r.query_id: r for r in
+            REGISTRY["mrl_truncation_recall"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(QUERY_IDS)
+    for qid in QUERY_IDS:
+        assert rows[qid].n_hits == len(full[qid] & trunc[qid]), qid
+        assert rows[qid].kept_dims == 16
