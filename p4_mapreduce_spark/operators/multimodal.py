@@ -523,3 +523,105 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_samples int, n_frames int, peak_abs int, "
         "sumsq bigint, max_frame_energy bigint",
     )
+
+
+# dHash geometry: 8x9 grayscale grid -> 8 row-bytes of left<right bits.
+_DH_ROWS = 8
+_DH_COLS = 9
+_DH_NPIX = _DH_ROWS * _DH_COLS
+PHASH_SCHEMA = f"doc_id bigint, px array<int>"
+
+
+def _dhash_px_sql(i: int) -> str:
+    """Pixel i (1-based) of the oracle's image: the i-th byte of the
+    ASCII text payload, zero-padded past the end."""
+    return (
+        f"CASE WHEN {i} <= length(text) THEN ascii(substr(text, {i}, 1)) "
+        "ELSE 0 END"
+    )
+
+
+def _dhash_hex_sql() -> str:
+    row_bytes = []
+    for r in range(_DH_ROWS):
+        bits = " + ".join(
+            f"(CASE WHEN ({_dhash_px_sql(r * _DH_COLS + c + 1)})"
+            f" < ({_dhash_px_sql(r * _DH_COLS + c + 2)})"
+            f" THEN {1 << c} ELSE 0 END)"
+            for c in range(8)
+        )
+        row_bytes.append(f"printf('%02x', {bits})")
+    return " || ".join(row_bytes)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, ({_dhash_hex_sql()}) AS phash
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT phash, count(*) AS n_docs,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM h GROUP BY phash HAVING count(*) >= 2
+    """,
+    doc="Perceptual-hash (dHash) image dedup THROUGH the real codec: "
+    "each document payload is PNG-encoded and decoded back with the "
+    "pure-stdlib codec (the lossless round-trip is pinned by "
+    "multimodal_image_roundtrip), the first 8x9 decoded pixels form "
+    "the dHash grid (bit = left pixel < right neighbor, 8 bytes hex), "
+    "and hash buckets with >= 2 members are the perceptual-duplicate "
+    "groups — how an image pipeline finds re-encoded/resized copies "
+    "that byte-hash dedup misses. The oracle replays the dHash "
+    "directly on the source bytes, which is valid precisely BECAUSE "
+    "the codec round-trip is proven byte-exact. Scale shape: "
+    "Arrow-batched per-row encode/decode/hash (embarrassingly "
+    "parallel), then ONE groupBy on the 64-bit hash — the dedup "
+    "shuffle carries 8-byte keys, not images.",
+    tags=("multimodal", "pandas-udf", "codec", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def decode_px(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                png = png_encode_gray(raw, _IMG_WIDTH)
+                _w, _h, _c, px = png_decode(png)
+                px = bytes(px[: len(raw)])  # drop encoder padding
+                grid = (px + b"\x00" * _DH_NPIX)[:_DH_NPIX]
+                out["doc_id"].append(doc_id)
+                out["px"].append(list(grid))
+            yield pd.DataFrame(out)
+
+    pxdf = assets.mapInPandas(decode_px, schema=PHASH_SCHEMA)
+    row_byte = (
+        f"aggregate(sequence(0, 7), 0, (acc, c) -> acc + "
+        f"IF(element_at(px, {{r}} * {_DH_COLS} + c + 1)"
+        f" < element_at(px, {{r}} * {_DH_COLS} + c + 2),"
+        " shiftleft(1, c), 0))"
+    )
+    phash = F.expr(
+        "concat("
+        + ", ".join(
+            f"lpad(lower(hex({row_byte.format(r=r)})), 2, '0')"
+            for r in range(_DH_ROWS)
+        )
+        + ")"
+    )
+    return (
+        pxdf.select("doc_id", phash.alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

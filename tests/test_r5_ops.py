@@ -959,3 +959,23 @@ def test_mrl_recall_consistent_with_arms(spark, sf_dir):
     for qid in QUERY_IDS:
         assert rows[qid].n_hits == len(full[qid] & trunc[qid]), qid
         assert rows[qid].kept_dims == 16
+
+
+def test_phash_dedup_prefix_sensitivity(spark, tmp_path):
+    """Identical payloads bucket together; payloads identical in the
+    first 72 bytes ALSO bucket together (dHash sees only the 8x9
+    grid — the perceptual-collision behavior byte-hashing lacks); a
+    doc differing inside the grid does not."""
+    out = str(tmp_path / "phash")
+    head = "x" * 72
+    rows = [
+        (1, head + " tail one", "en", "s", 0),
+        (2, head + " different tail entirely", "en", "s", 0),
+        (3, "completely other content that differs early", "en", "s", 0),
+        (4, head + " tail one", "en", "s", 0),  # exact copy of 1
+    ]
+    _write_docs(spark, out, rows)
+    res = REGISTRY["multimodal_phash_dedup"].fn(spark, out).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r.n_docs == 3 and r.min_doc_id == 1 and r.max_doc_id == 4
