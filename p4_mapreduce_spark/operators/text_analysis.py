@@ -821,7 +821,12 @@ _GOPHER_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + "]
     tags=("text", "quality", "pipeline"),
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return gopher_rules_frame(load(spark, sf_dir, "documents"))
+
+
+def gopher_rules_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher screen as a frame transform (used by the registered
+    query, the composed funnel, and the streaming incremental MV)."""
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     n_words = F.size(ws)
     denom = F.greatest(n_words, F.lit(1))
@@ -928,7 +933,12 @@ _REP_MAX_DUP_TRIGRAM_FRAC = 0.30
     tags=("text", "quality", "pipeline"),
 )
 def quality_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return repetition_screen_frame(load(spark, sf_dir, "documents"))
+
+
+def repetition_screen_frame(docs: DataFrame) -> DataFrame:
+    """The repetition screen as a frame transform (see
+    gopher_rules_frame)."""
     toks = docs.select(
         "doc_id", F.split("text", " ", -1).alias("raw")
     ).select("doc_id", F.filter("raw", lambda x: x != "").alias("ws"))
@@ -1914,7 +1924,12 @@ _CHAR_ENTROPY_MIN = 2.5
     tags=("text", "quality", "aggregation", "pipeline"),
 )
 def char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return char_entropy_frame(load(spark, sf_dir, "documents"))
+
+
+def char_entropy_frame(docs: DataFrame) -> DataFrame:
+    """The char-entropy screen as a frame transform (see
+    gopher_rules_frame)."""
     cc = (
         docs.select("doc_id", F.explode(F.split("text", "", -1)).alias("ch"))
         # Spark's split('', '') yields one empty element where DuckDB
@@ -1981,22 +1996,7 @@ from p4_mapreduce_spark.registry import REGISTRY as _REG  # noqa: E402
     tags=("text", "quality", "pipeline"),
 )
 def quality_screen_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    gop = quality_gopher_rules(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("g_keep")
-    )
-    rep = quality_repetition_screen(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("r_keep")
-    )
-    ent = char_entropy_screen(spark, sf_dir).select(
-        "doc_id", (~F.col("is_low_entropy")).alias("e_keep")
-    )
-    joined = (
-        docs.join(gop, "doc_id", "left")
-        .join(rep, "doc_id", "left")
-        .join(ent, "doc_id", "left")
-        .withColumn("e_keep", F.coalesce(F.col("e_keep"), F.lit(False)))
-    )
+    joined = screen_verdicts_frame(load(spark, sf_dir, "documents"))
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
     return joined.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2006,4 +2006,28 @@ def quality_screen_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("g_keep") & F.col("r_keep") & F.col("e_keep")).alias(
             "pass_all"
         ),
+    )
+
+
+def screen_verdicts_frame(docs: DataFrame) -> DataFrame:
+    """Per-document verdicts of all three quality screens joined on
+    doc_id (g_keep / r_keep / e_keep), with the entropy screen's
+    structural exclusion of empty docs coalesced to a failure —
+    shared by quality_screen_funnel and the streaming incremental
+    funnel so batch and micro-batch can never disagree."""
+    base = docs.select("doc_id")
+    gop = gopher_rules_frame(docs).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    rep = repetition_screen_frame(docs).select(
+        "doc_id", F.col("keep").alias("r_keep")
+    )
+    ent = char_entropy_frame(docs).select(
+        "doc_id", (~F.col("is_low_entropy")).alias("e_keep")
+    )
+    return (
+        base.join(gop, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .withColumn("e_keep", F.coalesce(F.col("e_keep"), F.lit(False)))
     )

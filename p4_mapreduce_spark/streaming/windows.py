@@ -675,3 +675,89 @@ def corpus_report_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
             F.countDistinct("gh").alias("n_distinct_texts"),
         )
     )
+
+
+def streaming_quality_funnel_incremental(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Incremental maintenance of ``quality_screen_funnel``: every
+    micro-batch runs the three per-document screens (the SAME
+    ``screen_verdicts_frame`` the batch funnel uses, so the two can
+    never disagree) on just its own documents and appends ONE funnel
+    row per batch. Valid incrementally because all three screens are
+    per-document map functions — verdicts depend on nothing outside
+    the doc — so the corpus funnel is the exact sum of batch funnels.
+    State grows one row per ingest batch, not per document; replayed
+    batches re-append an identical row under the same batch_id and
+    the reader collapses them (the module's exactly-once contract)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.text_analysis import (
+        screen_verdicts_frame,
+    )
+
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        v = screen_verdicts_frame(batch_df)
+        cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast(  # noqa: E731
+            "bigint"
+        )
+        (
+            v.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                cnt(F.col("g_keep")).alias("pass_gopher"),
+                cnt(F.col("r_keep")).alias("pass_repetition"),
+                cnt(F.col("e_keep")).alias("pass_entropy"),
+                cnt(
+                    F.col("g_keep") & F.col("r_keep") & F.col("e_keep")
+                ).alias("pass_all"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quality_funnel_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Derive the corpus-wide funnel report from the per-batch state
+    rows alone — no corpus rescan. Replay-safe: first() per batch_id
+    collapses a crash-replayed batch's duplicate row before summing.
+    Matches operators.text_analysis.quality_screen_funnel
+    column-for-column."""
+    import pyspark.sql.functions as F
+
+    state = spark.read.parquet(state_dir)
+    once = state.groupBy("batch_id").agg(
+        *[
+            F.first(c).alias(c)
+            for c in (
+                "n_docs",
+                "pass_gopher",
+                "pass_repetition",
+                "pass_entropy",
+                "pass_all",
+            )
+        ]
+    )
+    return once.agg(
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for c in (
+                "n_docs",
+                "pass_gopher",
+                "pass_repetition",
+                "pass_entropy",
+                "pass_all",
+            )
+        ]
+    )

@@ -650,3 +650,48 @@ def test_streaming_minhash_incremental(spark, sf_dir, tmp_path):
         for r in minhash_pairs_from_state(spark, state).collect()
     }
     assert replayed == want
+
+
+def test_streaming_quality_funnel_incremental(spark, sf_dir, tmp_path):
+    """The curation funnel maintained per micro-batch equals the batch
+    quality_screen_funnel exactly (screens are per-doc, so batch
+    funnels sum), and a crash-replayed batch does not double-count."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        quality_funnel_from_state,
+        streaming_quality_funnel_incremental,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_quality_funnel_incremental(spark, docs_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    batch_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(state).select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 2, batch_ids
+
+    cols = (
+        "n_docs", "pass_gopher", "pass_repetition", "pass_entropy", "pass_all"
+    )
+    got = quality_funnel_from_state(spark, state).collect()[0]
+    want = load_all()["quality_screen_funnel"].fn(spark, sf_dir).collect()[0]
+    assert tuple(got[c] for c in cols) == tuple(want[c] for c in cols)
+
+    replay_id = min(batch_ids)
+    st = spark.read.parquet(state)
+    st.where(F.col("batch_id") == replay_id).write.mode("append").parquet(
+        state
+    )
+    replayed = quality_funnel_from_state(spark, state).collect()[0]
+    assert tuple(replayed[c] for c in cols) == tuple(want[c] for c in cols)
