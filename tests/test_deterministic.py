@@ -74,3 +74,28 @@ def test_dot_sql_is_left_fold(a, b):
     for x, y in zip(np.array(a, dtype=np.float32), np.array(b, dtype=np.float32)):
         acc = acc + float(x) * float(y)
     assert got == acc
+
+
+def test_compare_frames_catches_divergence():
+    """Meta-test of the correctness gate itself: the comparator must
+    reject value / row-count / column mismatches and accept any row or
+    column permutation (its order-insensitivity contract)."""
+    import pandas as pd
+    import pytest
+
+    from tests.oracle import compare_frames
+
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    # permuted rows AND permuted column order must pass
+    compare_frames(a, pd.DataFrame({"v": [2.5, 1.5], "k": [2, 1]}))
+    with pytest.raises(AssertionError, match="row 0 differs|row 1 differs"):
+        compare_frames(a, pd.DataFrame({"k": [1, 2], "v": [1.5, 2.500001]}))
+    with pytest.raises(AssertionError, match="row count"):
+        compare_frames(a, pd.DataFrame({"k": [1], "v": [1.5]}))
+    with pytest.raises(AssertionError, match="column mismatch"):
+        compare_frames(a, pd.DataFrame({"k": [1, 2], "w": [1.5, 2.5]}))
+    # int vs float of the same magnitude must NOT silently pass
+    with pytest.raises(AssertionError):
+        compare_frames(
+            pd.DataFrame({"k": [1]}), pd.DataFrame({"k": [1.0]})
+        )
