@@ -444,3 +444,34 @@ def distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
         """
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) AS t
+"""
+
+
+@register(
+    "lateral_topn_per_customer",
+    oracle=_LATERAL_TOPN_SQL,
+    doc="LATERAL correlated subquery with per-row ORDER BY ... LIMIT: "
+    "each customer's top-2 orders by value, written as the modern-SQL "
+    "lateral join (identical text runs in DuckDB — the oracle IS the "
+    "query). Catalyst decorrelates the lateral into a set-based plan "
+    "(the correlated limit becomes a per-key window/group-limit over "
+    "one join, not a per-customer re-scan), which is the difference "
+    "between O(|orders|) and O(|customers| x |orders|) at 100 TB — "
+    "the plan-shape twin of window_topk_per_group reached from the "
+    "SQL dialect side.",
+    tags=("sql", "join", "window"),
+)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)
