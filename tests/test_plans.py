@@ -123,6 +123,7 @@ _BNLJ_ALLOWED = {
     "kl_source_drift",  # 1-row corpus total + bounded (source x term) grid
     "zipf_fit_top_terms",  # 1-row corpus-total frame vs vocab frame
     "attribution_last_touch",  # 1-row purchase-total frame vs channel frame
+    "psi_split_drift",  # 1-row split-totals frame vs bin-bounded frame
 }
 
 # Composite pipelines that chain several registered arms; their shuffle

@@ -979,3 +979,30 @@ def test_phash_dedup_prefix_sensitivity(spark, tmp_path):
     assert len(res) == 1
     r = res[0]
     assert r.n_docs == 3 and r.min_doc_id == 1 and r.max_doc_id == 4
+
+
+def test_psi_hash_split_stable_and_planted_shift(spark, sf_dir, tmp_path):
+    """Hash splits must be PSI-stable (< 0.1); a deliberately skewed
+    assignment (long docs pushed to val by construction) must not be —
+    simulated by planting doc_ids whose hash nibble correlates with
+    length."""
+    rows = REGISTRY["psi_split_drift"].fn(spark, sf_dir).collect()
+    assert sum(r.psi_term for r in rows) < 0.1
+
+    # plant: choose doc_ids whose md5 first nibble is <= 13 (train)
+    # for SHORT docs and > 13 (val) for LONG docs => massive drift
+    import hashlib
+
+    def nib(i):
+        return "0123456789abcdef".index(
+            hashlib.md5(str(i).encode()).hexdigest()[0]
+        ) + 1
+
+    train_ids = [i for i in range(4000) if nib(i) <= 13][:40]
+    val_ids = [i for i in range(4000) if 13 < nib(i) <= 15][:40]
+    docs = [(i, "x", "en", "s", 100) for i in train_ids]
+    docs += [(i, "x", "en", "s", 2900) for i in val_ids]
+    out = str(tmp_path / "psi")
+    _write_docs(spark, out, docs)
+    skew = REGISTRY["psi_split_drift"].fn(spark, out).collect()
+    assert sum(r.psi_term for r in skew) > 0.25, skew
