@@ -996,3 +996,109 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         "wau",
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(o_orderdate),
+                             (SELECT max(o_orderdate) FROM orders))
+                    AS BIGINT) AS recency_days,
+               count(*) AS frequency,
+               {fsum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, CAST(1 AS DOUBLE) / 3) AS r1,
+               quantile_cont(recency_days, CAST(2 AS DOUBLE) / 3) AS r2,
+               quantile_cont(frequency, CAST(1 AS DOUBLE) / 3) AS f1,
+               quantile_cont(frequency, CAST(2 AS DOUBLE) / 3) AS f2,
+               quantile_cont(monetary, CAST(1 AS DOUBLE) / 3) AS m1,
+               quantile_cont(monetary, CAST(2 AS DOUBLE) / 3) AS m2
+        FROM rfm
+    ),
+    scored AS (
+        SELECT CASE WHEN recency_days <= r1 THEN 3
+                    WHEN recency_days <= r2 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency <= f1 THEN 1
+                    WHEN frequency <= f2 THEN 2 ELSE 3 END AS f_score,
+               CASE WHEN monetary <= m1 THEN 1
+                    WHEN monetary <= m2 THEN 2 ELSE 3 END AS m_score,
+               monetary
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           {fix_sql("(CAST(sum(CAST(floor(monetary * 100.0 + 0.5) AS BIGINT))"
+                    " AS BIGINT) / count(*)) / 100.0", 4)} AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (the CRM/retention workhorse): "
+    "recency (days since last order, vs the corpus max date), "
+    "frequency (order count) and monetary (total spend) per customer, "
+    "each cut at its terciles into 1-3 scores (3 best) and rolled up "
+    "to the 27-cell segment grid with sizes and mean spend — "
+    "'champions' (333) through 'at-risk big spenders' (1-3) fall out "
+    "directly. Scale shape: one map-side-combined rollup to the "
+    "customer frame, one exact-percentile aggregation over it (the "
+    "documented exact-path contract — swap approx_percentile at "
+    "100 TB), a 1-row cut frame broadcast back, a 27-key rollup. "
+    "Tercile comparisons are bit-safe unquantized (the "
+    "ccnet_perplexity_buckets adjacency argument: every score is "
+    "bit-identical in both engines and interpolated cuts fall "
+    "strictly between adjacent values); means are bigint-cent sums.",
+    tags=("aggregation", "stats", "cohort"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("dmax"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("dlast"),
+            F.count(F.lit(1)).alias("frequency"),
+            fsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff("dmax", "dlast").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = lambda c, p: F.percentile(c, F.lit(p))  # noqa: E731
+    cuts = rfm.agg(
+        q("recency_days", 1.0 / 3).alias("r1"),
+        q("recency_days", 2.0 / 3).alias("r2"),
+        q("frequency", 1.0 / 3).alias("f1"),
+        q("frequency", 2.0 / 3).alias("f2"),
+        q("monetary", 1.0 / 3).alias("m1"),
+        q("monetary", 2.0 / 3).alias("m2"),
+    )
+    lowbest = lambda c, c1, c2: (  # noqa: E731
+        F.when(F.col(c) <= F.col(c1), 3)
+        .when(F.col(c) <= F.col(c2), 2)
+        .otherwise(1)
+    )
+    highbest = lambda c, c1, c2: (  # noqa: E731
+        F.when(F.col(c) <= F.col(c1), 1)
+        .when(F.col(c) <= F.col(c2), 2)
+        .otherwise(3)
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        lowbest("recency_days", "r1", "r2").alias("r_score"),
+        highbest("frequency", "f1", "f2").alias("f_score"),
+        highbest("monetary", "m1", "m2").alias("m_score"),
+        "monetary",
+    )
+    cents = F.floor(F.col("monetary") * 100.0 + 0.5).cast("bigint")
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        fix(
+            (F.sum(cents).cast("bigint") / F.count(F.lit(1))) / 100.0, 4
+        ).alias("avg_monetary"),
+    )

@@ -124,6 +124,7 @@ _BNLJ_ALLOWED = {
     "zipf_fit_top_terms",  # 1-row corpus-total frame vs vocab frame
     "attribution_last_touch",  # 1-row purchase-total frame vs channel frame
     "psi_split_drift",  # 1-row split-totals frame vs bin-bounded frame
+    "rfm_customer_segments",  # 1-row max-date + tercile-cut frames
 }
 
 # Composite pipelines that chain several registered arms; their shuffle

@@ -1006,3 +1006,25 @@ def test_psi_hash_split_stable_and_planted_shift(spark, sf_dir, tmp_path):
     _write_docs(spark, out, docs)
     skew = REGISTRY["psi_split_drift"].fn(spark, out).collect()
     assert sum(r.psi_term for r in skew) > 0.25, skew
+
+
+def test_rfm_segments_consistent(spark, sf_dir):
+    """Scores live in 1..3 per dimension, segment sizes sum to the
+    customer-with-orders count, and each dimension's tercile masses
+    are roughly balanced."""
+    from p4_mapreduce_spark.sources.tables import load
+
+    rows = REGISTRY["rfm_customer_segments"].fn(spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        mass = {}
+        for r in rows:
+            mass[r[dim]] = mass.get(r[dim], 0) + r.n_customers
+        assert set(mass) <= {1, 2, 3}
+        for s, n in mass.items():
+            assert n > 0.1 * n_cust, (dim, s, n)
+    for r in rows:
+        assert r.avg_monetary > 0
