@@ -1102,3 +1102,58 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("bigint") / F.count(F.lit(1))) / 100.0, 4
         ).alias("avg_monetary"),
     )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           {fix_sql("(CAST(sum(gap_us) AS BIGINT) / count(*)) / 1000000.0",
+                    6)} AS mean_gap_s,
+           {fix_sql("3600.0 / ((CAST(sum(gap_us) AS BIGINT) / count(*))"
+                    " / 1000000.0)", 6)} AS rate_per_hour
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Per-stream inter-arrival statistics: consecutive gaps within "
+    "each (user, event_type) stream reduced to per-type gap counts, "
+    "min/max/mean gap and the implied hourly arrival rate — the "
+    "Poisson-rate monitoring panel an event platform alerts on "
+    "(a rate spike = incident or abuse; a stall = broken producer). "
+    "Scale shape: ONE shuffle on (user_id, event_type) for the lag "
+    "window (the event log's native bucketing), then a map-side-"
+    "combined rollup to the type-cardinality frame. Gaps are exact "
+    "bigint microsecond differences (timestamp-type-proof epoch "
+    "helper), sums exact in any order; the two derived ratios are "
+    "IEEE divisions quantized at 1e-6.",
+    tags=("events", "window", "stats", "timeseries"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_micros(ev)
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    mean_gap = (
+        F.sum("gap_us").cast("bigint") / F.count(F.lit(1))
+    ) / 1000000.0
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        fix(mean_gap, 6).alias("mean_gap_s"),
+        fix(F.lit(3600.0) / mean_gap, 6).alias("rate_per_hour"),
+    )

@@ -1028,3 +1028,12 @@ def test_rfm_segments_consistent(spark, sf_dir):
             assert n > 0.1 * n_cust, (dim, s, n)
     for r in rows:
         assert r.avg_monetary > 0
+
+
+def test_interarrival_invariants(spark, sf_dir):
+    rows = REGISTRY["event_interarrival_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_gap_us <= r.max_gap_us
+        assert r.min_gap_us / 1e6 <= r.mean_gap_s <= r.max_gap_us / 1e6
+        assert abs(r.rate_per_hour * r.mean_gap_s - 3600.0) < 1.0
