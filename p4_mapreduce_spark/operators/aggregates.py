@@ -310,3 +310,51 @@ def percentile_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a50", "exact_p50").alias("p50_within_1pct"),
         ok("a95", "exact_p95").alias("p95_within_1pct"),
     )
+
+
+@register(
+    "grouping_id_cube",
+    oracle=f"""
+    SELECT CASE WHEN o_orderstatus IS NULL AND GROUPING(o_orderstatus) = 1
+                THEN '<all>' ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderpriority IS NULL AND GROUPING(o_orderpriority) = 1
+                THEN '<all>' ELSE o_orderpriority END AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           {fsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE with GROUPING()/grouping-id disambiguation: the bitmask "
+    "that tells a subtotal row apart from a genuine NULL group key — "
+    "without it every rollup consumer mis-reads aggregates over "
+    "nullable dimensions. Each aggregation level is labeled (gid 0-3) "
+    "and NULL-from-subtotal is rewritten to '<all>' ONLY when the "
+    "grouping bit says so. Same expansion-then-aggregate plan as "
+    "cube_counts (4 grouping sets, map-side combined); the bitmask is "
+    "free metadata the Expand operator already carries.",
+    tags=("aggregation", "sql"),
+)
+def grouping_id_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    relabel = lambda c, g: (  # noqa: E731
+        F.when(F.col(c).isNull() & (F.col(g) == 1), "<all>").otherwise(
+            F.col(c)
+        )
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+            F.count(F.lit(1)).alias("n"),
+            fsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            relabel("o_orderstatus", "g_s").alias("status"),
+            relabel("o_orderpriority", "g_p").alias("priority"),
+            (F.col("g_s") * 2 + F.col("g_p")).cast("bigint").alias("gid"),
+            "n",
+            "revenue",
+        )
+    )
