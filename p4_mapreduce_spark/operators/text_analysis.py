@@ -2031,3 +2031,92 @@ def screen_verdicts_frame(docs: DataFrame) -> DataFrame:
         .join(ent, "doc_id", "left")
         .withColumn("e_keep", F.coalesce(F.col("e_keep"), F.lit(False)))
     )
+
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS word
+        FROM documents
+    ),
+    swc AS (SELECT source, word, count(*) AS c FROM words GROUP BY 1, 2),
+    wc AS (SELECT word, CAST(sum(c) AS BIGINT) AS c_w FROM swc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM wc),
+    kept AS (
+        SELECT word FROM wc CROSS JOIN tot
+        WHERE c_w >= {_VOCAB_MIN_SHARE} * n
+    ),
+    pres AS (
+        SELECT DISTINCT source, word FROM swc JOIN kept USING (word)
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM pres GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM pres a JOIN pres b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union,
+           {fix_sql("n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE)",
+                    6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    """,
+    doc="Corpus cartography: pairwise Jaccard similarity between "
+    "sources over the share-pruned head vocabulary — which crawl "
+    "sources speak the same language (literally), the map that "
+    "guides mixture design and flags a source whose vocabulary "
+    "detaches from the rest (sibling of kl_source_drift, which "
+    "compares each source to the corpus; this compares sources to "
+    "EACH OTHER). Scale shape: one map-side-combined corpus "
+    "aggregation to (source, word); the prune bounds the presence "
+    "table at |sources| x 500 rows, so the pairwise self-join and "
+    "everything after run on bounded frames. Pure integer counts; "
+    "one quantized IEEE division per pair.",
+    tags=("text", "stats", "aggregation", "pipeline"),
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    swc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    wc = swc.groupBy("word").agg(F.sum("c").cast("bigint").alias("c_w"))
+    tot = wc.agg(F.sum("c_w").cast("bigint").alias("n"))
+    kept = (
+        wc.crossJoin(F.broadcast(tot))
+        .where(F.col("c_w") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
+        .select("word")
+    )
+    pres = swc.join(F.broadcast(kept), "word").select("source", "word").distinct()
+    sizes = pres.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = pres.select(F.col("source").alias("source_a"), "word")
+    b = pres.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            uni.cast("bigint").alias("n_union"),
+            fix(F.col("n_common") / uni.cast("double"), 6).alias("jaccard"),
+        )
+    )

@@ -125,6 +125,7 @@ _BNLJ_ALLOWED = {
     "attribution_last_touch",  # 1-row purchase-total frame vs channel frame
     "psi_split_drift",  # 1-row split-totals frame vs bin-bounded frame
     "rfm_customer_segments",  # 1-row max-date + tercile-cut frames
+    "source_vocab_jaccard",  # 1-row corpus-total frame vs vocab frame
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -168,6 +169,13 @@ _SHUFFLE_CAP_EXEMPT = {
     # the candidate-count joins; every post-arm exchange moves <=10-row
     # per-(query, method) frames.
     "ann_lsh_recall",
+    # ONE fact-sized (source, word) aggregation; the bounded presence
+    # table (<= |sources| x 500 rows) feeds three consumers (self-join
+    # both sides + sizes), so the plan TEXT replays its chain three
+    # times — spark.sql.exchange.reuse dedups the physical exchanges
+    # at runtime, and every replayed exchange moves vocabulary- or
+    # source-bounded frames anyway.
+    "source_vocab_jaccard",
     # lineitem-part equi-join (2) + ONE basket rollup are the only
     # fact-sized exchanges; pair explode is per-basket array math and
     # every later exchange moves <= |brands|^2 / 2 rows.

@@ -1037,3 +1037,29 @@ def test_interarrival_invariants(spark, sf_dir):
         assert 0 <= r.min_gap_us <= r.max_gap_us
         assert r.min_gap_us / 1e6 <= r.mean_gap_s <= r.max_gap_us / 1e6
         assert abs(r.rate_per_hour * r.mean_gap_s - 3600.0) < 1.0
+
+
+def test_source_vocab_jaccard_planted(spark, tmp_path):
+    """Two sources sharing half their head vocabulary score jaccard
+    1/3 (2 common of 6 union); a vocabulary-disjoint source produces
+    NO pair rows (zero-intersection pairs are absent by design)."""
+    out = str(tmp_path / "svj")
+    rows = []
+    i = 0
+    # srcA: words {w1 w2 w3 w4}; srcB: {w3 w4 w5 w6}; srcC: {z1 z2}
+    for words, src in (
+        ("w1 w2 w3 w4", "srcA"),
+        ("w3 w4 w5 w6", "srcB"),
+        ("z1 z2 z1 z2", "srcC"),
+    ):
+        for _ in range(10):
+            rows.append((i, words, "en", src, len(words)))
+            i += 1
+    _write_docs(spark, out, rows)
+    res = {(r.source_a, r.source_b): r for r in
+           REGISTRY["source_vocab_jaccard"].fn(spark, out).collect()}
+    assert ("srcA", "srcB") in res
+    r = res[("srcA", "srcB")]
+    assert r.n_common == 2 and r.n_union == 6
+    assert abs(r.jaccard - 2 / 6) < 1e-6
+    assert not any("srcC" in k for k in res), res
