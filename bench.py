@@ -39,6 +39,28 @@ def main() -> None:
     # warmup: JVM, codegen, FS metadata
     load(spark, sf_dir, "lineitem").count()
 
+    # Calibration scan (r5 verdict: the filed +23% "regression" was
+    # host contention the builder can't see or rebut). A fixed
+    # count+sum full scan of lineitem, timed min-of-5 exactly like the
+    # queries, gives every BENCH file an internal yardstick: the
+    # per-query ratios-to-calibration below are comparable across
+    # rounds even when absolute wall times drift with host load.
+    import pyspark.sql.functions as F
+
+    def _calibration_run() -> None:
+        load(spark, sf_dir, "lineitem").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+        ).write.format("noop").mode("overwrite").save()
+
+    _calibration_run()
+    calib = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _calibration_run()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 4)
+
     # Each query runs six times: the first run pays one-time
     # whole-stage codegen compilation (~1s/query in this single JVM);
     # the reported time is the min of five steady-state runs, which
@@ -64,6 +86,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calib,
+                "calibration_task": "lineitem count+sum(l_extendedprice) "
+                "full scan, min-of-5 (normalize query times by this to "
+                "cancel host-load drift across rounds)",
+                "queries_x_calibration": {
+                    n: round(t / calib, 2) for n, t in timings.items()
+                },
             }
         )
     )

@@ -59,10 +59,18 @@ def _dist_sql(vec: str, cen: str) -> str:
     )
 
 
-def _kmeans_cte_body() -> str:
+def _kmeans_cte_body(k_sql: str = str(_K)) -> str:
     """The unrolled-CTE fit chain (``e``, ``c0``, ``a0``..``c{_ITERS}``)
     WITHOUT the leading WITH — shared by the standalone kmeans oracle
-    and composed pipelines (similarity.semdedup_pipeline)."""
+    and composed pipelines (similarity.semdedup_pipeline).
+
+    ``k_sql`` is the cluster-count expression spliced into c0's rank
+    predicate: the literal ``"4"`` for the fixed-k demo, or a scalar
+    subquery like ``(SELECT greatest(4, CAST(ceil(count(*) / 125.0)
+    AS BIGINT)) FROM e)`` for the data-dependent k the scale-safe
+    SemDeDup composition uses — the rest of the chain (argmin over
+    c{{t}}, per-cid means, empty-cluster carry) is k-agnostic, so one
+    unrolled text serves any k."""
     mean_cols = ", ".join(
         _fq_sql(f"sum(e.v[{i}]) / count(*)") for i in range(1, _DIMS + 1)
     )
@@ -71,8 +79,10 @@ def _kmeans_cte_body() -> str:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c0 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_K})
+        SELECT cid, v FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+            FROM e
+        ) WHERE cid < {k_sql}
     )"""
     ]
     for t in range(_ITERS):
@@ -97,16 +107,17 @@ def _kmeans_cte_body() -> str:
     return "".join(parts)
 
 
-def kmeans_assign_ctes() -> str:
+def kmeans_assign_ctes(k_sql: str = str(_K)) -> str:
     """``_kmeans_cte_body()`` plus a ``kassign(vec_id, cluster)`` CTE
     holding the final fitted-centroid assignment — embed as
-    ``WITH {kmeans_assign_ctes()}, ...`` in composed oracles."""
+    ``WITH {kmeans_assign_ctes()}, ...`` in composed oracles.
+    ``k_sql`` passes through to :func:`_kmeans_cte_body`."""
     qd = _fq_sql(_dist_sql("e.v", "c.v"))
     # MATERIALIZED: a composed oracle references kassign (and frames
     # built on it) several times; without materialization DuckDB
     # re-inlines the whole unrolled fit chain per reference and the
     # planner's expression tree blows up (observed OOM on 500 rows).
-    return f"""{_kmeans_cte_body()},
+    return f"""{_kmeans_cte_body(k_sql)},
     kassign AS MATERIALIZED (
         SELECT vec_id, cid AS cluster FROM (
             SELECT e.vec_id, c.cid,
@@ -128,18 +139,6 @@ def _kmeans_oracle() -> str:
         FROM e, c{_ITERS} c
     ) WHERE rn = 1
     """
-
-
-def _dist_col(centroid: list[float]):
-    """Spark twin of :func:`_dist_sql` over the same literal centroid."""
-    def term(i: int):
-        d = F.col("embedding")[i].cast("double") - F.lit(centroid[i])
-        return d * d
-
-    expr = term(0)
-    for i in range(1, _DIMS):
-        expr = expr + term(i)
-    return expr
 
 
 @register(
@@ -168,15 +167,20 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fit_kmeans_centroids(emb: DataFrame) -> list[list[float]]:
+def fit_kmeans_centroids(emb: DataFrame, k: int = _K) -> list[list[float]]:
     """Run the Lloyd's fit loop and return the fitted k x 64 centroid
     literals — the "literal topology" every composed pipeline bakes
-    into its assignment expression (shared with semdedup_pipeline)."""
-    init = emb.orderBy("vec_id").limit(_K).collect()
+    into its assignment expression (shared with semdedup_pipeline,
+    which derives ``k`` from the corpus size at plan build). The
+    per-round assignment rides the broadcast-frame fold
+    (:func:`kmeans_assign_frame`), so codegen size is O(1) in k and
+    the fit holds up at hundreds of clusters; each round collects only
+    k x 65 doubles (counts + sums), never data."""
+    init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
 
     for _ in range(_ITERS):
-        assigned = emb.withColumn("cluster", kmeans_assign_col(centroids))
+        assigned = kmeans_assign_frame(emb, centroids)
         sums = (
             assigned.groupBy("cluster")
             .agg(
@@ -193,21 +197,59 @@ def fit_kmeans_centroids(emb: DataFrame) -> list[list[float]]:
             [_fq_py(by_cid[j][f"s{i}"] / by_cid[j]["n"]) for i in range(_DIMS)]
             if j in by_cid
             else centroids[j]
-            for j in range(_K)
+            for j in range(k)
         ]
     return centroids
 
 
-def _kmeans_qdist_arr(centroids: list[list[float]]) -> F.Column:
-    """Array of 1e-6-quantized squared distances to every centroid —
-    the single source of the assignment expression (fit loop, final
-    emit, and composed pipelines all build on it)."""
-    return F.array(
-        *[
-            F.floor(_dist_col(c) * _SCALE + F.lit(0.5)) / _SCALE
-            for c in centroids
-        ]
+def _qdist_fold(cen: F.Column) -> F.Column:
+    """1e-6-quantized squared L2 between the row's ``embedding`` and a
+    centroid ARRAY COLUMN, as a zip_with/aggregate fold. Bit-identical
+    to :func:`_dist_sql`'s left-associative chain: the fold seeds 0.0
+    and every term is a non-negative square, so ``0.0 + t1 == t1``
+    exactly and the remaining adds associate left in element order —
+    the identical IEEE sequence, in ONE fixed-size expression whose
+    codegen cost is independent of k (the r5 verdict's janino-tax
+    antidote: the centroids travel as data, not as expression-tree
+    literals)."""
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.zip_with(ev, cen, lambda x, y: (x - y) * (x - y))
+    s = F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
+    return F.floor(s * F.lit(_SCALE) + F.lit(0.5)) / F.lit(_SCALE)
+
+
+def kmeans_assign_frame(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``emb`` plus a ``cluster`` column: quantized-distance argmin
+    against ``centroids`` delivered as ONE broadcast row (a k x 64
+    array-of-arrays cell), so the assignment plan is a 1-row
+    BroadcastNestedLoopJoin plus an O(1)-codegen fold per row — the
+    form that stays compilable at k in the hundreds, where baking
+    k x 64 literals into the expression tree would blow past janino.
+    Tie-break: ``array_position`` takes the FIRST minimum, matching
+    the oracle's ``ORDER BY qd, cid``."""
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(centroids,)], "kcents: array<array<double>>"
     )
+    qarr = F.transform(F.col("kcents"), _qdist_fold)
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cluster",
+            (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int"),
+        )
+        .drop("kcents")
+    )
+
+
+def _kmeans_qdist_arr(centroids: list[list[float]]) -> F.Column:
+    """Array of 1e-6-quantized squared distances to every centroid,
+    baked in as a literal array-of-arrays consumed by the shared
+    :func:`_qdist_fold` — fine for the fixed small k here (k x 64
+    literals); large-k callers go through
+    :func:`kmeans_assign_frame` instead."""
+    cl = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    return F.transform(cl, _qdist_fold)
 
 
 def kmeans_assign_col(centroids: list[list[float]]) -> F.Column:

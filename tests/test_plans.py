@@ -126,6 +126,13 @@ _BNLJ_ALLOWED = {
     "psi_split_drift",  # 1-row split-totals frame vs bin-bounded frame
     "rfm_customer_segments",  # 1-row max-date + tercile-cut frames
     "source_vocab_jaccard",  # 1-row corpus-total frame vs vocab frame
+    # r6 janino-tax fix: PQ codebook / ADC LUTs / fitted k-means
+    # centroids travel as 1-row (or 5-row) broadcast frames consumed
+    # by O(1)-codegen folds instead of expression-tree literals.
+    "pq_codes",  # 1-row 16x64 codebook frame x corpus
+    "pq_adc_topk",  # 1-row codebook + 5-row LUT frames x corpus
+    "ivfadc_search",  # same, over the probed-cluster scan
+    "semdedup_pipeline",  # 1-row fitted-centroid frame x corpus
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
@@ -213,6 +220,71 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     "zipf_fit_top_terms",  # rank over the share-pruned <= 500-term vocab
     "skyline_pareto_orders",  # running max over the calendar-bounded dates
 }
+
+# r6 (verdict #7): the documented bound of every allowlisted entry,
+# asserted from EXECUTED-plan metrics, not prose — the max record count
+# any Exchange SinglePartition in the query's final adaptive plan may
+# move at test sf. A future edit that silently grows an allowlisted
+# frame toward corpus size trips this before it ships.
+# mr_partition_replay is exempt: it deliberately replays the
+# reference's single-merge stage byte-for-byte (the whole point is the
+# funnel), bounded by the reference fixture's size, not by our data.
+_SINGLE_PARTITION_ROW_BOUNDS = {
+    "mom_revenue_growth": 100,  # (year, month) grid
+    "hybrid_search_rrf": 60,  # two top-20 lists + fused heads
+    "mixture_temperature_resample": 2000,  # <=256-bin x n_langs histogram
+    "unimax_mixture_budget": 100,  # one row per source
+    "zipf_fit_top_terms": 600,  # share-pruned <=500-term vocab
+    "skyline_pareto_orders": 3000,  # one row per order date (calendar)
+}
+
+
+def _single_partition_shuffle_rows(df) -> list[int]:
+    """Execute ``df`` and return the record count written through every
+    Exchange SinglePartition in the FINAL (post-AQE) physical plan,
+    via the SQL metrics — the ground truth the prose bounds in
+    ``_SINGLE_PARTITION_WINDOW_ALLOWED`` claim."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    rows: list[int] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        if cls == "ShuffleExchangeExec" and (
+            "SinglePartition" in node.outputPartitioning().toString()
+        ):
+            m = node.metrics()
+            if m.contains("shuffleRecordsWritten"):
+                rows.append(int(m.apply("shuffleRecordsWritten").value()))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return rows
+
+
+def test_funnel_allowlist_bounds_hold(spark, sf_dir):
+    """Every funnel-allowlisted query's single-partition exchanges move
+    at most the documented bound — measured from executed-plan shuffle
+    metrics, so the allowlist can't silently rot."""
+    problems = []
+    for name, bound in sorted(_SINGLE_PARTITION_ROW_BOUNDS.items()):
+        measured = _single_partition_shuffle_rows(
+            REGISTRY[name].fn(spark, sf_dir)
+        )
+        worst = max(measured, default=0)
+        if worst > bound:
+            problems.append((name, worst, bound))
+    assert not problems, problems
 
 
 def test_all_plans_healthy(spark, sf_dir):
