@@ -1113,6 +1113,131 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental ANN index maintenance: the embedding twin of
+# dedup_minhash_incremental — the steady-state daily op of a vector
+# corpus. Two 4-bit sign-sketch BANDS (the 8 shared hyperplanes split
+# 4+4) so a near-duplicate pair is a candidate if EITHER half-sketch
+# matches — the MinHash banding trade applied to hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+ANN_INCR_TAU = 0.3
+_ANN_BANDS = 2
+_ANN_BAND_BITS = len(HYPERPLANES) // _ANN_BANDS
+
+
+def _ann_band_sql(col: str, band: int) -> str:
+    bits = []
+    for j in range(_ANN_BAND_BITS):
+        i = band * _ANN_BAND_BITS + j
+        d = dot_sql(col, _hyperplane_array_sql(HYPERPLANES[i]))
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN {2**j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_band_col(col: F.Column, band: int) -> F.Column:
+    """4-bit sign sketch of hyperplanes [band*4, band*4+4) — Spark twin
+    of :func:`_ann_band_sql`, shared with the streaming index twin."""
+    cd = as_double(col)
+    acc = F.lit(0)
+    for j in range(_ANN_BAND_BITS):
+        i = band * _ANN_BAND_BITS + j
+        plane = F.array(*[F.lit(v) for v in HYPERPLANES[i]]).cast(
+            "array<double>"
+        )
+        acc = acc + F.when(dot(cd, plane) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+    return acc
+
+
+_ANN_INCR_CAND = " UNION ".join(
+    f"SELECT n.vec_id AS vec_id_new, e.vec_id AS vec_id_existing "
+    f"FROM bnd n JOIN bnd e ON n.band{b} = e.band{b} "
+    f"WHERE n.vec_id % 3 = 0 AND e.vec_id % 3 <> 0"
+    for b in range(_ANN_BANDS)
+)
+
+
+@register(
+    "ann_lsh_incremental",
+    oracle=f"""
+    WITH bnd AS (
+        SELECT vec_id,
+               {_ann_band_sql('embedding', 0)} AS band0,
+               {_ann_band_sql('embedding', 1)} AS band1
+        FROM embeddings
+    ),
+    cand AS ({_ANN_INCR_CAND})
+    SELECT c.vec_id_new, c.vec_id_existing,
+           {cosine_sql('x.embedding', 'y.embedding')} AS cosine_sim
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.vec_id_new
+    JOIN embeddings y ON y.vec_id = c.vec_id_existing
+    WHERE {cosine_sql('x.embedding', 'y.embedding')} >= {ANN_INCR_TAU}
+    """,
+    doc="Steady-state incremental ANN near-dup maintenance — the "
+    "embedding twin of dedup_minhash_incremental (r5 verdict ask #5): "
+    "the incoming batch (vec_id % 3 = 0) is checked against the "
+    "already-indexed corpus via banded sign-sketch LSH. Each vector "
+    f"carries {_ANN_BANDS} {_ANN_BAND_BITS}-bit bands (the 8 shared "
+    "hyperplanes split 4+4); batch signatures band-join the corpus "
+    "SIGNATURE INDEX ONLY (8-bit-wide keys, never the vectors, never "
+    "a corpus self-join), candidates dedup across bands, and only "
+    "cross-batch candidates pay the exact-cosine verify via an "
+    "output-bound join back to the embedding table. Banding raises "
+    "recall over the single 8-bit bucket (a pair is a candidate if "
+    "EITHER half-sketch agrees — the MinHash band trade applied to "
+    "hyperplane LSH). Daily cost: batch signatures + one equi-join "
+    "per band against the warm index + verify on survivors — "
+    "batch-proportional, the shape a 100 TB vector pipeline actually "
+    "runs. Cosines are the left-fold dual recipe, so the threshold "
+    "comparison is bit-deterministic.",
+    tags=("similarity", "vector", "lsh", "incremental"),
+)
+def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bnd = emb.select(
+        "vec_id",
+        *[
+            ann_band_col(F.col("embedding"), b).alias(f"band{b}")
+            for b in range(_ANN_BANDS)
+        ],
+    )
+    melted = bnd.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(_ANN_BANDS)])
+        ).alias("band_id", "sig"),
+    )
+    is_new = F.col("vec_id") % 3 == 0
+    new_b = melted.where(is_new).select(
+        F.col("vec_id").alias("vec_id_new"), "band_id", "sig"
+    )
+    ex_b = melted.where(~is_new).select(
+        F.col("vec_id").alias("vec_id_existing"), "band_id", "sig"
+    )
+    cand = (
+        new_b.join(ex_b, ["band_id", "sig"])
+        .select("vec_id_new", "vec_id_existing")
+        .distinct()
+    )
+    x = emb.select(
+        F.col("vec_id").alias("vec_id_new"), F.col("embedding").alias("ex")
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_id_existing"),
+        F.col("embedding").alias("ey"),
+    )
+    sim = cosine(F.col("ex"), F.col("ey"))
+    return (
+        cand.join(x, "vec_id_new")
+        .join(y, "vec_id_existing")
+        .select("vec_id_new", "vec_id_existing", sim.alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= ANN_INCR_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-means -> SemDeDup: the composed end-to-end semantic dedup pipeline
 # ---------------------------------------------------------------------------
 

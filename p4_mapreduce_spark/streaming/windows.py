@@ -623,6 +623,114 @@ def _read_parquet_or_none(spark: SparkSession, path: str):
         return None  # first batch: no state yet
 
 
+def streaming_ann_incremental(
+    spark: SparkSession, emb_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming incremental ANN index maintenance: the embedding twin
+    of streaming_minhash_incremental, and the micro-batch form of
+    operators.similarity.ann_lsh_incremental (r5 verdict ask #5).
+
+    Each micro-batch of embedding rows:
+
+    1. computes the two 4-bit sign-sketch bands per vector (the same
+       seeded hyperplanes as every batch LSH query — shared
+       ``ann_band_col``, so batch and streaming signatures can never
+       drift);
+    2. band-joins the batch signatures against the ACCUMULATED bucket
+       index from all prior batches — 8-bit-wide keys only, never a
+       corpus self-join, never batch-vs-batch quadratics;
+    3. exact-cosine-verifies only the surviving cross-batch
+       candidates (output-bound joins back to the batch rows and the
+       index's stored vectors) at the shared ANN_INCR_TAU;
+    4. appends its own (vec_id, embedding, band0, band1) rows to the
+       index and the emitted pairs to ``{state_dir}/pairs``, both
+       keyed by batch_id — replayed batches append identical rows and
+       the reader (ann_pairs_from_state) collapses them, the
+       corpus_report_from_state idempotency contract.
+
+    Per-batch cost is batch-signatures + one equi-join per band
+    against the warm index + verify on survivors: batch-proportional,
+    the steady-state daily op of a growing vector corpus."""
+    from p4_mapreduce_spark.operators.similarity import (
+        ANN_INCR_TAU,
+        ann_band_col,
+    )
+    from p4_mapreduce_spark.functions.vector import cosine
+
+    schema = spark.read.parquet(emb_dir).schema
+    emb_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(emb_dir)
+    )
+    index_path = os.path.join(state_dir, "index")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bnd_b = batch_df.select(
+            "vec_id",
+            "embedding",
+            ann_band_col(F.col("embedding"), 0).alias("band0"),
+            ann_band_col(F.col("embedding"), 1).alias("band1"),
+        ).localCheckpoint()  # batch-bounded, never corpus-sized
+        prior = _read_parquet_or_none(spark, index_path)
+        if prior is not None:
+            melt = lambda df, idc: df.select(  # noqa: E731
+                F.col("vec_id").alias(idc),
+                F.posexplode(F.array("band0", "band1")).alias(
+                    "band_id", "sig"
+                ),
+            )
+            cand = (
+                melt(bnd_b, "vec_id_new")
+                .join(melt(prior, "vec_id_existing"), ["band_id", "sig"])
+                .select("vec_id_new", "vec_id_existing")
+                .distinct()
+            )
+            x = bnd_b.select(
+                F.col("vec_id").alias("vec_id_new"),
+                F.col("embedding").alias("ex"),
+            )
+            y = prior.select(
+                F.col("vec_id").alias("vec_id_existing"),
+                F.col("embedding").alias("ey"),
+            ).distinct()
+            out = (
+                cand.join(x, "vec_id_new")
+                .join(y, "vec_id_existing")
+                .select(
+                    "vec_id_new",
+                    "vec_id_existing",
+                    cosine(F.col("ex"), F.col("ey")).alias("cosine_sim"),
+                )
+                .where(F.col("cosine_sim") >= ANN_INCR_TAU)
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            out.write.mode("append").parquet(pairs_path)
+        bnd_b.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        emb_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ann_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All cross-batch ANN near-dup pairs accumulated by
+    streaming_ann_incremental. Replay-safe: a re-run batch appends
+    byte-identical rows under the same batch_id, so distinct()
+    restores exactly-once semantics."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "pairs"))
+        .select("vec_id_new", "vec_id_existing", "cosine_sim")
+        .distinct()
+    )
+
+
 def minhash_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """All cross-batch near-dup pairs accumulated by
     streaming_minhash_incremental. Replay-safe: a re-run batch appends

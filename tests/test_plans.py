@@ -120,6 +120,7 @@ _BNLJ_ALLOWED = {
     "unimax_mixture_budget",  # 1-row greedy-closure frame vs source frame
     "naive_bayes_langid",  # 1-row vocab-size/doc-total frames vs class frame
     "ccnet_perplexity_buckets",  # unigram arm's 1-row total/OOV frames
+    "ccnet_buckets_approx",  # same unigram arm's 1-row total/OOV frames
     "kl_source_drift",  # 1-row corpus total + bounded (source x term) grid
     "zipf_fit_top_terms",  # 1-row corpus-total frame vs vocab frame
     "attribution_last_touch",  # 1-row purchase-total frame vs channel frame
@@ -198,6 +199,9 @@ _SHUFFLE_CAP_EXEMPT = {
     # (lang, bucket) rollup; the added exchanges move doc-level score
     # rows once and lang-cardinality frames after.
     "ccnet_perplexity_buckets",
+    # Same audited chain; the sketch arm rides the SAME per-language
+    # percentile aggregation, plus one lang-bounded census exchange.
+    "ccnet_buckets_approx",
     # ONE fact-sized (source, word) aggregation; every later exchange
     # re-aggregates that frame or the <= |sources| x 500 scaffold.
     "kl_source_drift",

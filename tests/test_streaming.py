@@ -652,6 +652,104 @@ def test_streaming_minhash_incremental(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_streaming_ann_incremental(spark, sf_dir, tmp_path):
+    """Streaming ANN index maintenance == the batch answer: running
+    the embeddings through micro-batches (each band-joined against the
+    accumulated bucket index only) must emit exactly the cross-batch
+    slice of the full banded-LSH near-dup pair set, oriented
+    later-batch -> earlier-batch, with identical cosines — and the
+    derived pair set must be idempotent under batch replay."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.functions.vector import cosine
+    from p4_mapreduce_spark.operators.similarity import (
+        ANN_INCR_TAU,
+        ann_band_col,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        ann_pairs_from_state,
+        streaming_ann_incremental,
+    )
+
+    base = str(tmp_path / "emb")
+    load(spark, sf_dir, "embeddings").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(base)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_ann_incremental(spark, base, state, ckpt)
+    q.awaitTermination(180)
+
+    idx = (
+        spark.read.parquet(f"{state}/index")
+        .groupBy("vec_id")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .collect()
+    )
+    batch_of = {r.vec_id: r.batch_id for r in idx}
+    assert len(set(batch_of.values())) >= 2, "need >= 2 micro-batches"
+
+    # full banded self-join pair set, computed batch-agnostically
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bnd = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                ann_band_col(F.col("embedding"), 0),
+                ann_band_col(F.col("embedding"), 1),
+            )
+        ).alias("band_id", "sig"),
+    )
+    cand = (
+        bnd.select(F.col("vec_id").alias("va"), "band_id", "sig")
+        .join(
+            bnd.select(F.col("vec_id").alias("vb"), "band_id", "sig"),
+            ["band_id", "sig"],
+        )
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    full = (
+        cand.join(x, "va")
+        .join(y, "vb")
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .where(F.col("sim") >= ANN_INCR_TAU)
+        .collect()
+    )
+    want = {}
+    for r in full:
+        ba, bb = batch_of[r.va], batch_of[r.vb]
+        if ba == bb:
+            continue  # intra-batch: bootstrap territory, not emitted
+        new, old = (r.va, r.vb) if ba > bb else (r.vb, r.va)
+        want[(new, old)] = r.sim
+
+    got = {
+        (r.vec_id_new, r.vec_id_existing): r.cosine_sim
+        for r in ann_pairs_from_state(spark, state).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's pair rows under
+    # the same batch_id; the derived pair set must not change
+    pairs = spark.read.parquet(f"{state}/pairs")
+    some_batch = pairs.agg(F.min("batch_id")).collect()[0][0]
+    pairs.where(F.col("batch_id") == some_batch).write.mode(
+        "append"
+    ).parquet(f"{state}/pairs")
+    replayed = {
+        (r.vec_id_new, r.vec_id_existing): r.cosine_sim
+        for r in ann_pairs_from_state(spark, state).collect()
+    }
+    assert replayed == want
+
+
 def test_streaming_quality_funnel_incremental(spark, sf_dir, tmp_path):
     """The curation funnel maintained per micro-batch equals the batch
     quality_screen_funnel exactly (screens are per-doc, so batch
