@@ -1157,3 +1157,74 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fix(mean_gap, 6).alias("mean_gap_s"),
         fix(F.lit(3600.0) / mean_gap, 6).alias("rate_per_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build: change-capture history from an event log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us,
+               event_id,
+               lag(event_type) OVER w AS prev_status
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, status, ts_us, event_id
+        FROM ordered
+        WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           ts_us AS effective_from_us,
+           lead(ts_us) OVER w2 AS effective_to_us,
+           lead(ts_us) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+    doc="Slowly-changing-dimension Type-2 build from a change log: "
+    "collapse each user's event stream to STATUS TRANSITIONS (rows "
+    "where event_type differs from the lag — consecutive repeats are "
+    "not new versions), then stamp each version with its validity "
+    "interval [effective_from, effective_to) via lead(), version "
+    "numbers via row_number(), and an is_current flag on the open "
+    "interval — the standard warehouse dimension-history shape that "
+    "an as-of/range join then serves (asof_join_* are the lookup "
+    "half; this is the build half). One shuffle on user_id serves "
+    "the lag, the dedup filter, and both versioning windows (same "
+    "partition key, Catalyst plans one Exchange); linear, "
+    "skew-bounded by the busiest user. Timestamps ride epoch "
+    "microseconds (both engines truncate parquet nanos identically).",
+    tags=("events", "window", "cdc", "sql"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        epoch_micros(raw).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_status", F.lag("status").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .select("user_id", "status", "ts_us", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        F.row_number().over(w2).alias("version"),
+        F.col("ts_us").alias("effective_from_us"),
+        F.lead("ts_us").over(w2).alias("effective_to_us"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    )

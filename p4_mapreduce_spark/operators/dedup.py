@@ -1315,3 +1315,128 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
     )
     return inter.unionByName(intra)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit: the recall/precision numbers the banding is tuned by
+# ---------------------------------------------------------------------------
+
+_AUDIT_PANEL = 256
+
+# gh-keyed twin of _MINHASH_CTES (the collapsed distinct-text level the
+# Spark signature table lives at), plus the fixed panel prefix.
+_AUDIT_CTES = f"""
+g AS (SELECT md5(text) AS gh, min(text) AS text
+      FROM documents GROUP BY 1),
+gsh AS (SELECT gh, {_SHINGLES_SQL} AS shingles FROM g),
+ghashed AS (
+    SELECT gh, shingles, {_SHINGLE_HASHES_SQL} AS hh
+    FROM gsh WHERE len(shingles) > 0
+),
+gmh AS (
+    SELECT gh, shingles,
+           {", ".join(f"{_minhash_sql(p)} AS mh{p}" for p in range(MINHASH_PERMS))}
+    FROM ghashed
+),
+gsigs AS (
+    SELECT gh, shingles,
+           {", ".join(f"{_band_signature_sql(b)} AS band{b}" for b in range(MINHASH_BANDS))}
+    FROM gmh
+),
+panel AS (SELECT * FROM gsigs ORDER BY gh LIMIT {_AUDIT_PANEL})
+"""
+
+
+@register(
+    "minhash_recall_audit",
+    oracle=f"""
+    WITH {_AUDIT_CTES},
+    pj AS (
+        SELECT a.gh AS da, b.gh AS db,
+               len(list_intersect(a.shingles, b.shingles))
+                   / CAST(greatest(len(list_distinct(a.shingles || b.shingles)), 1)
+                          AS DOUBLE) AS jaccard,
+               CASE WHEN {" OR ".join(f"a.band{b} = b.band{b}" for b in range(MINHASH_BANDS))}
+                    THEN 1 ELSE 0 END AS is_cand
+        FROM panel a JOIN panel b ON a.gh < b.gh
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN is_cand ELSE 0 END) AS BIGINT) AS n_hits
+        FROM pj
+    )
+    SELECT (SELECT count(*) FROM panel) AS n_panel,
+           n_true, n_candidates, n_hits,
+           n_hits / CAST(greatest(n_true, 1) AS DOUBLE) AS recall_at_tau,
+           n_hits / CAST(greatest(n_candidates, 1) AS DOUBLE) AS precision_at_tau
+    FROM agg
+    """,
+    doc=f"MinHash-LSH quality audit — the ann_lsh_recall recipe "
+    "applied to the text near-dedup tier: on a FIXED "
+    f"{_AUDIT_PANEL}-distinct-text panel (lowest text hashes — "
+    "deterministic, and constant-size BY CONSTRUCTION, so the "
+    "quadratic exact arm never grows with the corpus), compute every "
+    f"exact shingle Jaccard, take pairs >= {JACCARD_THRESHOLD} as "
+    "ground truth, and score the band join's candidate rule against "
+    "them: recall (what fraction of true near-dup pairs does banding "
+    "surface — the number that says whether 4 bands x 4 rows is "
+    "enough) and precision (what fraction of candidates survive "
+    "verification — the verify-join cost knob). Theoretical recall "
+    "at J=0.8 under 4x4 banding is 1-(1-0.8^4)^4 ~ 0.88; this "
+    "measures the actual corpus. The panel is a "
+    f"{_AUDIT_PANEL}-row TakeOrderedAndProject off the shared "
+    "signature table, pairing is a broadcast self-join of that "
+    "bounded frame (like the 5-query ANN arms), and everything "
+    "downstream is counting — all counts and ratios are exact "
+    "integers / IEEE ratios of integers, so the oracle is exact. "
+    "Shares _minhash_sig_table with the dedup operators, so the "
+    "audit measures EXACTLY the signatures production runs.",
+    tags=("dedup", "lsh", "audit", "sketch"),
+)
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sig_table(spark, sf_dir)
+    panel = sigs.orderBy("gh").limit(_AUDIT_PANEL)
+    a = panel.select(
+        F.col("gh").alias("da"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"band{b}").alias(f"a_band{b}") for b in range(MINHASH_BANDS)],
+    )
+    b = panel.select(
+        F.col("gh").alias("db"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"band{b}").alias(f"b_band{b}") for b in range(MINHASH_BANDS)],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter / F.greatest(union, F.lit(1)).cast("double")
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        jac.alias("jaccard"),
+        F.greatest(
+            *[
+                (F.col(f"a_band{i}") == F.col(f"b_band{i}")).cast("int")
+                for i in range(MINHASH_BANDS)
+            ]
+        ).alias("is_cand"),
+    )
+    truth = (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int")
+    agg = pairs.agg(
+        F.sum(truth).cast("bigint").alias("n_true"),
+        F.sum(F.col("is_cand")).cast("bigint").alias("n_candidates"),
+        F.sum(truth * F.col("is_cand")).cast("bigint").alias("n_hits"),
+    )
+    n_panel = panel.agg(F.count(F.lit(1)).alias("n_panel"))
+    return F.broadcast(n_panel).crossJoin(agg).select(
+        "n_panel",
+        "n_true",
+        "n_candidates",
+        "n_hits",
+        (
+            F.col("n_hits")
+            / F.greatest(F.col("n_true"), F.lit(1)).cast("double")
+        ).alias("recall_at_tau"),
+        (
+            F.col("n_hits")
+            / F.greatest(F.col("n_candidates"), F.lit(1)).cast("double")
+        ).alias("precision_at_tau"),
+    )

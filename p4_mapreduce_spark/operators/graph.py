@@ -300,3 +300,115 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iter=_PR_ITER,
         quantize_decimals=_PR_DECIMALS,
     ).select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Triangle census over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from p4_mapreduce_spark.operators.dedup import (
+        _MINHASH_CTES,
+        _MINHASH_PAIRS_SELECT,
+    )
+
+    return f"""
+    WITH {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM edges
+            UNION ALL
+            SELECT b AS node FROM edges
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (
+        SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges,
+               count(*) AS n_nodes
+        FROM deg
+    )
+    SELECT n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           3 * n_triangles / CAST(greatest(n_wedges, 1) AS DOUBLE)
+               AS global_clustering
+    FROM wed CROSS JOIN tri
+    """
+
+
+@register(
+    "neardup_triangle_census",
+    oracle=_triangle_oracle(),
+    doc="Triangle census over the MinHash near-dup pair graph — the "
+    "classic distributed-graph pattern (node-iterator triangle "
+    "counting via two edge equi-joins over canonically-oriented "
+    "edges a<b<c) applied where a data pipeline actually needs it: "
+    "near-dup clusters that are CLIQUE-like (high global clustering "
+    "coefficient = 3*triangles/wedges) collapse safely to one keeper, "
+    "while low-clustering chains signal threshold bleed (A~B~C with "
+    "A!~C), the diagnostic that says whether transitive dedup "
+    "(dedup_cluster_components' connected components) over-merges. "
+    "Scale shape: the edge list is the output-bound verified pair "
+    "set (collapse-before-pairwise keeps it distinct-text-bounded); "
+    "triangle joins are two equi-joins on edge endpoints whose "
+    "orientation (low id -> high id) bounds each join's fan-out by "
+    "the max out-degree; degrees/wedges are one aggregation. All "
+    "counts are exact integers, the coefficient an IEEE ratio of "
+    "integers, so the oracle is exact.",
+    tags=("graph", "dedup", "audit"),
+)
+def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # The edge list is OUTPUT-bound (verified near-dup pairs), not
+    # corpus-bound, so materializing it is allowed by the bounded-
+    # checkpoint rule — and necessary: five consumers (degrees, three
+    # triangle-join sides, the edge count) would otherwise each replay
+    # the whole minhash chain in the plan.
+    edges = pairs.select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    ).localCheckpoint()
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("CAST(d * (d - 1) AS BIGINT) DIV 2"))
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                3 * F.col("n_triangles")
+                / F.greatest(F.col("n_wedges"), F.lit(1)).cast("double")
+            ).alias("global_clustering"),
+        )
+    )

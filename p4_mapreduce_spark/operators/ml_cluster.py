@@ -680,3 +680,70 @@ def label_centroid_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dist_u") / 1000000000.0).alias("centroid_dist_sq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: the reliability diagram for the trained filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH lr AS ({_logreg_oracle()}),
+    bucketed AS (
+        SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bucket,
+               score, CAST(label AS DOUBLE) AS y
+        FROM lr
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           (CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+                 AS BIGINT) / count(*)) / 1000000.0 AS mean_score,
+           CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE)
+               AS positive_rate,
+           abs((CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) / count(*)) / 1000000.0
+               - CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE))
+               AS abs_gap
+    FROM bucketed GROUP BY 1
+    """,
+    doc="Calibration (reliability-diagram) audit of the in-engine "
+    "trained quality classifier: logreg_quality_classifier's scores "
+    "bucketed into 10 fixed probability bins, each bin reporting its "
+    "document count, mean predicted probability, ACTUAL positive "
+    "rate, and |mean_score - rate| — the per-bin calibration gap "
+    "whose weighted sum is ECE, the number that says whether a "
+    "learned filter's scores can be thresholded as probabilities "
+    "(the decision every score-based curation pipeline makes). "
+    "Composes the full unrolled logreg training oracle as a CTE, so "
+    "the audited scores are EXACTLY the registered classifier's. "
+    "Scale shape: the scoring pass is map-only codegen; the "
+    "calibration rollup is one map-side-combined aggregation onto a "
+    "<= 10-row frame. Mean scores ride bigint-micro sums (scores are "
+    "1e-6-quantized, so micros are exact in any reduction order); "
+    "positive rates are integer ratios; the gap is one IEEE subtract "
+    "of two deterministic doubles.",
+    tags=("ml", "audit", "aggregation", "pipeline"),
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lr = logreg_quality_classifier(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    su = F.sum(
+        F.floor(F.col("score") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ).cast("bigint")
+    n = F.count(F.lit(1))
+    mean_score = (su / n) / F.lit(1000000.0)
+    rate = F.sum(F.col("label")).cast("bigint") / n.cast("double")
+    return (
+        lr.select(bucket.alias("bucket"), "score", "label")
+        .groupBy("bucket")
+        .agg(
+            n.alias("n_docs"),
+            mean_score.alias("mean_score"),
+            rate.alias("positive_rate"),
+            F.abs(mean_score - rate).alias("abs_gap"),
+        )
+    )

@@ -327,3 +327,90 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(sd),
         (o.o_orderdate == F.col("d")) & (o.o_totalprice == F.col("my")),
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: added / removed / changed between two table versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_totalprice,
+           n.o_totalprice AS new_totalprice
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    """,
+    doc="Table-version diff — the data-versioning primitive behind "
+    "every incremental-pipeline audit ('what changed between "
+    "yesterday's snapshot and today's?'): two synthetic versions of "
+    "orders (old drops key % 11 = 0; new drops key % 13 = 0 and "
+    "bumps every key % 5 = 0 price by 10%) FULL-OUTER-joined on the "
+    "primary key, classified added / removed / changed, with "
+    "unchanged rows filtered out so output is delta-bound. Scale "
+    "shape: ONE key-partitioned shuffle join of the two snapshots "
+    "(at 100 TB both sides are bucketed by key, making this "
+    "shuffle-free); the change predicate is a stateless row "
+    "comparison — the same IEEE multiply on both engines, so the "
+    "changed-price equality test is bit-deterministic. At real scale "
+    "add a row-hash column to compare wide rows cheaply; the "
+    "classification and join shape are unchanged.",
+    tags=("join", "cdc", "sql"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old_snap = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("st_old"),
+        F.col("o_totalprice").alias("old_totalprice"),
+    )
+    new_snap = o.where(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("o_orderstatus").alias("st_new"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.col("o_totalprice") * F.lit(1.1),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_totalprice"),
+    )
+    j = old_snap.join(
+        new_snap, old_snap.k_old == new_snap.k_new, "full_outer"
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.where(
+        F.col("k_old").isNull()
+        | F.col("k_new").isNull()
+        | (F.col("old_totalprice") != F.col("new_totalprice"))
+        | (F.col("st_old") != F.col("st_new"))
+    ).select(
+        F.coalesce("k_old", "k_new").alias("o_orderkey"),
+        change.alias("change_type"),
+        "old_totalprice",
+        "new_totalprice",
+    )

@@ -134,6 +134,8 @@ _BNLJ_ALLOWED = {
     "pq_adc_topk",  # 1-row codebook + 5-row LUT frames x corpus
     "ivfadc_search",  # same, over the probed-cluster scan
     "semdedup_pipeline",  # 1-row fitted-centroid frame x corpus
+    "minhash_recall_audit",  # 256-row panel self-join + 1-row totals
+    "neardup_triangle_census",  # 1-row wedge/edge/triangle totals cross
 }
 
 # Composite pipelines that chain several registered arms; their shuffle
