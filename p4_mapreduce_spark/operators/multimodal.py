@@ -625,3 +625,107 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize through the real codec: the missing decode->RESIZE->encode leg
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "checksum bigint"
+)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, text,
+               octet_length(CAST(text AS BLOB)) AS n,
+               CAST(ceil(octet_length(CAST(text AS BLOB)) / {_IMG_WIDTH}.0)
+                    AS INTEGER) AS h
+        FROM documents
+        WHERE length(text) > 0
+          AND octet_length(CAST(text AS BLOB)) = length(text)
+    ),
+    odims AS (
+        SELECT doc_id, text, n, h,
+               CAST((h + 1) // 2 AS INTEGER) AS oh,
+               {_IMG_WIDTH // 2} AS ow
+        FROM dims
+    ),
+    px AS (
+        SELECT doc_id,
+               (2 * (i // ow)) * {_IMG_WIDTH} + 2 * (i % ow) AS src,
+               n, text
+        FROM (SELECT doc_id, text, n, ow,
+                     unnest(range(oh * ow)) AS i
+              FROM odims)
+    )
+    SELECT d.doc_id,
+           {_IMG_WIDTH} AS width, d.h AS height,
+           d.ow AS out_width, d.oh AS out_height,
+           CAST(sum(CASE WHEN p.src < p.n
+                         THEN ascii(substring(p.text, p.src + 1, 1))
+                         ELSE 0 END) AS BIGINT) AS checksum
+    FROM odims d JOIN px p USING (doc_id)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="REAL image resize through the codec — the decode -> RESIZE -> "
+    "re-encode leg of the multimodal family (feature-extract, "
+    "frame-sample and roundtrips cover the other verbs): each "
+    "payload is PNG-encoded, decoded back (full inflate + unfilter "
+    "path), nearest-neighbor 2x-downsampled on the pixel grid "
+    "(out[y][x] = in[2y][2x] — the thumbnail/preview kernel), "
+    "re-encoded as a PNG (proving the output is a valid image, not "
+    "just an array), and summarized as exact geometry + an integer "
+    "pixel checksum. The oracle replays the selection arithmetic "
+    "directly over the source bytes (pixels ARE the payload bytes; "
+    "rows are gated to single-byte-per-char texts so SQL character "
+    "indexing equals byte indexing — currently all rows), with "
+    "encoder zero-padding contributing zero. Integer checksum: exact "
+    "in any order. Per-row CPU inside one Arrow-batched mapInPandas, "
+    "no shuffle — linear at 100 TB; swap the stub kernel for "
+    "PIL.Image.resize at the JPEG wiring point when PIL is present.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ascii_only = F.length("text") == F.octet_length(F.encode("text", "utf-8"))
+    assets = docs.where(ascii_only).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "out_width": [],
+                "out_height": [],
+                "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                png = png_encode_gray(raw, _IMG_WIDTH)
+                w, h, _c, px = png_decode(png)
+                grid = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                small = grid[::2, ::2]
+                # re-encode: the resized grid is itself a valid image
+                png_encode_gray(small.tobytes(), small.shape[1])
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(small.shape[1])
+                rows["out_height"].append(small.shape[0])
+                rows["checksum"].append(int(small.sum(dtype=np.int64)))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -2234,3 +2234,70 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix(F.col("n_common") / uni.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth across ingestion batches (Heaps' law diagnostic)
+# ---------------------------------------------------------------------------
+
+_HEAPS_BATCHES = 5
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id % {_HEAPS_BATCHES} AS batch,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS word
+        FROM documents
+    ),
+    bt AS (SELECT batch, count(*) AS n_tokens FROM toks GROUP BY 1),
+    fw AS (SELECT word, min(batch) AS batch FROM toks GROUP BY 1),
+    nw AS (SELECT batch, count(*) AS n_new FROM fw GROUP BY 1)
+    SELECT b.batch,
+           b.n_tokens,
+           CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_words,
+           CAST(sum(b.n_tokens) OVER (ORDER BY b.batch) AS BIGINT)
+               AS cum_tokens,
+           CAST(sum(coalesce(nw.n_new, 0)) OVER (ORDER BY b.batch)
+                AS BIGINT) AS cum_vocab
+    FROM bt b LEFT JOIN nw ON b.batch = nw.batch
+    """,
+    doc=f"Vocabulary-growth (Heaps'-law) diagnostic across "
+    f"{_HEAPS_BATCHES} ingestion batches: per batch, the token "
+    "volume, the count of NEVER-SEEN-BEFORE words (first-occurrence "
+    "batch via one min-aggregation over the vocabulary — no "
+    "batch-vs-history joins), and the running token/vocab totals — "
+    "the curve a data-acquisition team reads to decide whether the "
+    "next crawl tranche still adds lexical diversity or only repeats "
+    "(sublinear V(n) ~ K*n^beta growth is healthy text; a flattening "
+    "curve says the source is exhausted, a superlinear jump says the "
+    "tokenizer is about to meet garbage). Scale shape: ONE "
+    "map-side-combined (batch, word) pass collapses the corpus to "
+    "vocabulary-sized frames; first-occurrence is a min over the "
+    "word's <= |batches| rows; the cumulative window runs on a "
+    f"{_HEAPS_BATCHES}-row frame. All counts exact integers.",
+    tags=("text", "stats", "pipeline", "aggregation"),
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % _HEAPS_BATCHES).alias("batch"),
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    bt = toks.groupBy("batch").agg(F.count(F.lit(1)).alias("n_tokens"))
+    fw = toks.groupBy("word").agg(F.min("batch").alias("batch"))
+    nw = fw.groupBy("batch").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    j = bt.join(nw, "batch", "left")
+    new_words = F.coalesce(F.col("n_new"), F.lit(0))
+    return j.select(
+        "batch",
+        "n_tokens",
+        new_words.cast("bigint").alias("n_new_words"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum(new_words).over(w).cast("bigint").alias("cum_vocab"),
+    )

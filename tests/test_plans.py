@@ -225,6 +225,7 @@ _SINGLE_PARTITION_WINDOW_ALLOWED = {
     "unimax_mixture_budget",  # rank/cumsum over the per-source frame
     "zipf_fit_top_terms",  # rank over the share-pruned <= 500-term vocab
     "skyline_pareto_orders",  # running max over the calendar-bounded dates
+    "heaps_law_vocab_growth",  # cumulative window over the 5-batch frame
 }
 
 # r6 (verdict #7): the documented bound of every allowlisted entry,
@@ -242,6 +243,7 @@ _SINGLE_PARTITION_ROW_BOUNDS = {
     "unimax_mixture_budget": 100,  # one row per source
     "zipf_fit_top_terms": 600,  # share-pruned <=500-term vocab
     "skyline_pareto_orders": 3000,  # one row per order date (calendar)
+    "heaps_law_vocab_growth": 10,  # one row per ingestion batch (5)
 }
 
 
