@@ -1440,3 +1440,150 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_candidates"), F.lit(1)).cast("double")
         ).alias("precision_at_tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: per-test-document near-dup verdict against the train split
+# ---------------------------------------------------------------------------
+
+_DECON_CAND = " UNION ".join(
+    f"SELECT a.doc_id AS doc_id_test, b.doc_id AS doc_id_train "
+    f"FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} "
+    f"WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8"
+    for b in range(MINHASH_BANDS)
+)
+
+
+@register(
+    "decontaminate_test_split",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    xc AS ({_DECON_CAND}),
+    ver AS (
+        SELECT c.doc_id_test, c.doc_id_train,
+               len(list_intersect(x.shingles, y.shingles))
+                   / greatest(len(list_distinct(x.shingles || y.shingles)), 1)
+                   AS jaccard
+        FROM xc c
+        JOIN sigs x ON x.doc_id = c.doc_id_test
+        JOIN sigs y ON y.doc_id = c.doc_id_train
+        WHERE len(list_intersect(x.shingles, y.shingles))
+              / greatest(len(list_distinct(x.shingles || y.shingles)), 1)
+              >= {JACCARD_THRESHOLD}
+    ),
+    roll AS (
+        SELECT doc_id_test,
+               count(*) AS n_train_matches,
+               max(jaccard) AS max_jaccard
+        FROM ver GROUP BY 1
+    )
+    SELECT d.doc_id,
+           r.doc_id_test IS NOT NULL AS is_contaminated,
+           CAST(coalesce(r.n_train_matches, 0) AS BIGINT)
+               AS n_train_matches,
+           r.max_jaccard
+    FROM documents d LEFT JOIN roll r ON d.doc_id = r.doc_id_test
+    WHERE d.doc_id % 10 >= 8
+    """,
+    doc="Benchmark decontamination at document granularity — the "
+    "eval-integrity step every LLM training run owes its test sets "
+    "(contamination_ngram_overlap is the n-gram-level sibling; this "
+    "is the near-dup-document level): every TEST-split document "
+    "(doc_id % 10 >= 8 stands in for the benchmark) gets a verdict "
+    "against the TRAIN split — is any train document a MinHash "
+    f"near-duplicate at Jaccard >= {JACCARD_THRESHOLD}, how many, "
+    "and how close is the worst. Train-vs-test only, never either "
+    "side against itself (the dedup_minhash_incremental posture with "
+    "the splits as the batch boundary), composed with the collapse "
+    "rule: band-join and verify run over DISTINCT texts with "
+    "test/train side flags; identical-text leakage rides the flags "
+    "at Jaccard 1.0 with zero pairwise work; the per-test-doc rollup "
+    "sums TRAIN MEMBER COUNTS per matched text (exactly the "
+    "doc-level pair count, without materializing doc pairs). The "
+    "oracle replays the uncollapsed doc-level band join and rollup — "
+    "parity proves the collapsed rollup exact. Output is one row per "
+    "test document (left join restores no-shingle and clean docs), "
+    "the drop/keep list a decontamination stage feeds downstream.",
+    tags=("dedup", "lsh", "pipeline", "audit"),
+)
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = _minhash_sig_table(spark, sf_dir)
+    members = docs.select(F.md5("text").alias("gh"), "doc_id")
+    is_test = F.col("doc_id") % 10 >= 8
+    sides = members.groupBy("gh").agg(
+        F.max(is_test.cast("int")).alias("has_test"),
+        F.max((~is_test).cast("int")).alias("has_train"),
+    )
+    sided = sigs.join(sides, "gh")
+    bands_long = sided.select(
+        "gh",
+        "has_test",
+        "has_train",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "sig"),
+    )
+    left = bands_long.where(F.col("has_test") == 1).select(
+        F.col("gh").alias("gh_t"), "band_id", "sig"
+    )
+    right = bands_long.where(F.col("has_train") == 1).select(
+        F.col("gh").alias("gh_r"), "band_id", "sig"
+    )
+    cand = (
+        left.join(right, ["band_id", "sig"])
+        .where(F.col("gh_t") != F.col("gh_r"))
+        .select("gh_t", "gh_r")
+        .distinct()
+    )
+    x = sigs.select(F.col("gh").alias("gh_t"), F.col("shingles").alias("sh_t"))
+    y = sigs.select(F.col("gh").alias("gh_r"), F.col("shingles").alias("sh_r"))
+    inter = F.size(F.array_intersect("sh_t", "sh_r"))
+    union = F.size(F.array_distinct(F.concat("sh_t", "sh_r")))
+    jaccard = inter / F.greatest(union, F.lit(1))
+    cross = (
+        cand.join(x, "gh_t")
+        .join(y, "gh_r")
+        .select("gh_t", "gh_r", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    same = (
+        sides.where((F.col("has_test") == 1) & (F.col("has_train") == 1))
+        .join(sigs.select("gh"), "gh", "left_semi")
+        .select(
+            F.col("gh").alias("gh_t"),
+            F.col("gh").alias("gh_r"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_pairs = cross.unionByName(same)
+    # doc-level pair counts WITHOUT doc pairs: each matched train text
+    # contributes its train member count
+    tcnt = (
+        members.where(~is_test)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_tr"))
+        .select(F.col("gh").alias("gh_r"), "n_tr")
+    )
+    per_text = (
+        rep_pairs.join(tcnt, "gh_r")
+        .groupBy("gh_t")
+        .agg(
+            F.sum("n_tr").cast("bigint").alias("n_train_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    test_docs = members.where(is_test).select("gh", "doc_id")
+    roll = test_docs.join(
+        per_text.select(F.col("gh_t").alias("gh"), "n_train_matches", "max_jaccard"),
+        "gh",
+        "left",
+    )
+    return roll.select(
+        "doc_id",
+        F.col("n_train_matches").isNotNull().alias("is_contaminated"),
+        F.coalesce(F.col("n_train_matches"), F.lit(0))
+        .cast("bigint")
+        .alias("n_train_matches"),
+        "max_jaccard",
+    )

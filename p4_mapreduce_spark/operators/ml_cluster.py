@@ -219,26 +219,54 @@ def _qdist_fold(cen: F.Column) -> F.Column:
 
 
 def kmeans_assign_frame(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """``emb`` plus a ``cluster`` column: quantized-distance argmin
-    against ``centroids`` delivered as ONE broadcast row (a k x 64
-    array-of-arrays cell), so the assignment plan is a 1-row
-    BroadcastNestedLoopJoin plus an O(1)-codegen fold per row — the
-    form that stays compilable at k in the hundreds, where baking
-    k x 64 literals into the expression tree would blow past janino.
-    Tie-break: ``array_position`` takes the FIRST minimum, matching
-    the oracle's ``ORDER BY qd, cid``."""
-    spark = emb.sparkSession
-    cents = spark.createDataFrame(
-        [(centroids,)], "kcents: array<array<double>>"
-    )
-    qarr = F.transform(F.col("kcents"), _qdist_fold)
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cluster",
-            (F.array_position(qarr, F.array_min(qarr)) - 1).cast("int"),
-        )
-        .drop("kcents")
+    """``emb(vec_id, embedding)`` plus a ``cluster`` column: quantized-
+    distance argmin against the fitted centroids, on the zero-copy
+    Arrow batch path (ann_bruteforce_topk's shape). The centroids ride
+    the closure (k x 64 doubles — literal topology, not data), each
+    batch reshapes into one (n, 64) float64 view, and the distance
+    matrix is vectorized numpy — SIMD instead of interpreted
+    per-element HOF folds, which the x60 probe measured ~100x slower
+    at k in the hundreds (the fold path burned ~280us per
+    (row, centroid)).
+
+    Bit-parity with the oracle's SQL chain, term for term:
+    ``(a - C)**2`` is the same IEEE sub/mul per element;
+    ``np.cumsum(sq, axis=2)`` adds sequentially in element order ==
+    the left-associative 64-term SQL chain; ``floor(s * 1e6 + 0.5) /
+    1e6`` is the same quantization op sequence; ``argmin`` takes the
+    FIRST minimum == the oracle's ``ORDER BY qd, cid``. Verified by
+    the composed pipelines' full oracle parity."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.array(centroids, dtype=np.float64)
+    k, d = C.shape
+
+    def assign(batches):
+        for batch in batches:
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            arr = flat.astype(np.float64).reshape(-1, d)
+            n = arr.shape[0]
+            cl = np.empty(n, dtype=np.int32)
+            # chunk rows so the (chunk, k, d) diff tensor stays ~64 MB
+            step = max(1, 8_388_608 // (max(k, 1) * d))
+            for s0 in range(0, n, step):
+                a = arr[s0 : s0 + step]
+                sq = (a[:, None, :] - C[None, :, :]) ** 2
+                ssum = np.cumsum(sq, axis=2)[:, :, -1]
+                q = np.floor(ssum * 1e6 + 0.5) / 1e6
+                cl[s0 : s0 + step] = q.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(cl, type=pa.int32()),
+                ],
+                names=["vec_id", "embedding", "cluster"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id long, embedding array<float>, cluster int"
     )
 
 

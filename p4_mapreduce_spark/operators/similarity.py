@@ -753,10 +753,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_lut_ctes() -> str:
+def _pq_lut_ctes(
+    probe_expr: str = "label", from_sql: str = "embeddings"
+) -> str:
     """CTE chain ``qv``/``lutd``/``lut`` (no leading WITH): per-query
-    ADC lookup tables as bigint micros — shared by the flat ADC oracle
-    and the IVF-pruned one."""
+    ADC lookup tables as bigint micros — shared by the flat ADC
+    oracle, the label-probed IVF one, and the k-means-probed one
+    (``probe_expr``/``from_sql`` select where the coarse cell id
+    comes from)."""
     per_q_lut = "\nUNION ALL\n".join(
         f"SELECT qv.query_id, {q} AS q, c.cid, "
         f"{_pq_dist_sql(q, 'qv.qe', 'c.cvec')} AS dist "
@@ -764,8 +768,8 @@ def _pq_lut_ctes() -> str:
         for q in range(_PQ_M)
     )
     return f"""qv AS (
-        SELECT vec_id AS query_id, embedding AS qe, label AS probe
-        FROM embeddings
+        SELECT vec_id AS query_id, embedding AS qe, {probe_expr} AS probe
+        FROM {from_sql}
         WHERE vec_id IN ({_query_ids_sql()})
     ),
     lutd AS ({per_q_lut}),
@@ -971,6 +975,94 @@ def ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cols[q][0].alias(f"c{q}") for q in range(_PQ_M)],
     )
     return _adc_topk(coded, q_ids, lut, label_of=qlabels)
+
+
+def _ivfadc_kmeans_oracle() -> str:
+    from p4_mapreduce_spark.operators.ml_cluster import kmeans_assign_ctes
+
+    return f"""
+    WITH {kmeans_assign_ctes()},
+    {_pq_best_ctes()},
+    {_pq_lut_ctes(probe_expr="a.cluster",
+                  from_sql="embeddings JOIN kassign a USING (vec_id)")},
+    adc AS (
+        SELECT l.query_id, b.vec_id,
+               CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+        FROM best b
+        JOIN kassign ka ON ka.vec_id = b.vec_id
+        JOIN qv q2 ON ka.cluster = q2.probe
+        JOIN lut l ON l.query_id = q2.query_id
+                  AND l.q = b.q AND l.cid = b.cid
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_micro, vec_id) AS rk
+        FROM adc WHERE vec_id <> query_id
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "ivfadc_kmeans_search",
+    oracle=_ivfadc_kmeans_oracle(),
+    doc="IVFADC with a LEARNED coarse quantizer — the fully self-built "
+    "form of ivfadc_search (which borrows the label column as its "
+    "coarse cell id): the inverted-file partitioning is Lloyd's "
+    "k-means fitted IN-ENGINE (the kmeans_embedding_clusters fit — "
+    "exact quantized-argmin assignment via the broadcast-centroid "
+    "fold), queries probe their own FITTED cluster, and probed-cell "
+    "rows are scored by PQ asymmetric distance (bigint-micro LUT "
+    "lookups, broadcast LUT frame). This is Jegou et al.'s actual "
+    "architecture end-to-end: train coarse quantizer -> assign -> "
+    "prune scan to probed cells -> ADC — every stage from this "
+    "repo's own registered halves, nothing borrowed from the data. "
+    "The query-cluster lookup is ONE bounded collect (5 rows, the "
+    "literal-topology rule); the corpus-side assignment is the "
+    "map-only fold, so the probe filter prunes BEFORE code "
+    "computation — only probed-cell rows pay for encoding, the "
+    "partition-pruning shape (at 100 TB the table is partitioned by "
+    "the fitted cell id and this is file pruning at the source). "
+    "Oracle: the unrolled k-means CTE chain composed with the shared "
+    "best/lut CTEs, the cluster probe replacing the label probe.",
+    tags=("similarity", "vector", "quantization", "ml", "pipeline"),
+)
+def ivfadc_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        fit_kmeans_centroids,
+        kmeans_assign_frame,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = fit_kmeans_centroids(emb)
+    asg = kmeans_assign_frame(emb, centroids)
+    cents = _pq_codebook(spark, sf_dir, emb)
+    # ONE bounded driver action: the 5 query vectors AND their fitted
+    # coarse cells together (engine-computed, so the probe decision
+    # can never drift from the registered assignment expression)
+    qrows = sorted(
+        asg.where(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qcell = {int(r.vec_id): int(r.cluster) for r in qrows}
+    lut = _pq_query_luts(q_ids, Q, cents)
+    probed = sorted(set(qcell.values()))
+    scan = asg.where(F.col("cluster").isin(*probed)).select(
+        "vec_id", F.col("cluster").alias("label"), "embedding"
+    )
+    cols = _pq_code_cols(F.col("pq_cb"))
+    coded = scan.crossJoin(F.broadcast(_pq_cb_frame(spark, cents))).select(
+        "vec_id",
+        "label",
+        *[cols[q][0].alias(f"c{q}") for q in range(_PQ_M)],
+    )
+    return _adc_topk(coded, q_ids, lut, label_of=qcell)
 
 
 # ---------------------------------------------------------------------------
@@ -1191,49 +1283,92 @@ _ANN_INCR_CAND = " UNION ".join(
     "per band against the warm index + verify on survivors — "
     "batch-proportional, the shape a 100 TB vector pipeline actually "
     "runs. Cosines are the left-fold dual recipe, so the threshold "
-    "comparison is bit-deterministic.",
+    "comparison is bit-deterministic. Composes the r4 collapse rule, "
+    "vector edition: signatures, the band join, and the cosine "
+    "verify all run over DISTINCT VECTORS (keyed by an injective "
+    "float-string hash; side flags record batch/corpus membership), "
+    "and qualifying rep-level pairs expand to (new, existing) vector "
+    "pairs output-bound — exact-duplicate vectors across the batch "
+    "boundary ride the flags through ONE self-cosine per distinct "
+    "vector, never a pairwise join (without this, x60 replicated "
+    "probes blow the bucket join up quadratically in the duplicate "
+    "multiplicity; with it the probe tracks the minhash twin). The "
+    "oracle replays the uncollapsed vector-level band join — parity "
+    "proves the collapse exact.",
     tags=("similarity", "vector", "lsh", "incremental"),
 )
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bnd = emb.select(
-        "vec_id",
-        *[
-            ann_band_col(F.col("embedding"), b).alias(f"band{b}")
-            for b in range(_ANN_BANDS)
-        ],
+    # injective distinct-vector key: md5 over the exact float32 string
+    # forms (same bit pattern <=> same string <=> same key)
+    gh = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("embedding"), lambda x: x.cast("string"))
+        )
     )
-    melted = bnd.select(
-        "vec_id",
+    m = emb.select("vec_id", "embedding", gh.alias("gh"))
+    is_new = F.col("vec_id") % 3 == 0
+    reps = m.groupBy("gh").agg(
+        F.first("embedding").alias("embedding"),  # all rows identical
+        F.max(is_new.cast("int")).alias("has_new"),
+        F.max((~is_new).cast("int")).alias("has_ex"),
+    )
+    bnd = reps.select(
+        "gh",
+        "has_new",
+        "has_ex",
         F.posexplode(
-            F.array(*[F.col(f"band{b}") for b in range(_ANN_BANDS)])
+            F.array(
+                *[
+                    ann_band_col(F.col("embedding"), b)
+                    for b in range(_ANN_BANDS)
+                ]
+            )
         ).alias("band_id", "sig"),
     )
-    is_new = F.col("vec_id") % 3 == 0
-    new_b = melted.where(is_new).select(
-        F.col("vec_id").alias("vec_id_new"), "band_id", "sig"
+    left = bnd.where(F.col("has_new") == 1).select(
+        F.col("gh").alias("gh_n"), "band_id", "sig"
     )
-    ex_b = melted.where(~is_new).select(
-        F.col("vec_id").alias("vec_id_existing"), "band_id", "sig"
+    right = bnd.where(F.col("has_ex") == 1).select(
+        F.col("gh").alias("gh_e"), "band_id", "sig"
     )
     cand = (
-        new_b.join(ex_b, ["band_id", "sig"])
-        .select("vec_id_new", "vec_id_existing")
+        left.join(right, ["band_id", "sig"])
+        .where(F.col("gh_n") != F.col("gh_e"))
+        .select("gh_n", "gh_e")
         .distinct()
     )
-    x = emb.select(
-        F.col("vec_id").alias("vec_id_new"), F.col("embedding").alias("ex")
-    )
-    y = emb.select(
-        F.col("vec_id").alias("vec_id_existing"),
-        F.col("embedding").alias("ey"),
-    )
+    x = reps.select(F.col("gh").alias("gh_n"), F.col("embedding").alias("ex"))
+    y = reps.select(F.col("gh").alias("gh_e"), F.col("embedding").alias("ey"))
     sim = cosine(F.col("ex"), F.col("ey"))
+    cross = (
+        cand.join(x, "gh_n")
+        .join(y, "gh_e")
+        .select("gh_n", "gh_e", sim.alias("cosine_sim"))
+    )
+    # identical vector on both sides of the batch boundary: ONE
+    # self-cosine per distinct vector (the oracle computes the same
+    # formula with x == y, which need not be exactly 1.0)
+    same = reps.where(
+        (F.col("has_new") == 1) & (F.col("has_ex") == 1)
+    ).select(
+        F.col("gh").alias("gh_n"),
+        F.col("gh").alias("gh_e"),
+        cosine(F.col("embedding"), F.col("embedding")).alias("cosine_sim"),
+    )
+    rep_pairs = cross.unionByName(same).where(
+        F.col("cosine_sim") >= ANN_INCR_TAU
+    )
+    mn = m.where(is_new).select(
+        F.col("gh").alias("gh_n"), F.col("vec_id").alias("vec_id_new")
+    )
+    me = m.where(~is_new).select(
+        F.col("gh").alias("gh_e"), F.col("vec_id").alias("vec_id_existing")
+    )
     return (
-        cand.join(x, "vec_id_new")
-        .join(y, "vec_id_existing")
-        .select("vec_id_new", "vec_id_existing", sim.alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= ANN_INCR_TAU)
+        rep_pairs.join(mn, "gh_n")
+        .join(me, "gh_e")
+        .select("vec_id_new", "vec_id_existing", "cosine_sim")
     )
 
 

@@ -135,6 +135,7 @@ _BNLJ_ALLOWED = {
     "ivfadc_search",  # same, over the probed-cluster scan
     "semdedup_pipeline",  # 1-row fitted-centroid frame x corpus
     "minhash_recall_audit",  # 256-row panel self-join + 1-row totals
+    "ivfadc_kmeans_search",  # 1-row codebook + 5-row LUT frames x scan
     "neardup_triangle_census",  # 1-row wedge/edge/triangle totals cross
 }
 
@@ -207,6 +208,11 @@ _SHUFFLE_CAP_EXEMPT = {
     # ONE fact-sized (source, word) aggregation; every later exchange
     # re-aggregates that frame or the <= |sources| x 500 scaffold.
     "kl_source_drift",
+    # The dedup_minhash_incremental budget with the train/test split
+    # as the batch boundary, plus the per-test-doc rollup: every
+    # exchange moves a distinct-text-sized frame (bounded under
+    # duplicate growth) or output-bound verdict rows.
+    "decontaminate_test_split",
 }
 
 
