@@ -809,40 +809,51 @@ def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p4_mapreduce_spark.functions.deterministic import fix
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split("text", " ", -1).alias("raw")
-    ).select("doc_id", F.filter("raw", lambda x: x != "").alias("ws"))
-    n = F.size("ws")
-    h = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.md5(
-                F.concat_ws(
-                    "_",
-                    F.element_at("ws", i),
-                    F.element_at("ws", i + 1),
-                    F.element_at("ws", i + 2),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    k = toks.select("doc_id", h.alias("h"))
-    m = F.size("h")
-    sel = F.array_distinct(
-        F.when(
-            m >= _WINNOW_W,
-            F.transform(
-                F.sequence(F.lit(1), m - _WINNOW_W + 1),
-                lambda j: F.array_min(F.slice("h", j, F.lit(_WINNOW_W))),
-            ),
-        )
-        .when(m > 0, F.array(F.array_min("h")))
-        .otherwise(F.array().cast("array<string>"))
-    )
-    w = k.select("doc_id", m.alias("n_kgrams"), sel.alias("sel"))
-    f = w.where(F.size("sel") > 0).select(
-        "doc_id", "n_kgrams", F.explode("sel").alias("fp")
+
+    # Per-doc winnowing runs in ONE Arrow-batched pandas pass (r6).
+    # The previous HOF-lambda chain hit Catalyst's no-CSE-inside-
+    # lambdas behavior twice over: CollapseProject re-inlined
+    # filter(split(text)) into every element_at of the k-gram lambda
+    # AND the h-array into every window slice — O(tokens^2) splits per
+    # document (74s at sf0.01, unbounded at x60; jstack showed
+    # StringSplit under ConcatWs per element). hashlib.md5 hexdigest
+    # over the UTF-8 gram text is bit-identical to F.md5/DuckDB md5,
+    # so the oracle is unchanged and parity pins the rewrite.
+    def winnow(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_kgrams": [], "fp": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [t for t in text.split(" ") if t != ""]
+                if len(ws) >= 3:
+                    h = [
+                        hashlib.md5(
+                            f"{ws[i]}_{ws[i + 1]}_{ws[i + 2]}".encode()
+                        ).hexdigest()
+                        for i in range(len(ws) - 2)
+                    ]
+                else:
+                    h = []
+                if len(h) >= _WINNOW_W:
+                    sel = {
+                        min(h[j : j + _WINNOW_W])
+                        for j in range(len(h) - _WINNOW_W + 1)
+                    }
+                elif h:
+                    sel = {min(h)}
+                else:
+                    sel = set()
+                for fp in sel:
+                    out["doc_id"].append(doc_id)
+                    out["n_kgrams"].append(len(h))
+                    out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    f = docs.select("doc_id", "text").mapInPandas(
+        winnow, schema="doc_id bigint, n_kgrams int, fp string"
     )
     freq = f.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.when(F.col("nd") >= 2, 1).otherwise(0)

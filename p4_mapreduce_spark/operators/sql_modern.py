@@ -475,3 +475,51 @@ _LATERAL_TOPN_SQL = """
 def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_scalar_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {fsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)',
+                     2)} AS charged
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag
+    """,
+    doc="SQL scalar UDF (Spark 4 `CREATE TEMPORARY FUNCTION ... "
+    "RETURNS ... RETURN <expr>`): the charged-amount business rule is "
+    "declared ONCE as a catalog function and referenced by name in "
+    "the aggregate — the governed-semantic-layer feature that lets a "
+    "platform team publish vetted expressions instead of copy-pasted "
+    "formulas. Crucially these are NOT black-box UDFs: Catalyst "
+    "inlines the function body at analysis time, so the plan is "
+    "byte-identical to writing the expression inline — predicate "
+    "pushdown, codegen, and partial aggregation all survive (the "
+    "oracle IS the inlined form, proving semantic equivalence). "
+    "Zero Python, zero serialization boundary — the opposite end of "
+    "the UDF spectrum from pandas_udfs.py, completing that surface.",
+    tags=("sql", "udf", "aggregation"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "price DOUBLE, discount DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN price * (1 - discount) * (1 + tax)"
+    )
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               {fsum_sql("charged_amount(l_extendedprice, l_discount, l_tax)",
+                         2)} AS charged
+        FROM lineitem
+        WHERE l_quantity >= 10
+        GROUP BY l_returnflag
+    """)

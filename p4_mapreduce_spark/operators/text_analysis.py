@@ -2301,3 +2301,73 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
         F.sum(new_words).over(w).cast("bigint").alias("cum_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical concentration per source (Simpson index, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH swc AS (
+        SELECT source, word, count(*) AS c FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents
+        ) GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS pair_mass,
+           sum(c * (c - 1))
+               / CAST(greatest(sum(c) * (sum(c) - 1), 1) AS DOUBLE)
+               AS simpson_index,
+           CAST(greatest(sum(c) * (sum(c) - 1), 1) AS DOUBLE)
+               / greatest(sum(c * (c - 1)), 1) AS effective_vocab
+    FROM swc GROUP BY source
+    """,
+    doc="Lexical concentration per source: the Simpson index "
+    "sum(c*(c-1)) / (N*(N-1)) — the probability two tokens drawn "
+    "without replacement are the SAME word — and its inverse, the "
+    "effective vocabulary size (how many equally-likely words would "
+    "produce this concentration). The diversity-monitoring sibling "
+    "of zipf_fit_top_terms / kl_source_drift: a source whose "
+    "effective vocab collapses is templated/boilerplate text even "
+    "when its raw vocab_size still looks healthy (raw counts reward "
+    "one-off noise; Simpson weights by mass). Scale shape: ONE "
+    "map-side-combined (source, word) aggregation — the same frame "
+    "kl_source_drift re-aggregates — then a source-bounded rollup. "
+    "Everything up to the final two divisions is EXACT bigint "
+    "arithmetic (c*(c-1) products of counts), so this needs no "
+    "quantization recipe at all: the oracle matches on single IEEE "
+    "divisions of identical integers.",
+    tags=("text", "stats", "pipeline", "aggregation"),
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    swc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " ", -1), lambda x: x != "")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    pair_mass = F.sum(F.col("c") * (F.col("c") - 1))
+    denom = F.greatest(n * (n - 1), F.lit(1))
+    return swc.groupBy("source").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        pair_mass.cast("bigint").alias("pair_mass"),
+        (pair_mass / denom.cast("double")).alias("simpson_index"),
+        (
+            denom.cast("double") / F.greatest(pair_mass, F.lit(1))
+        ).alias("effective_vocab"),
+    )

@@ -719,6 +719,89 @@ def streaming_ann_incremental(
     )
 
 
+def streaming_vocab_novelty(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of heaps_law_vocab_growth: vocabulary novelty
+    maintained per REAL ingest micro-batch instead of a synthetic
+    doc_id split. Each batch explodes to its distinct words, anti-joins
+    the ACCUMULATED vocabulary state (word + first-seen batch_id — a
+    vocabulary-sized frame, never the corpus), counts the never-seen
+    words, and appends its own novel words plus a 1-row stats record
+    (batch_id, n_tokens, n_new_words). This is the Heaps-law curve a
+    crawl pipeline maintains as tranches ARRIVE — the number that says
+    in-flight whether the next crawl still adds lexical diversity.
+    Crash-replay idempotent under the corpus_report_from_state
+    contract: a replayed batch re-appends identical rows keyed by
+    batch_id; the readers collapse duplicates (vocab by min batch_id
+    per word, stats by first() per batch_id)."""
+    docs = stream_documents(spark, docs_dir)
+    vocab_path = os.path.join(state_dir, "vocab")
+    stats_path = os.path.join(state_dir, "stats")
+    members_path = os.path.join(state_dir, "members")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        words = batch_df.select(
+            F.explode(
+                F.filter(F.split("text", " ", -1), lambda x: x != "")
+            ).alias("word")
+        )
+        n_tokens = words.count()
+        distinct_b = words.distinct()
+        prior = _read_parquet_or_none(spark, vocab_path)
+        if prior is not None:
+            fresh = distinct_b.join(
+                prior.select("word").distinct(), "word", "left_anti"
+            )
+        else:
+            fresh = distinct_b
+        fresh = fresh.localCheckpoint()  # vocabulary-bounded
+        n_new = fresh.count()
+        spark.createDataFrame(
+            [(int(batch_id), int(n_tokens), int(n_new))],
+            "batch_id bigint, n_tokens bigint, n_new_words bigint",
+        ).write.mode("append").parquet(stats_path)
+        fresh.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(vocab_path)
+        batch_df.select("doc_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(members_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def vocab_novelty_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-batch novelty curve derived from streaming_vocab_novelty's
+    state: (batch_id, n_tokens, n_new_words, cum_vocab). Replay-safe:
+    stats rows collapse by first() per batch_id, and the cumulative
+    vocabulary recounts the vocab state by each word's min batch_id."""
+    stats = (
+        spark.read.parquet(os.path.join(state_dir, "stats"))
+        .groupBy("batch_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_new_words").alias("n_new_words"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return stats.select(
+        "batch_id",
+        "n_tokens",
+        "n_new_words",
+        F.sum("n_new_words").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
 def ann_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """All cross-batch ANN near-dup pairs accumulated by
     streaming_ann_incremental. Replay-safe: a re-run batch appends

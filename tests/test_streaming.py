@@ -750,6 +750,81 @@ def test_streaming_ann_incremental(spark, sf_dir, tmp_path):
     assert replayed == want
 
 
+def test_streaming_vocab_novelty(spark, sf_dir, tmp_path):
+    """Streaming vocabulary-novelty == the batch answer: per-batch
+    never-seen word counts must equal the first-seen-batch census
+    recomputed from the recorded batch membership, and the derived
+    curve must be idempotent under batch replay."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_vocab_novelty,
+        vocab_novelty_from_state,
+    )
+
+    base = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/documents.parquet")
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_vocab_novelty(
+        spark, f"{base}/documents.parquet", state, ckpt
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.batch_id: (r.n_tokens, r.n_new_words, r.cum_vocab)
+        for r in vocab_novelty_from_state(spark, state).collect()
+    }
+    assert len(got) >= 2, "need >= 2 micro-batches"
+
+    members = spark.read.parquet(f"{state}/members")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.join(members, "doc_id").select(
+        "batch_id",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    bt = {
+        r.batch_id: r.n
+        for r in toks.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fw = (
+        toks.groupBy("word")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .collect()
+    )
+    new_of = {r.batch_id: r.n_new for r in fw}
+    cum = 0
+    for b in sorted(got):
+        cum += new_of.get(b, 0)
+        assert got[b] == (bt.get(b, 0), new_of.get(b, 0), cum), (
+            b,
+            got[b],
+        )
+
+    # replay idempotency: re-append one batch's stats + vocab rows
+    some = min(got)
+    for part in ("stats", "vocab"):
+        df = spark.read.parquet(f"{state}/{part}")
+        df.where(F.col("batch_id") == some).write.mode("append").parquet(
+            f"{state}/{part}"
+        )
+    replayed = {
+        r.batch_id: (r.n_tokens, r.n_new_words, r.cum_vocab)
+        for r in vocab_novelty_from_state(spark, state).collect()
+    }
+    assert replayed == got
+
+
 def test_streaming_quality_funnel_incremental(spark, sf_dir, tmp_path):
     """The curation funnel maintained per micro-batch equals the batch
     quality_screen_funnel exactly (screens are per-doc, so batch
