@@ -1515,6 +1515,7 @@ _DECON_CAND = " UNION ".join(
     "parity proves the collapsed rollup exact. Output is one row per "
     "test document (left join restores no-shingle and clean docs), "
     "the drop/keep list a decontamination stage feeds downstream.",
+    headline=True,
     tags=("dedup", "lsh", "pipeline", "audit"),
 )
 def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,15 +167,32 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded driver-side fit cache, keyed like similarity._PQ_CB_CACHE:
+# the fitted centroids are k x 64 doubles (literal topology, not
+# data), but the fit itself runs _ITERS + 1 Spark jobs — three
+# registered queries (kmeans_embedding_clusters, semdedup_pipeline,
+# ivfadc_kmeans_search) share one fit per (application, sf_dir, k).
+_KMEANS_FIT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
+
+
 def fit_kmeans_centroids(emb: DataFrame, k: int = _K) -> list[list[float]]:
     """Run the Lloyd's fit loop and return the fitted k x 64 centroid
     literals — the "literal topology" every composed pipeline bakes
     into its assignment expression (shared with semdedup_pipeline,
     which derives ``k`` from the corpus size at plan build). The
-    per-round assignment rides the broadcast-frame fold
+    per-round assignment rides the Arrow batch kernel
     (:func:`kmeans_assign_frame`), so codegen size is O(1) in k and
     the fit holds up at hundreds of clusters; each round collects only
     k x 65 doubles (counts + sums), never data."""
+    spark = emb.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        ";".join(sorted(emb.inputFiles())),
+        k,
+    )
+    hit = _KMEANS_FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
 
@@ -199,6 +216,9 @@ def fit_kmeans_centroids(emb: DataFrame, k: int = _K) -> list[list[float]]:
             else centroids[j]
             for j in range(k)
         ]
+    if len(_KMEANS_FIT_CACHE) >= 4:  # bounded: a few (sf_dir, k) combos
+        _KMEANS_FIT_CACHE.clear()
+    _KMEANS_FIT_CACHE[key] = centroids
     return centroids
 
 

@@ -91,3 +91,148 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vector document KNN: TF-IDF cosine via posting-list join
+# ---------------------------------------------------------------------------
+
+_KNN_QUERY_DOCS = (0, 1, 2, 3, 4)
+_KNN_TOP_K = 10
+
+
+@register(
+    "tfidf_doc_knn",
+    oracle=f"""
+    WITH w2 AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS n FROM documents),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    wt AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * CAST(floor(ln(n / CAST(df AS DOUBLE)) * 10000.0
+                                  + 0.5) AS BIGINT) AS w_u
+        FROM tf JOIN dfq USING (word) CROSS JOIN nd
+    ),
+    nrm AS (
+        SELECT doc_id, CAST(sum(w_u * w_u) AS BIGINT) AS norm_u
+        FROM wt GROUP BY 1
+    ),
+    qw AS (
+        SELECT doc_id AS query_id, word, w_u AS qw_u FROM wt
+        WHERE doc_id IN ({", ".join(str(i) for i in _KNN_QUERY_DOCS)})
+    ),
+    dots AS (
+        SELECT q.query_id, w.doc_id AS neighbor_id,
+               CAST(sum(qw_u * w_u) AS BIGINT) AS dot_u
+        FROM qw q JOIN wt w USING (word)
+        WHERE w.doc_id <> q.query_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot_u / sqrt(CAST(nq.norm_u AS DOUBLE)
+                              * CAST(nn.norm_u AS DOUBLE)) AS cosine_sim
+        FROM dots d
+        JOIN nrm nq ON nq.doc_id = d.query_id
+        JOIN nrm nn ON nn.doc_id = d.neighbor_id
+        WHERE nq.norm_u > 0 AND nn.norm_u > 0
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC,
+                                              neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {_KNN_TOP_K}
+    """,
+    doc=f"Sparse-vector document KNN: top-{_KNN_TOP_K} most similar "
+    f"documents for {len(_KNN_QUERY_DOCS)} query documents by TF-IDF "
+    "cosine, computed the way sparse similarity actually scales — a "
+    "POSTING-LIST equi-join on the shared term (only term-sharing "
+    "doc pairs ever materialize; orthogonal pairs cost nothing), "
+    "never a dense all-pairs scan. The text-side sibling of "
+    "ann_bruteforce_topk (dense) and the pairwise engine behind "
+    "near-duplicate triage when embeddings don't exist yet. Scale "
+    "shape: the query-side postings are a bounded broadcast "
+    "(|queries| x terms-per-doc rows); the corpus posting table is "
+    "ONE map-side-combined (doc, word) aggregation reused for "
+    "weights and norms; the dot products are one groupBy over the "
+    "join; top-k is a per-query window heap. Determinism: IDF lns "
+    "are floor-quantized at 1e-4 into bigint unit weights, so dots "
+    "and norms are EXACT integer sums in any reduction order (the "
+    "1e-4 quantum keeps worst-case dot magnitudes inside int64 and "
+    "the bigint->double conversion is IEEE-deterministic); the final "
+    "cosine is single IEEE ops on identical doubles.",
+    tags=("text", "retrieval", "similarity", "aggregation"),
+)
+def tfidf_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    w2 = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    tf = w2.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w_u = F.col("tf") * F.floor(
+        F.log(F.col("n") / F.col("df").cast("double")) * 10000.0 + 0.5
+    ).cast("bigint")
+    wt = (
+        tf.join(dfq, "word")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "word", w_u.alias("w_u"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sum(F.col("w_u") * F.col("w_u")).cast("bigint").alias("norm_u")
+    )
+    qw = wt.where(F.col("doc_id").isin(*_KNN_QUERY_DOCS)).select(
+        F.col("doc_id").alias("query_id"), "word", F.col("w_u").alias("qw_u")
+    )
+    dots = (
+        F.broadcast(qw)
+        .join(wt, "word")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("qw_u") * F.col("w_u")).cast("bigint").alias("dot_u")
+        )
+    )
+    nq = nrm.select(
+        F.col("doc_id").alias("query_id"), F.col("norm_u").alias("nq_u")
+    )
+    nn = nrm.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("norm_u").alias("nn_u")
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nn, "neighbor_id")
+        .where((F.col("nq_u") > 0) & (F.col("nn_u") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dot_u")
+                / F.sqrt(
+                    F.col("nq_u").cast("double") * F.col("nn_u").cast("double")
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )

@@ -1027,6 +1027,7 @@ def _ivfadc_kmeans_oracle() -> str:
     "the fitted cell id and this is file pruning at the source). "
     "Oracle: the unrolled k-means CTE chain composed with the shared "
     "best/lut CTEs, the cluster probe replacing the label probe.",
+    headline=True,
     tags=("similarity", "vector", "quantization", "ml", "pipeline"),
 )
 def ivfadc_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,6 +1296,7 @@ _ANN_INCR_CAND = " UNION ".join(
     "multiplicity; with it the probe tracks the minhash twin). The "
     "oracle replays the uncollapsed vector-level band join — parity "
     "proves the collapse exact.",
+    headline=True,
     tags=("similarity", "vector", "lsh", "incremental"),
 )
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,6 +1427,7 @@ def _semdedup_pipeline_oracle() -> str:
     "replays the fit as the unrolled-CTE chain with k as the SAME "
     "formula (scalar subquery over the corpus count in the init "
     "CTE), so the data-dependent k stays fully oracle-expressible.",
+    headline=True,
     tags=("dedup", "similarity", "vector", "ml", "pipeline"),
 )
 def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

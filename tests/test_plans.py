@@ -136,6 +136,7 @@ _BNLJ_ALLOWED = {
     "semdedup_pipeline",  # 1-row fitted-centroid frame x corpus
     "minhash_recall_audit",  # 256-row panel self-join + 1-row totals
     "ivfadc_kmeans_search",  # 1-row codebook + 5-row LUT frames x scan
+    "tfidf_doc_knn",  # 1-row corpus-count frame vs the weight table
     "neardup_triangle_census",  # 1-row wedge/edge/triangle totals cross
 }
 
@@ -213,6 +214,12 @@ _SHUFFLE_CAP_EXEMPT = {
     # exchange moves a distinct-text-sized frame (bounded under
     # duplicate growth) or output-bound verdict rows.
     "decontaminate_test_split",
+    # ONE fact-sized (doc, word) aggregation whose chain the plan TEXT
+    # replays three times (query postings, corpus side, norms) — the
+    # source_vocab_jaccard situation: spark.sql.exchange.reuse dedups
+    # the physical exchanges at runtime, and every post-agg exchange
+    # moves vocabulary-, posting- or pair-bounded frames.
+    "tfidf_doc_knn",
 }
 
 
