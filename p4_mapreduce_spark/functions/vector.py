@@ -3,18 +3,14 @@
 Each helper comes as (Spark Column, SQL fragment) generated from the
 same formula so queries and DuckDB oracles stay bit-identical:
 
-- Spark computes dot products as an explicit left-associative chain of
-  ``element_at`` products, ``((0.0 + t1) + t2) + ...`` — plain
-  arithmetic that WHOLE-STAGE-CODEGENS (r6: the previous
-  ``aggregate(zip_with(...))`` fold computed the identical doubles but
-  higher-order functions run INTERPRETED, ~100x slower per pair — the
-  same finding that moved the k-means assignment to Arrow);
+- Spark computes dot products with a sequential left fold
+  (``aggregate(zip_with(...))``), i.e. ``((0.0 + t1) + t2) + ...``;
 - the SQL twin emits the same sum as an explicit left-associative
   64-term expression, so both engines execute the identical IEEE
   operation sequence — no reduction-order nondeterminism.
 
 All math is float32→float64 upcast first (exact), then double ops.
-Everything stays JVM-side / codegen'd — no Python UDF; at 100 TB a
+Everything stays JVM-side / vectorized — no Python UDF; at 100 TB a
 brute-force cosine scan is bandwidth-bound, exactly where you want it.
 """
 
@@ -31,16 +27,13 @@ def as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def dot(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
-    """Left-associative dot product of two array<double> columns over
-    the first ``dim`` elements — bit-identical to the old
-    aggregate/zip_with fold (same ``(0.0 + t1) + t2 + ...`` IEEE
-    sequence) but expressed as plain arithmetic so it stays inside
-    whole-stage codegen instead of the interpreted HOF evaluator."""
-    expr = F.lit(0.0)
-    for i in range(1, dim + 1):
-        expr = expr + F.element_at(a, i) * F.element_at(b, i)
-    return expr
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def dot_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:

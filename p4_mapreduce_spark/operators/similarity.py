@@ -1519,7 +1519,7 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def trunc_topk() -> DataFrame:
         a = F.slice(as_double(F.col("qe")), 1, _MRL_DIMS)
         b = F.slice(as_double(F.col("embedding")), 1, _MRL_DIMS)
-        qd = lambda x, y: fix(dot(x, y, dim=_MRL_DIMS), 6)  # noqa: E731
+        qd = lambda x, y: fix(dot(x, y), 6)  # noqa: E731
         cos = qd(a, b) / F.sqrt(qd(a, a) * qd(b, b))
         w = Window.partitionBy("query_id").orderBy(
             cos.desc(), F.col("vec_id")
