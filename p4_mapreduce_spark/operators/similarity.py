@@ -584,6 +584,56 @@ def _pq_code_cols(cb_col: F.Column) -> list[tuple[F.Column, F.Column]]:
     return out
 
 
+def arrow_pair_cosine(
+    pairs: DataFrame, a_col: str, b_col: str, sim_name: str = "cosine_sim"
+) -> DataFrame:
+    """Replace the two embedding-array columns of ``pairs`` with their
+    cosine, computed on the zero-copy Arrow batch path — the bulk
+    pairwise twin of the k-means Arrow assignment. Bit-identical to
+    ``cosine_sql``'s left-associative chains: float32→float64 upcast
+    is exact, elementwise products are the same IEEE multiplies, and
+    ``np.cumsum(axis=1)`` adds sequentially in element order (the
+    ``0.0 +`` seed only matters for a -0.0 total, which cannot pass
+    any positive threshold). Use on JOIN OUTPUTS carrying many pairs:
+    the interpreted aggregate/zip_with fold costs ~0.3ms per pair,
+    SIMD does the same work in ~100ns."""
+    import numpy as np
+    import pyarrow as pa
+
+    keep = [f for f in pairs.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+        + f", {sim_name} double"
+    )
+    names = [f.name for f in keep] + [sim_name]
+    cols = [f.name for f in pairs.schema.fields]
+    ai, bi = cols.index(a_col), cols.index(b_col)
+    ki = [cols.index(f.name) for f in keep]
+
+    def gen(batches):
+        for batch in batches:
+            def mat(i):
+                flat = batch.column(i).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                return flat.astype(np.float64).reshape(-1, EMBEDDING_DIM)
+
+            if batch.num_rows == 0:
+                sim = np.empty(0, dtype=np.float64)
+            else:
+                A, B = mat(ai), mat(bi)
+                dot = np.cumsum(A * B, axis=1)[:, -1]
+                na = np.cumsum(A * A, axis=1)[:, -1]
+                nb = np.cumsum(B * B, axis=1)[:, -1]
+                sim = dot / np.sqrt(na * nb)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in ki] + [pa.array(sim)],
+                names=names,
+            )
+
+    return pairs.mapInArrow(gen, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup by cluster-blocked cosine pruning
 # ---------------------------------------------------------------------------
@@ -615,7 +665,11 @@ def _semdedup_sql(rel: str, block: str) -> str:
 
 def _semdedup_verdict(frame: DataFrame, block_col: str) -> DataFrame:
     """Spark twin of :func:`_semdedup_sql`: keep-lowest-id pruning
-    verdict per vector over ``frame``(vec_id, embedding, block_col)."""
+    verdict per vector over ``frame``(vec_id, embedding, block_col).
+    The within-block pair cosines run through the Arrow kernel
+    (:func:`arrow_pair_cosine`) — the pair join's output is the bulk
+    of this operator's work, and SIMD beats the interpreted HOF fold
+    ~100x per pair at identical IEEE semantics."""
     a = frame.select(
         F.col("vec_id").alias("va"),
         F.col(block_col).alias("ba"),
@@ -626,14 +680,19 @@ def _semdedup_verdict(frame: DataFrame, block_col: str) -> DataFrame:
         F.col(block_col).alias("bb"),
         F.col("embedding").alias("eb"),
     )
-    sim = cosine(F.col("ea"), F.col("eb"))
+    scored = arrow_pair_cosine(
+        a.join(
+            b, (F.col("ba") == F.col("bb")) & (F.col("vb") < F.col("va"))
+        ).select("va", "ea", "eb"),
+        "ea",
+        "eb",
+    )
     dup = (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vb") < F.col("va")))
-        .where(sim >= F.lit(_SEMDEDUP_TAU))
+        scored.where(F.col("cosine_sim") >= F.lit(_SEMDEDUP_TAU))
         .groupBy("va")
         .agg(
             F.count(F.lit(1)).alias("n_dup_lower"),
-            F.max(sim).alias("max_sim_lower"),
+            F.max("cosine_sim").alias("max_sim_lower"),
         )
     )
     return frame.join(dup, frame.vec_id == dup.va, "left").select(
@@ -1342,11 +1401,10 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = reps.select(F.col("gh").alias("gh_n"), F.col("embedding").alias("ex"))
     y = reps.select(F.col("gh").alias("gh_e"), F.col("embedding").alias("ey"))
-    sim = cosine(F.col("ex"), F.col("ey"))
-    cross = (
-        cand.join(x, "gh_n")
-        .join(y, "gh_e")
-        .select("gh_n", "gh_e", sim.alias("cosine_sim"))
+    cross = arrow_pair_cosine(
+        cand.join(x, "gh_n").join(y, "gh_e").select("gh_n", "gh_e", "ex", "ey"),
+        "ex",
+        "ey",
     )
     # identical vector on both sides of the batch boundary: ONE
     # self-cosine per distinct vector (the oracle computes the same

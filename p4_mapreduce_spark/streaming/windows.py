@@ -654,8 +654,8 @@ def streaming_ann_incremental(
     from p4_mapreduce_spark.operators.similarity import (
         ANN_INCR_TAU,
         ann_band_col,
+        arrow_pair_cosine,
     )
-    from p4_mapreduce_spark.functions.vector import cosine
 
     schema = spark.read.parquet(emb_dir).schema
     emb_stream = (
@@ -696,12 +696,12 @@ def streaming_ann_incremental(
                 F.col("embedding").alias("ey"),
             ).distinct()
             out = (
-                cand.join(x, "vec_id_new")
-                .join(y, "vec_id_existing")
-                .select(
-                    "vec_id_new",
-                    "vec_id_existing",
-                    cosine(F.col("ex"), F.col("ey")).alias("cosine_sim"),
+                arrow_pair_cosine(
+                    cand.join(x, "vec_id_new")
+                    .join(y, "vec_id_existing")
+                    .select("vec_id_new", "vec_id_existing", "ex", "ey"),
+                    "ex",
+                    "ey",
                 )
                 .where(F.col("cosine_sim") >= ANN_INCR_TAU)
                 .withColumn("batch_id", F.lit(batch_id))
