@@ -501,16 +501,18 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = _pq_codebook(spark, sf_dir, emb)
-    base = emb.crossJoin(F.broadcast(_pq_cb_frame(spark, cents)))
-    cols = _pq_code_cols(F.col("pq_cb"))
+    coded = _pq_arrow_coded(
+        emb.select("vec_id", "embedding"), cents, with_dists=True
+    )
     pq_code = F.lit(0).cast("long")
     recon = F.lit(0.0)
     for q in range(_PQ_M):
         pq_code = (
-            pq_code + cols[q][0].cast("long") * F.lit(16**q).cast("long")
+            pq_code
+            + F.col(f"c{q}").cast("long") * F.lit(16**q).cast("long")
         )
-        recon = recon + fix(cols[q][1], 6)
-    return base.select(
+        recon = recon + fix(F.col(f"d{q}"), 6)
+    return coded.select(
         "vec_id",
         pq_code.alias("pq_code"),
         fix(recon, 6).alias("recon_err"),
@@ -543,45 +545,75 @@ def _pq_codebook(
     return hit
 
 
-def _pq_cb_frame(spark: SparkSession, cents: dict[int, list[float]]):
-    """The codebook as ONE broadcastable row (``pq_cb``: a
-    {_PQ_K} x {EMBEDDING_DIM} array-of-arrays cell). r6: the codebook
-    now travels as DATA instead of 8 x 16 nested expression-tree
-    literals — the r5 verdict measured ~14 s of janino compiling the
-    literal folds; a fold over a column is one fixed-size expression,
-    so codegen cost is O(1) in both k and m."""
-    cb = [cents[c] for c in range(_PQ_K)]
-    return spark.createDataFrame([(cb,)], "pq_cb: array<array<double>>")
+def _pq_arrow_coded(
+    df: DataFrame, cents: dict[int, list[float]], with_dists: bool = False
+) -> DataFrame:
+    """``df`` minus its ``embedding`` column plus the per-subspace PQ
+    codes ``c0..c{_PQ_M-1}`` (and raw subspace minima ``d0..`` when
+    ``with_dists``), computed on the zero-copy Arrow path — the PQ
+    twin of the k-means Arrow assignment. Bit-parity with
+    ``_pq_dist_sql``/``_pq_best_ctes``: float32→float64 upcast exact,
+    ``(a - c)**2`` the same IEEE ops, ``np.cumsum(axis=-1)`` the same
+    left-associative 8-term chain (the ``0.0 +`` seed is exact on
+    non-negative squares), ``argmin`` first-wins == ``ORDER BY dist,
+    cid``. The codebook rides the closure (16 x 64 doubles, literal
+    topology)."""
+    import numpy as np
+    import pyarrow as pa
 
+    C = np.array([cents[c] for c in range(_PQ_K)], dtype=np.float64)
+    keep = [f for f in df.schema.fields if f.name != "embedding"]
+    names = (
+        [f.name for f in keep]
+        + [f"c{q}" for q in range(_PQ_M)]
+        + ([f"d{q}" for q in range(_PQ_M)] if with_dists else [])
+    )
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep]
+        + [f"c{q} int" for q in range(_PQ_M)]
+        + ([f"d{q} double" for q in range(_PQ_M)] if with_dists else [])
+    )
+    cols = [f.name for f in df.schema.fields]
+    ei = cols.index("embedding")
+    ki = [cols.index(f.name) for f in keep]
 
-def _pq_code_cols(cb_col: F.Column) -> list[tuple[F.Column, F.Column]]:
-    """Per-subspace ``(code, raw_min_dist)`` columns over the broadcast
-    codebook column: slice the row vector and every codebook entry to
-    the subspace, zip_with/aggregate the squared-L2 fold (seeded 0.0,
-    matching ``_pq_dist_sql``'s leading ``0.0 +`` term-for-term in
-    IEEE order), argmin via array_position's first-wins (== the
-    oracle's ``ORDER BY dist, cid``)."""
-    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    out = []
-    for q in range(_PQ_M):
-        off = q * _PQ_SUBDIM
-        sub = F.slice(ev, off + 1, _PQ_SUBDIM)
-
-        def _dist_factory(_sub, _off):
-            def _dist(c):
-                sq = F.zip_with(
-                    _sub,
-                    F.slice(c, _off + 1, _PQ_SUBDIM),
-                    lambda x, y: (x - y) * (x - y),
+    def gen(batches):
+        for batch in batches:
+            flat = batch.column(ei).flatten().to_numpy(zero_copy_only=False)
+            arr = flat.astype(np.float64).reshape(-1, EMBEDDING_DIM)
+            n = arr.shape[0]
+            code_arrs, dist_arrs = [], []
+            for q in range(_PQ_M):
+                off = q * _PQ_SUBDIM
+                A = arr[:, off : off + _PQ_SUBDIM]
+                Cq = C[:, off : off + _PQ_SUBDIM]
+                sq = (A[:, None, :] - Cq[None, :, :]) ** 2
+                d = np.cumsum(sq, axis=2)[:, :, -1]
+                code = (
+                    d.argmin(axis=1)
+                    if n
+                    else np.empty(0, dtype=np.int64)
                 )
-                return F.aggregate(sq, F.lit(0.0), lambda a, t: a + t)
+                code_arrs.append(pa.array(code.astype(np.int32)))
+                if with_dists:
+                    dist_arrs.append(
+                        pa.array(
+                            d[np.arange(n), code]
+                            if n
+                            else np.empty(0, dtype=np.float64)
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in ki] + code_arrs + dist_arrs,
+                names=names,
+            )
 
-            return _dist
+    return df.mapInArrow(gen, out_schema)
 
-        dists = F.transform(cb_col, _dist_factory(sub, off))
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        out.append((code, F.array_min(dists)))
-    return out
+
+# ---------------------------------------------------------------------------
+# Bulk pairwise cosine on the Arrow path
+# ---------------------------------------------------------------------------
 
 
 def arrow_pair_cosine(
@@ -622,10 +654,10 @@ def arrow_pair_cosine(
                 sim = np.empty(0, dtype=np.float64)
             else:
                 A, B = mat(ai), mat(bi)
-                dot = np.cumsum(A * B, axis=1)[:, -1]
+                dot_ = np.cumsum(A * B, axis=1)[:, -1]
                 na = np.cumsum(A * A, axis=1)[:, -1]
                 nb = np.cumsum(B * B, axis=1)[:, -1]
-                sim = dot / np.sqrt(na * nb)
+                sim = dot_ / np.sqrt(na * nb)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in ki] + [pa.array(sim)],
                 names=names,
@@ -960,10 +992,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _pq_codebook(spark, sf_dir, emb)
     q_ids, Q = _query_vectors(spark, sf_dir, emb)
     lut = _pq_query_luts(q_ids, Q, cents)
-    cols = _pq_code_cols(F.col("pq_cb"))
-    coded = emb.crossJoin(F.broadcast(_pq_cb_frame(spark, cents))).select(
-        "vec_id", *[cols[q][0].alias(f"c{q}") for q in range(_PQ_M)]
-    )
+    coded = _pq_arrow_coded(emb.select("vec_id", "embedding"), cents)
     return _adc_topk(coded, q_ids, lut)
 
 
@@ -1027,11 +1056,8 @@ def ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse probe FIRST: only probed-cluster rows enter the plan (the
     # partition-pruning shape), and only they pay for code assignment
     scan = emb.where(F.col("label").isin(*probed))
-    cols = _pq_code_cols(F.col("pq_cb"))
-    coded = scan.crossJoin(F.broadcast(_pq_cb_frame(spark, cents))).select(
-        "vec_id",
-        "label",
-        *[cols[q][0].alias(f"c{q}") for q in range(_PQ_M)],
+    coded = _pq_arrow_coded(
+        scan.select("vec_id", "label", "embedding"), cents
     )
     return _adc_topk(coded, q_ids, lut, label_of=qlabels)
 
@@ -1116,12 +1142,7 @@ def ivfadc_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = asg.where(F.col("cluster").isin(*probed)).select(
         "vec_id", F.col("cluster").alias("label"), "embedding"
     )
-    cols = _pq_code_cols(F.col("pq_cb"))
-    coded = scan.crossJoin(F.broadcast(_pq_cb_frame(spark, cents))).select(
-        "vec_id",
-        "label",
-        *[cols[q][0].alias(f"c{q}") for q in range(_PQ_M)],
-    )
+    coded = _pq_arrow_coded(scan, cents)
     return _adc_topk(coded, q_ids, lut, label_of=qcell)
 
 
