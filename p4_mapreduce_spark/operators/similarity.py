@@ -333,8 +333,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("label").alias("label_b"),
     )
-    pairs = a.join(b, (a.label_a == b.label_b) & (a.vec_id_a < b.vec_id_b)).select(
-        "vec_id_a", "vec_id_b", cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
+    pairs = arrow_pair_cosine(
+        a.join(
+            b, (a.label_a == b.label_b) & (a.vec_id_a < b.vec_id_b)
+        ).select("vec_id_a", "vec_id_b", "ea", "eb"),
+        "ea",
+        "eb",
     )
     # global top-25 via orderBy+limit (TakeOrderedAndProject: per-
     # partition heaps + driver merge); the rank window then runs on 25
