@@ -1228,3 +1228,92 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_us").over(w2).alias("effective_to_us"),
         F.lead("ts_us").over(w2).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (gaps-and-islands over spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-minute span
+
+
+@register(
+    "merge_event_intervals",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + {_SPAN_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s THEN 0 ELSE 1 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_island) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        FROM flagged
+    )
+    SELECT user_id, island_id,
+           min(s) AS span_start_us,
+           max(e) AS span_end_us,
+           count(*) AS n_events,
+           max(e) - min(s) AS covered_us
+    FROM islands GROUP BY 1, 2
+    """,
+    doc="Interval union (gaps-and-islands over SPANS): every event "
+    "opens a 30-minute activity span; overlapping or touching spans "
+    "per user merge into maximal islands, emitting each island's "
+    "extent, event count, and covered time — the span-coverage "
+    "primitive behind billing ('total active minutes'), device "
+    "uptime, and GPU-utilization rollups, and the OVERLAP sibling of "
+    "sessionize_events' point-gap islands (a span that starts inside "
+    "an earlier span merges even when event TIMES are >30min apart). "
+    "The island detector is the classic running-max trick: a span "
+    "starts a new island iff it begins after the max end of ALL "
+    "prior spans (not just the previous row — intervals can nest). "
+    "Scale shape: one shuffle on user_id serves both windows and the "
+    "rollup; linear, skew-bounded by the busiest user. All span "
+    "math is exact integer micros.",
+    tags=("events", "window", "aggregation", "sql"),
+)
+def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load(spark, sf_dir, "events")
+    spans = raw.select(
+        "user_id",
+        "event_id",
+        epoch_micros(raw).alias("s"),
+        (epoch_micros(raw) + F.lit(_SPAN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        F.max("e").over(w_prev) >= F.col("s"), 0
+    ).otherwise(1)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(new_island).over(w_run).cast("bigint").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e") - F.min("s")).alias("covered_us"),
+    )
