@@ -827,6 +827,8 @@ def dedup_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "n_kgrams": [], "fp": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # match the old F.split(null) -> null
+                    continue  # no-fingerprints Catalyst semantics
                 ws = [t for t in text.split(" ") if t != ""]
                 if len(ws) >= 3:
                     h = [

@@ -646,7 +646,14 @@ def streaming_ann_incremental(
        index and the emitted pairs to ``{state_dir}/pairs``, both
        keyed by batch_id — replayed batches append identical rows and
        the reader (ann_pairs_from_state) collapses them, the
-       corpus_report_from_state idempotency contract.
+       corpus_report_from_state idempotency contract. Crash-replay
+       window closed (r6 advice): a replay that died AFTER the index
+       append but BEFORE the checkpoint commit would otherwise
+       band-join an index already containing its own rows, emitting
+       self-pairs and intra-batch pairs a clean run never produces —
+       so the prior index is filtered to ``batch_id < current`` before
+       the join (the minhash twin's gh_n != gh_e guard, made explicit
+       here with a vec_id inequality belt as well).
 
     Per-batch cost is batch-signatures + one equi-join per band
     against the warm index + verify on survivors: batch-proportional,
@@ -675,6 +682,9 @@ def streaming_ann_incremental(
         ).localCheckpoint()  # batch-bounded, never corpus-sized
         prior = _read_parquet_or_none(spark, index_path)
         if prior is not None:
+            # Crash-replay guard: drop any rows this same batch already
+            # appended before an uncommitted checkpoint died.
+            prior = prior.where(F.col("batch_id") < F.lit(int(batch_id)))
             melt = lambda df, idc: df.select(  # noqa: E731
                 F.col("vec_id").alias(idc),
                 F.posexplode(F.array("band0", "band1")).alias(
@@ -684,6 +694,7 @@ def streaming_ann_incremental(
             cand = (
                 melt(bnd_b, "vec_id_new")
                 .join(melt(prior, "vec_id_existing"), ["band_id", "sig"])
+                .where(F.col("vec_id_new") != F.col("vec_id_existing"))
                 .select("vec_id_new", "vec_id_existing")
                 .distinct()
             )
@@ -750,8 +761,15 @@ def streaming_vocab_novelty(
         distinct_b = words.distinct()
         prior = _read_parquet_or_none(spark, vocab_path)
         if prior is not None:
+            # Crash-replay guard (r6 advice): a replay after the vocab
+            # append but before checkpoint commit would otherwise see
+            # its own words in prior state and report n_new_words=0.
             fresh = distinct_b.join(
-                prior.select("word").distinct(), "word", "left_anti"
+                prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+                .select("word")
+                .distinct(),
+                "word",
+                "left_anti",
             )
         else:
             fresh = distinct_b
@@ -776,25 +794,201 @@ def streaming_vocab_novelty(
     )
 
 
+def streaming_decontaminate(
+    spark: SparkSession,
+    test_docs_dir: str,
+    train_sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of operators.dedup.decontaminate_test_split (r6
+    verdict ask #7): new BENCHMARK/TEST documents arrive in
+    micro-batches and are verified against a FIXED train-split MinHash
+    index — the steady-state posture of eval-set governance, where the
+    training corpus is warm and each newly added benchmark document
+    needs a contamination verdict before it may be trusted.
+
+    The train index (distinct-text signatures + per-text train member
+    counts) is built ONCE, before the stream starts, and persisted to
+    ``{state_dir}/train_index`` — per batch cost is batch signatures +
+    one band equi-join against the warm index, exactly
+    streaming_minhash_incremental's shape with the index frozen. Each
+    micro-batch:
+
+    1. collapses to DISTINCT batch texts and computes band signatures
+       (the collapse-before-pairwise rule);
+    2. band-joins those against the train index (16-bit-wide keys,
+       never a corpus join), Jaccard-verifies the collided pairs, and
+       adds identical-text leakage via a semi-join at 1.0 — zero
+       pairwise work for exact copies;
+    3. rolls up per test document by summing matched texts' TRAIN
+       MEMBER COUNTS (doc-level match counts without doc pairs) and
+       appends one verdict row per batch document, keyed by batch_id.
+
+    Crash-replay idempotent by construction: the train index is
+    static, so a replayed batch recomputes byte-identical verdicts
+    under the same batch_id and the reader
+    (decontaminate_from_state) collapses duplicates per doc_id."""
+    from p4_mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        melt_bands,
+        minhash_signatures,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+
+    train_path = os.path.join(state_dir, "train_index")
+    verdicts_path = os.path.join(state_dir, "verdicts")
+
+    if _read_parquet_or_none(spark, train_path) is None:
+        train_docs = load(spark, train_sf_dir, "documents").where(
+            F.col("doc_id") % 10 < 8
+        )
+        tgroups = train_docs.groupBy(F.md5("text").alias("gh")).agg(
+            F.min("text").alias("rtext"),
+            F.count(F.lit(1)).alias("n_tr"),
+        )
+        index = minhash_signatures(tgroups.select("gh", "rtext")).join(
+            tgroups.select("gh", "n_tr"), "gh"
+        )
+        index.write.mode("overwrite").parquet(train_path)
+
+    docs = stream_documents(spark, test_docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        groups_b = batch_df.groupBy(F.md5("text").alias("gh")).agg(
+            F.min("text").alias("rtext")
+        )
+        sigs_b = minhash_signatures(groups_b).localCheckpoint()
+        train = spark.read.parquet(train_path)
+        new_b = melt_bands(sigs_b).select(
+            F.col("gh").alias("gh_t"), "band_id", "sig"
+        )
+        tr_b = melt_bands(train).select(
+            F.col("gh").alias("gh_r"), "band_id", "sig"
+        )
+        cand = (
+            new_b.join(tr_b, ["band_id", "sig"])
+            .where(F.col("gh_t") != F.col("gh_r"))
+            .select("gh_t", "gh_r")
+            .distinct()
+        )
+        x = sigs_b.select(
+            F.col("gh").alias("gh_t"), F.col("shingles").alias("sh_t")
+        )
+        y = train.select(
+            F.col("gh").alias("gh_r"), F.col("shingles").alias("sh_r")
+        )
+        inter = F.size(F.array_intersect("sh_t", "sh_r"))
+        union = F.size(F.array_distinct(F.concat("sh_t", "sh_r")))
+        jaccard = inter / F.greatest(union, F.lit(1))
+        cross = (
+            cand.join(x, "gh_t")
+            .join(y, "gh_r")
+            .select("gh_t", "gh_r", jaccard.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        same = (
+            sigs_b.select("gh")
+            .join(train.select("gh"), "gh", "left_semi")
+            .select(
+                F.col("gh").alias("gh_t"),
+                F.col("gh").alias("gh_r"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        per_text = (
+            cross.unionByName(same)
+            .join(train.select(F.col("gh").alias("gh_r"), "n_tr"), "gh_r")
+            .groupBy("gh_t")
+            .agg(
+                F.sum("n_tr").cast("bigint").alias("n_train_matches"),
+                F.max("jaccard").alias("max_jaccard"),
+            )
+        )
+        verdict = (
+            batch_df.select(F.md5("text").alias("gh"), "doc_id")
+            .join(
+                per_text.select(
+                    F.col("gh_t").alias("gh"),
+                    "n_train_matches",
+                    "max_jaccard",
+                ),
+                "gh",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("n_train_matches")
+                .isNotNull()
+                .alias("is_contaminated"),
+                F.coalesce(F.col("n_train_matches"), F.lit(0))
+                .cast("bigint")
+                .alias("n_train_matches"),
+                "max_jaccard",
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        verdict.write.mode("append").parquet(verdicts_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def decontaminate_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-test-document contamination verdicts accumulated by
+    streaming_decontaminate. Replay-safe: the train index is static,
+    so duplicate verdict rows for a doc_id are byte-identical —
+    first() per doc_id restores exactly-once semantics."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "verdicts"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("is_contaminated").alias("is_contaminated"),
+            F.first("n_train_matches").alias("n_train_matches"),
+            F.first("max_jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def vocab_novelty_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-batch novelty curve derived from streaming_vocab_novelty's
-    state: (batch_id, n_tokens, n_new_words, cum_vocab). Replay-safe:
-    stats rows collapse by first() per batch_id, and the cumulative
-    vocabulary recounts the vocab state by each word's min batch_id."""
+    state: (batch_id, n_tokens, n_new_words, cum_vocab). Replay-safe
+    by census, not by trusting the stats rows (r6 advice): n_new_words
+    is RECOUNTED from the vocab table as the number of words whose
+    min(batch_id) is that batch, so a conflicting stats row written in
+    a crash-replay window can never make the curve report 0 new words
+    for a batch that did introduce vocabulary. n_tokens still comes
+    from the stats rows (the batch content is deterministic per
+    batch_id, so replayed rows carry the identical token count)."""
     stats = (
         spark.read.parquet(os.path.join(state_dir, "stats"))
         .groupBy("batch_id")
-        .agg(
-            F.first("n_tokens").alias("n_tokens"),
-            F.first("n_new_words").alias("n_new_words"),
-        )
+        .agg(F.first("n_tokens").alias("n_tokens"))
+    )
+    census = (
+        spark.read.parquet(os.path.join(state_dir, "vocab"))
+        .groupBy("word")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_new_words"))
+    )
+    merged = stats.join(census, "batch_id", "left").select(
+        "batch_id",
+        "n_tokens",
+        F.coalesce(F.col("n_new_words"), F.lit(0))
+        .cast("bigint")
+        .alias("n_new_words"),
     )
     from pyspark.sql import Window
 
     w = Window.orderBy("batch_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return stats.select(
+    return merged.select(
         "batch_id",
         "n_tokens",
         "n_new_words",

@@ -868,3 +868,179 @@ def test_streaming_quality_funnel_incremental(spark, sf_dir, tmp_path):
     )
     replayed = quality_funnel_from_state(spark, state).collect()[0]
     assert tuple(replayed[c] for c in cols) == tuple(want[c] for c in cols)
+
+
+def test_streaming_decontaminate(spark, sf_dir, tmp_path):
+    """Streaming decontamination == the batch verdict: streaming the
+    test split through micro-batches verified against the frozen
+    train index must reproduce decontaminate_test_split row-for-row,
+    and the derived verdict set must be idempotent under replay."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        decontaminate_from_state,
+        streaming_decontaminate,
+    )
+
+    base = str(tmp_path / "testdocs")
+    load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 >= 8
+    ).repartition(4).write.mode("overwrite").parquet(base)
+
+    state = str(tmp_path / "state")
+    q = streaming_decontaminate(
+        spark, base, sf_dir, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    batch_ids = {
+        r.batch_id
+        for r in spark.read.parquet(f"{state}/verdicts")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert len(batch_ids) >= 2, "need >= 2 micro-batches"
+
+    def canon(pdf):
+        return [
+            (
+                int(r.doc_id),
+                bool(r.is_contaminated),
+                int(r.n_train_matches),
+                None if r.max_jaccard is None or r.max_jaccard != r.max_jaccard
+                else round(float(r.max_jaccard), 12),
+            )
+            for r in pdf.sort_values("doc_id").itertuples()
+        ]
+
+    got = canon(decontaminate_from_state(spark, state).toPandas())
+    want = canon(
+        load_all()["decontaminate_test_split"].fn(spark, sf_dir).toPandas()
+    )
+    assert got == want
+
+    # replay idempotency: re-append one batch's verdict rows
+    v = spark.read.parquet(f"{state}/verdicts")
+    v.where(F.col("batch_id") == min(batch_ids)).write.mode(
+        "append"
+    ).parquet(f"{state}/verdicts")
+    replayed = canon(decontaminate_from_state(spark, state).toPandas())
+    assert replayed == want
+
+
+def _force_replay_of_last_batch(ckpt: str) -> int:
+    """Simulate the crash-replay window: remove the newest commit file
+    from a completed availableNow checkpoint, so a restart re-runs
+    that batch under the SAME batch_id with state already containing
+    its appends (the job 'died' after the parquet append, before the
+    checkpoint commit)."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    last = max(ids)
+    os.remove(os.path.join(commits, str(last)))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return last
+
+
+def test_streaming_ann_incremental_crash_replay(spark, sf_dir, tmp_path):
+    """r6 advice: a batch replayed after its index append must not
+    band-join its own rows (self-pairs / intra-batch pairs) — the
+    derived pair set must be exactly the clean run's."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        ann_pairs_from_state,
+        streaming_ann_incremental,
+    )
+
+    base = str(tmp_path / "emb")
+    load(spark, sf_dir, "embeddings").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(base)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_ann_incremental(spark, base, state, ckpt).awaitTermination(180)
+    clean = {
+        (r.vec_id_new, r.vec_id_existing, r.cosine_sim)
+        for r in ann_pairs_from_state(spark, state).collect()
+    }
+    last = _force_replay_of_last_batch(ckpt)
+    streaming_ann_incremental(spark, base, state, ckpt).awaitTermination(180)
+    idx = spark.read.parquet(f"{state}/index")
+    # the replay re-appended the last batch's index rows...
+    n_dup = idx.groupBy("vec_id").count().where(F.col("count") > 1).count()
+    assert n_dup > 0, "replay did not re-append (test setup broken)"
+    assert (
+        idx.where(F.col("batch_id") == last).count()
+        == 2 * idx.where(F.col("batch_id") == last).select("vec_id").distinct().count()
+    )
+    # ...but emitted no self-pairs and no new pair content
+    replayed = {
+        (r.vec_id_new, r.vec_id_existing, r.cosine_sim)
+        for r in ann_pairs_from_state(spark, state).collect()
+    }
+    assert all(a != b for a, b, _ in replayed)
+    assert replayed == clean
+
+
+def test_streaming_vocab_novelty_crash_replay(spark, sf_dir, tmp_path):
+    """r6 advice: a batch replayed after its vocab append must not see
+    its own words as prior vocabulary (reporting n_new_words=0) — the
+    derived curve must be exactly the clean run's."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_vocab_novelty,
+        vocab_novelty_from_state,
+    )
+
+    base = str(tmp_path / "docs")
+    docs_path = f"{base}/documents.parquet"
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_vocab_novelty(spark, docs_path, state, ckpt).awaitTermination(
+        180
+    )
+    # a late tranche that definitely ADDS vocabulary, so the replayed
+    # batch is one where the n_new_words=0 bug would be visible
+    novel = load(spark, sf_dir, "documents").limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("zzznovelalpha zzznovelbeta "), F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    novel.coalesce(1).write.mode("append").parquet(docs_path)
+    streaming_vocab_novelty(spark, docs_path, state, ckpt).awaitTermination(
+        180
+    )
+    clean = {
+        r.batch_id: (r.n_tokens, r.n_new_words, r.cum_vocab)
+        for r in vocab_novelty_from_state(spark, state).collect()
+    }
+    last = _force_replay_of_last_batch(ckpt)
+    assert clean[last][1] > 0, "pick a batch that adds vocabulary"
+    streaming_vocab_novelty(
+        spark, f"{base}/documents.parquet", state, ckpt
+    ).awaitTermination(180)
+    stats = spark.read.parquet(f"{state}/stats")
+    assert stats.where(F.col("batch_id") == last).count() == 2
+    replayed = {
+        r.batch_id: (r.n_tokens, r.n_new_words, r.cum_vocab)
+        for r in vocab_novelty_from_state(spark, state).collect()
+    }
+    assert replayed == clean
