@@ -41,6 +41,14 @@ _ITERS = 3
 _DIMS = 64
 _SCALE = 1_000_000.0  # 1e-6 quantization, like PageRank's fix(rank, 6)
 
+# Fixed-size deterministic fit sample (r6 verdict ask #1): Lloyd's
+# UPDATE iterations run over the _FIT_SAMPLE rows with the lowest
+# md5(vec_id) — a seeded pseudo-random draw both engines compute
+# identically — so the fit's distance work is O(S x k x iters) and its
+# driver traffic is S rows ONCE, both corpus-size-independent. The
+# only full-corpus pass left is the final linear assignment.
+_FIT_SAMPLE = 256
+
 
 def _fq_sql(expr: str) -> str:
     return f"floor(({expr}) * {_SCALE} + 0.5) / {_SCALE}"
@@ -59,65 +67,124 @@ def _dist_sql(vec: str, cen: str) -> str:
     )
 
 
-def _kmeans_cte_body(k_sql: str = str(_K)) -> str:
-    """The unrolled-CTE fit chain (``e``, ``c0``, ``a0``..``c{_ITERS}``)
-    WITHOUT the leading WITH — shared by the standalone kmeans oracle
-    and composed pipelines (similarity.semdedup_pipeline).
+def _kmeans_cte_body(
+    k_sql: str = str(_K),
+    sample_n: int | None = _FIT_SAMPLE,
+    prefix: str = "",
+    with_e: bool = True,
+    extra_after_e: str = "",
+) -> str:
+    """The unrolled-CTE fit chain (``e``, ``{p}fs``, ``{p}c0``,
+    ``{p}a0``..``{p}c{_ITERS}``) WITHOUT the leading WITH — shared by
+    the standalone kmeans oracle and composed pipelines
+    (similarity.semdedup_pipeline, ivfadc_kmeans_search).
 
     ``k_sql`` is the cluster-count expression spliced into c0's rank
     predicate: the literal ``"4"`` for the fixed-k demo, or a scalar
-    subquery like ``(SELECT greatest(4, CAST(ceil(count(*) / 125.0)
-    AS BIGINT)) FROM e)`` for the data-dependent k the scale-safe
-    SemDeDup composition uses — the rest of the chain (argmin over
-    c{{t}}, per-cid means, empty-cluster carry) is k-agnostic, so one
-    unrolled text serves any k."""
+    subquery over a corpus-count CTE for the data-dependent capped k
+    the scale-safe SemDeDup composition uses — the rest of the chain
+    (argmin over c{{t}}, per-cid means, empty-cluster carry) is
+    k-agnostic, so one unrolled text serves any k.
+
+    ``sample_n`` bounds the fit (r6 verdict ask #1): when set, the
+    update iterations run over ``fs`` — the ``sample_n`` rows with the
+    lowest ``md5(vec_id)``, a fixed-size deterministic pseudo-random
+    draw — instead of the full corpus, making the fit's distance work
+    O(S x k) per round regardless of corpus size. Init stays the k
+    lowest vec_ids of the FULL corpus so the sample-fit and full-fit
+    arms of kmeans_sample_fit_audit start from identical centroids and
+    cluster labels correspond. ``sample_n=None`` keeps the full-corpus
+    fit (the audit's reference arm only — never a composed pipeline).
+
+    ``prefix`` renames the fit-chain CTEs (fs/c*/a*) so two chains can
+    coexist in one oracle; ``with_e``/``extra_after_e`` control the
+    shared ``e`` CTE and let callers splice corpus-stat CTEs (e.g.
+    SemDeDup's ``kk``) between ``e`` and the chain."""
+    p = prefix
+    fit_rel = f"{p}fs" if sample_n else "e"
+    # Centroid means over bigint MICROS of each element (r7): float
+    # sums are order-dependent, and sf0.001 found a mean landing
+    # within reassociation distance of a 0.5e-6 quantization boundary
+    # — Spark's partial-aggregate order vs DuckDB's sequential order
+    # produced different quantized centroids. Element-wise
+    # floor(v * 1e6 + 0.5) to BIGINT first makes the sum exact in ANY
+    # order (the repo's bigint-micro rule), then the mean is one
+    # deterministic double chain: (sum/1e6)/n, re-quantized at 1e-6.
     mean_cols = ", ".join(
-        _fq_sql(f"sum(e.v[{i}]) / count(*)") for i in range(1, _DIMS + 1)
+        _fq_sql(
+            f"(CAST(sum(CAST(floor(f.v[{i}] * 1000000.0 + 0.5) AS BIGINT))"
+            f" AS DOUBLE) / 1000000.0) / count(*)"
+        )
+        for i in range(1, _DIMS + 1)
     )
-    parts = [
-        f"""e AS (
+    parts = []
+    if with_e:
+        parts.append("""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    c0 AS (
+    )""")
+    if extra_after_e:
+        parts.append(f""",
+    {extra_after_e}""")
+    # Every fit-chain CTE is MATERIALIZED: c{t} is referenced twice
+    # per round (assignment + empty-cluster carry) and fs once per
+    # round, so inlining re-expands the chain ~2^rounds times — the
+    # same planner blowup that forced kassign's MATERIALIZED (observed
+    # again r7 as a DuckDB buffer-manager OOM on 500 rows once the
+    # bigint-micro mean expressions grew the per-inline tree).
+    if sample_n:
+        parts.append(f""",
+    {p}fs AS MATERIALIZED (
+        SELECT vec_id, v FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {sample_n}
+    )""")
+    parts.append(f""",
+    {p}c0 AS MATERIALIZED (
         SELECT cid, v FROM (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
             FROM e
         ) WHERE cid < {k_sql}
-    )"""
-    ]
+    )""")
     for t in range(_ITERS):
-        qd = _fq_sql(_dist_sql("e.v", "c.v"))
+        qd = _fq_sql(_dist_sql("f.v", "c.v"))
         parts.append(f""",
-    a{t} AS (
+    {p}a{t} AS MATERIALIZED (
         SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
+            SELECT f.vec_id, c.cid,
                    row_number() OVER (
-                       PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn
-            FROM e, c{t} c
+                       PARTITION BY f.vec_id ORDER BY {qd}, c.cid) AS rn
+            FROM {fit_rel} f, {p}c{t} c
         ) WHERE rn = 1
     ),
-    c{t + 1} AS (
+    {p}c{t + 1} AS MATERIALIZED (
         SELECT c.cid, CASE WHEN m.cid IS NULL THEN c.v ELSE m.v END AS v
-        FROM c{t} c LEFT JOIN (
+        FROM {p}c{t} c LEFT JOIN (
             SELECT a.cid, list_value({mean_cols}) AS v
-            FROM a{t} a JOIN e USING (vec_id)
+            FROM {p}a{t} a JOIN {fit_rel} f USING (vec_id)
             GROUP BY a.cid
         ) m ON c.cid = m.cid
     )""")
-    return "".join(parts)
+    body = "".join(parts)
+    return body if with_e else body.lstrip()
 
 
-def kmeans_assign_ctes(k_sql: str = str(_K)) -> str:
+def kmeans_assign_ctes(
+    k_sql: str = str(_K),
+    sample_n: int | None = _FIT_SAMPLE,
+    extra_after_e: str = "",
+) -> str:
     """``_kmeans_cte_body()`` plus a ``kassign(vec_id, cluster)`` CTE
-    holding the final fitted-centroid assignment — embed as
-    ``WITH {kmeans_assign_ctes()}, ...`` in composed oracles.
-    ``k_sql`` passes through to :func:`_kmeans_cte_body`."""
+    holding the final fitted-centroid assignment over the FULL corpus
+    — embed as ``WITH {kmeans_assign_ctes()}, ...`` in composed
+    oracles. ``k_sql``/``sample_n``/``extra_after_e`` pass through to
+    :func:`_kmeans_cte_body`."""
     qd = _fq_sql(_dist_sql("e.v", "c.v"))
     # MATERIALIZED: a composed oracle references kassign (and frames
     # built on it) several times; without materialization DuckDB
     # re-inlines the whole unrolled fit chain per reference and the
     # planner's expression tree blows up (observed OOM on 500 rows).
-    return f"""{_kmeans_cte_body(k_sql)},
+    return f"""{_kmeans_cte_body(k_sql, sample_n,
+                                 extra_after_e=extra_after_e)},
     kassign AS MATERIALIZED (
         SELECT vec_id, cid AS cluster FROM (
             SELECT e.vec_id, c.cid,
@@ -145,15 +212,18 @@ def _kmeans_oracle() -> str:
     "kmeans_embedding_clusters",
     oracle=_kmeans_oracle(),
     doc=f"Lloyd's k-means over the 64-dim embeddings (k={_K}, "
-    f"{_ITERS} rounds, init = the {_K} lowest vec_ids). Assignment is "
-    "a map-only codegen pass (centroids baked in as literals — no "
-    "join, no shuffle); the update is one groupBy with 64 partial "
-    "sums, collecting only k x 64 doubles to the driver per round, "
-    "MLlib's exact topology. Per-round centroids AND per-pair "
-    "distances are floor-quantized at 1e-6 in both engines over an "
-    "identical generated expression tree, with argmin tie-break on "
+    f"{_ITERS} rounds, init = the {_K} lowest vec_ids, update "
+    f"iterations over the fixed {_FIT_SAMPLE}-row md5(vec_id) sample "
+    "— r7: the fit is corpus-size-independent, running driver-side "
+    "numpy over one TakeOrderedAndProject'd sample, zero "
+    "per-iteration Spark jobs). The only full-corpus pass is the "
+    "final assignment: a map-only Arrow argmin against the k x 64 "
+    "fitted literals — no join, no shuffle. Per-round centroids AND "
+    "per-pair distances are floor-quantized at 1e-6 in both engines "
+    "over an identical op sequence, with argmin tie-break on "
     "centroid id — so the iterative float fixpoint carries a full "
-    "unrolled-CTE DuckDB oracle like PageRank, not a rows-only check.",
+    "unrolled-CTE DuckDB oracle (fit chain over the SAME md5-ranked "
+    "sample CTE) like PageRank, not a rows-only check.",
     tags=("ml", "iterative", "embeddings"),
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,28 +237,157 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_fit_audit_oracle() -> str:
+    qd = _fq_sql(_dist_sql("e.v", "c.v"))
+
+    def micro(x: str) -> str:
+        return f"CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+
+    def arm(p: str) -> str:
+        return f"""{p}a AS (
+        SELECT vec_id, cid, qd FROM (
+            SELECT e.vec_id, c.cid, {qd} AS qd,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {qd}, c.cid) AS rn
+            FROM e, {p}c{_ITERS} c
+        ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH {_kmeans_cte_body(str(_K), _FIT_SAMPLE, prefix="s")}
+    {_kmeans_cte_body(str(_K), None, prefix="f", with_e=False)},
+    {arm('s')},
+    {arm('f')}
+    SELECT count(*) AS n_vecs,
+           CAST(sum(CASE WHEN sa.cid = fa.cid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           CAST(sum(CASE WHEN sa.cid = fa.cid THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS agreement_rate,
+           CAST(sum({micro('sa.qd')}) AS BIGINT) AS distortion_micro_sample,
+           CAST(sum({micro('fa.qd')}) AS BIGINT) AS distortion_micro_full
+    FROM sa JOIN fa USING (vec_id)
+    """
+
+
+@register(
+    "kmeans_sample_fit_audit",
+    oracle=_sample_fit_audit_oracle(),
+    doc=f"Sample-fit-vs-full-fit agreement audit (r7, the r6 verdict's "
+    "requested counterpart to making the fit corpus-size-independent "
+    "— the minhash_recall_audit pattern applied to clustering): fit "
+    f"Lloyd's k-means twice from the SAME init (the {_K} lowest "
+    f"vec_ids) — once on the fixed {_FIT_SAMPLE}-row md5(vec_id) "
+    "sample (the production path every composed pipeline uses), once "
+    "on the full corpus (the quadratic reference arm, CARRIED ONLY "
+    "HERE, percentile_approx_audit's exact-arm rule: it certifies the "
+    "sample fit so a deployment can drop the full fit; it must never "
+    "migrate into a headline set or composed pipeline) — then assign "
+    "the full corpus with both and report label agreement plus "
+    "per-arm quantized distortion as exact bigint-micro sums. Shared "
+    "init means labels correspond arm-to-arm, so agreement_rate is "
+    "directly interpretable. At 100 TB only the sample arm runs: "
+    "fit cost O(S x k x iters) driver-side, one linear Arrow "
+    "assignment pass; the audit itself runs on a corpus sample.",
+    tags=("ml", "embeddings", "audit"),
+)
+def kmeans_sample_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cs = fit_kmeans_centroids(emb, k=_K, sample_n=_FIT_SAMPLE)
+    cf = fit_kmeans_centroids(emb, k=_K, sample_n=None)
+    qs, qf = _kmeans_qdist_arr(cs), _kmeans_qdist_arr(cf)
+    per = emb.select(
+        (F.array_position(qs, F.array_min(qs)) - 1).cast("int").alias("scid"),
+        (F.array_position(qf, F.array_min(qf)) - 1).cast("int").alias("fcid"),
+        F.array_min(qs).alias("sqd"),
+        F.array_min(qf).alias("fqd"),
+    )
+
+    def micro(c: str) -> F.Column:
+        return F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    agree = F.sum(
+        F.when(F.col("scid") == F.col("fcid"), 1).otherwise(0)
+    ).cast("bigint")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / F.count(F.lit(1))).alias("agreement_rate"),
+        F.sum(micro("sqd")).alias("distortion_micro_sample"),
+        F.sum(micro("fqd")).alias("distortion_micro_full"),
+    )
+
+
 # Bounded driver-side fit cache, keyed like similarity._PQ_CB_CACHE:
 # the fitted centroids are k x 64 doubles (literal topology, not
-# data), but the fit itself runs _ITERS + 1 Spark jobs — three
-# registered queries (kmeans_embedding_clusters, semdedup_pipeline,
-# ivfadc_kmeans_search) share one fit per (application, sf_dir, k).
-_KMEANS_FIT_CACHE: dict[tuple[str, str, int], list[list[float]]] = {}
+# data) — three registered queries (kmeans_embedding_clusters,
+# semdedup_pipeline, ivfadc_kmeans_search) share one fit per
+# (application, sf_dir, k, sample_n).
+_KMEANS_FIT_CACHE: dict[tuple[str, str, int, int], list[list[float]]] = {}
 
 
-def fit_kmeans_centroids(emb: DataFrame, k: int = _K) -> list[list[float]]:
-    """Run the Lloyd's fit loop and return the fitted k x 64 centroid
-    literals — the "literal topology" every composed pipeline bakes
-    into its assignment expression (shared with semdedup_pipeline,
-    which derives ``k`` from the corpus size at plan build). The
-    per-round assignment rides the Arrow batch kernel
-    (:func:`kmeans_assign_frame`), so codegen size is O(1) in k and
-    the fit holds up at hundreds of clusters; each round collects only
-    k x 65 doubles (counts + sums), never data."""
+def _np_assign(arr, C):
+    """First-wins quantized-argmin cluster ids for an (n, d) float64
+    row block against (k, d) centroids — ONE kernel shared by the
+    executor batch path (:func:`kmeans_assign_frame`) and the
+    driver-side sample fit, so the fit and the corpus assignment can
+    never drift. Bit-parity with the oracle's SQL chain, term for
+    term: ``(a - C)**2`` is the same IEEE sub/mul per element;
+    ``np.cumsum(sq, axis=2)`` adds sequentially in element order ==
+    the left-associative 64-term SQL chain; ``floor(s * 1e6 + 0.5) /
+    1e6`` is the same quantization op sequence; ``argmin`` takes the
+    FIRST minimum == the oracle's ``ORDER BY qd, cid``."""
+    import numpy as np
+
+    k, d = C.shape
+    n = arr.shape[0]
+    cl = np.empty(n, dtype=np.int32)
+    # chunk rows so the (chunk, k, d) diff tensor stays ~64 MB
+    step = max(1, 8_388_608 // (max(k, 1) * d))
+    for s0 in range(0, n, step):
+        a = arr[s0 : s0 + step]
+        sq = (a[:, None, :] - C[None, :, :]) ** 2
+        ssum = np.cumsum(sq, axis=2)[:, :, -1]
+        q = np.floor(ssum * 1e6 + 0.5) / 1e6
+        cl[s0 : s0 + step] = q.argmin(axis=1)
+    return cl
+
+
+def fit_kmeans_centroids(
+    emb: DataFrame, k: int = _K, sample_n: int | None = _FIT_SAMPLE
+) -> list[list[float]]:
+    """Return the fitted k x 64 centroid literals — the "literal
+    topology" every composed pipeline bakes into its assignment
+    expression (shared with semdedup_pipeline, which derives a CAPPED
+    ``k`` from the corpus size at plan build).
+
+    Corpus-size-independent by default (r6 verdict ask #1): the
+    Lloyd's update iterations run DRIVER-SIDE in numpy over a
+    fixed-size deterministic sample — the ``sample_n`` rows with the
+    lowest ``md5(vec_id)``, fetched with ONE TakeOrderedAndProject
+    (map-side partial top-S, S x 64 floats of driver traffic, once) —
+    so the fit costs O(S x k x iters) regardless of corpus size and
+    runs ZERO per-iteration Spark jobs. Init stays the k lowest
+    vec_ids of the full corpus (k rows, bounded). The only remaining
+    full-corpus work is the caller's single linear Arrow assignment
+    pass. The numpy iteration replays the oracle's quantized
+    arithmetic exactly (:func:`_np_assign`; means are
+    ``floor(sum/count * 1e6 + 0.5) / 1e6`` like ``_fq_sql`` — the
+    sub-quantum pairwise-vs-sequential summation reassociation is
+    absorbed by the 1e-6 floor, the same argument the distributed
+    groupBy fit always relied on).
+
+    ``sample_n=None`` keeps the old distributed full-corpus fit
+    (O(N x k) distance work per round + a k x 65-double collect) —
+    retained ONLY as kmeans_sample_fit_audit's reference arm; no
+    composed pipeline may use it."""
     spark = emb.sparkSession
     key = (
         spark.sparkContext.applicationId,
         ";".join(sorted(emb.inputFiles())),
         k,
+        sample_n or 0,
     )
     hit = _KMEANS_FIT_CACHE.get(key)
     if hit is not None:
@@ -196,26 +395,68 @@ def fit_kmeans_centroids(emb: DataFrame, k: int = _K) -> list[list[float]]:
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
 
-    for _ in range(_ITERS):
-        assigned = kmeans_assign_frame(emb, centroids)
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
-                    for i in range(_DIMS)
-                ],
-            )
+    if sample_n:
+        import numpy as np
+
+        srows = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_n)
             .collect()
         )
-        by_cid = {r.cluster: r for r in sums}
-        centroids = [
-            [_fq_py(by_cid[j][f"s{i}"] / by_cid[j]["n"]) for i in range(_DIMS)]
-            if j in by_cid
-            else centroids[j]
-            for j in range(k)
-        ]
+        S = np.array(
+            [[float(x) for x in r.embedding] for r in srows],
+            dtype=np.float64,
+        )
+        C = np.array(centroids, dtype=np.float64)
+        for _ in range(_ITERS):
+            cl = _np_assign(S, C)
+            for j in range(k):
+                m = S[cl == j]
+                if m.shape[0]:  # empty cluster keeps its centroid
+                    # bigint-micro element sums (order-independent,
+                    # engine-exact — see _kmeans_cte_body's mean_cols)
+                    su = (
+                        np.floor(m * 1e6 + 0.5)
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                    mean = (su.astype(np.float64) / 1e6) / m.shape[0]
+                    C[j] = np.floor(mean * 1e6 + 0.5) / 1e6
+        centroids = [[float(v) for v in row] for row in C]
+    else:
+        for _ in range(_ITERS):
+            assigned = kmeans_assign_frame(emb, centroids)
+            sums = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        # bigint-micro element sums: exact in any
+                        # partial-aggregation order (see mean_cols)
+                        F.sum(
+                            F.floor(
+                                F.col("embedding")[i].cast("double")
+                                * F.lit(1000000.0)
+                                + F.lit(0.5)
+                            ).cast("bigint")
+                        ).alias(f"s{i}")
+                        for i in range(_DIMS)
+                    ],
+                )
+                .collect()
+            )
+            by_cid = {r.cluster: r for r in sums}
+            centroids = [
+                [
+                    _fq_py(
+                        (float(by_cid[j][f"s{i}"]) / 1e6) / by_cid[j]["n"]
+                    )
+                    for i in range(_DIMS)
+                ]
+                if j in by_cid
+                else centroids[j]
+                for j in range(k)
+            ]
     if len(_KMEANS_FIT_CACHE) >= 4:  # bounded: a few (sf_dir, k) combos
         _KMEANS_FIT_CACHE.clear()
     _KMEANS_FIT_CACHE[key] = centroids
@@ -249,13 +490,9 @@ def kmeans_assign_frame(emb: DataFrame, centroids: list[list[float]]) -> DataFra
     at k in the hundreds (the fold path burned ~280us per
     (row, centroid)).
 
-    Bit-parity with the oracle's SQL chain, term for term:
-    ``(a - C)**2`` is the same IEEE sub/mul per element;
-    ``np.cumsum(sq, axis=2)`` adds sequentially in element order ==
-    the left-associative 64-term SQL chain; ``floor(s * 1e6 + 0.5) /
-    1e6`` is the same quantization op sequence; ``argmin`` takes the
-    FIRST minimum == the oracle's ``ORDER BY qd, cid``. Verified by
-    the composed pipelines' full oracle parity."""
+    Bit-parity with the oracle's SQL chain is delegated to the shared
+    :func:`_np_assign` kernel (also the driver-side sample fit's
+    kernel). Verified by the composed pipelines' full oracle parity."""
     import numpy as np
     import pyarrow as pa
 
@@ -266,16 +503,7 @@ def kmeans_assign_frame(emb: DataFrame, centroids: list[list[float]]) -> DataFra
         for batch in batches:
             flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
             arr = flat.astype(np.float64).reshape(-1, d)
-            n = arr.shape[0]
-            cl = np.empty(n, dtype=np.int32)
-            # chunk rows so the (chunk, k, d) diff tensor stays ~64 MB
-            step = max(1, 8_388_608 // (max(k, 1) * d))
-            for s0 in range(0, n, step):
-                a = arr[s0 : s0 + step]
-                sq = (a[:, None, :] - C[None, :, :]) ** 2
-                ssum = np.cumsum(sq, axis=2)[:, :, -1]
-                q = np.floor(ssum * 1e6 + 0.5) / 1e6
-                cl[s0 : s0 + step] = q.argmin(axis=1)
+            cl = _np_assign(arr, C)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),

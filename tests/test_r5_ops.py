@@ -308,21 +308,23 @@ def test_split_balance_audit_shape(spark, sf_dir):
 
 
 def test_semdedup_pipeline_uses_fitted_clusters(spark, sf_dir):
-    """The composed pipeline's cluster column IS the k-means fit
-    (matches kmeans_embedding_clusters row-for-row), and within every
-    fitted cluster the minimum vec_id is always kept."""
+    """The composed pipeline's block key IS the k-means fit (blk //
+    256 matches kmeans_embedding_clusters row-for-row at this corpus
+    size, where k equals the demo's k=4, the sampled fit is shared,
+    and the sub-block bits are 0 — see test_r7_ops for the bits>0
+    path), and within every block the minimum vec_id is always kept."""
     km = {
         r.vec_id: r.cluster
         for r in REGISTRY["kmeans_embedding_clusters"].fn(spark, sf_dir).collect()
     }
     rows = REGISTRY["semdedup_pipeline"].fn(spark, sf_dir).collect()
-    assert {r.vec_id: r.cluster for r in rows} == km
-    min_per_cluster = {}
+    assert {r.vec_id: r.blk // 256 for r in rows} == km
+    min_per_block = {}
     for r in rows:
-        if r.cluster not in min_per_cluster or r.vec_id < min_per_cluster[r.cluster]:
-            min_per_cluster[r.cluster] = r.vec_id
+        if r.blk not in min_per_block or r.vec_id < min_per_block[r.blk]:
+            min_per_block[r.blk] = r.vec_id
     by_id = {r.vec_id: r for r in rows}
-    for c, v in min_per_cluster.items():
+    for c, v in min_per_block.items():
         assert by_id[v].kept, (c, v)
         assert by_id[v].n_dup_lower == 0
 
