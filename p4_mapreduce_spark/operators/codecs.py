@@ -259,3 +259,412 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             w.getnframes(),
             w.readframes(w.getnframes()),
         )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 SOF0), grayscale — pure python/numpy.
+#
+# The r6 verdict's ask #4: close the JPEG gap without PIL. Baseline
+# sequential JPEG is public spec — 8x8 DCT, Annex-K quantization +
+# Huffman tables, zigzag + DC-differential + run-length entropy coding
+# with 0xFF byte stuffing. The encoder and decoder below share ONE
+# reconstruction kernel (`_jpeg_blocks_to_pixels`), so the decoder's
+# correctness claim is sharp and float-free: the bitstream must round-
+# trip the INTEGER quantized coefficients exactly, and then decode ==
+# reference reconstruction bit-for-bit (pinned in tests/test_codecs.py
+# and oracle-asserted by multimodal_jpeg_pipeline's verdict column).
+# JPEG is lossy, so unlike PNG there is no byte-exact source roundtrip
+# — the invariant that replaces it is coefficient-exactness.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance quantization table (natural row-major order).
+_JPEG_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Zigzag scan: _JPEG_ZZ[k] = natural index of the k-th zigzag element.
+def _zigzag_order() -> list[int]:
+    order = sorted(
+        ((x + y, (y if (x + y) % 2 else x), x, y)
+         for y in range(8) for x in range(8))
+    )
+    return [y * 8 + x for (_, _, x, y) in order]
+
+
+_JPEG_ZZ = _zigzag_order()
+
+# Annex K.3.1 / K.3.2: luminance DC and AC Huffman table specs
+# (BITS counts per code length 1..16, then HUFFVAL).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): val -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    A = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        alpha = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            A[u, x] = alpha * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return A
+
+
+def _jpeg_quantized_blocks(data: bytes, width: int):
+    """Pixels -> per-block INTEGER quantized DCT coefficients.
+
+    Returns (height, bh, bw, qblocks) where qblocks is an
+    (bh*bw, 8, 8) int32 array in block raster order. Shared by the
+    encoder and the reference reconstruction, so 'decode == reference'
+    reduces to exact integer coefficient recovery from the bitstream.
+    """
+    import numpy as np
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    if not data:
+        data = b"\x00"
+    height = (len(data) + width - 1) // width
+    px = np.frombuffer(data.ljust(width * height, b"\x00"), dtype=np.uint8)
+    img = px.reshape(height, width).astype(np.float64)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    img = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                 mode="edge")
+    A = _dct_matrix()
+    Q = np.array(_JPEG_QT, dtype=np.float64).reshape(8, 8)
+    qblocks = np.empty((bh * bw, 8, 8), dtype=np.int32)
+    i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            b = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = A @ b @ A.T
+            qblocks[i] = np.floor(coef / Q + 0.5).astype(np.int32)
+            i += 1
+    return height, bh, bw, qblocks
+
+
+def _jpeg_blocks_to_pixels(
+    qblocks, width: int, height: int, qt: list[int] | None = None
+) -> bytes:
+    """INTEGER quantized coefficients -> cropped pixel bytes — the ONE
+    reconstruction kernel shared by jpeg_decode and
+    jpeg_reference_reconstruct (identical op sequence, so equal
+    coefficients imply bit-identical pixels)."""
+    import numpy as np
+
+    A = _dct_matrix()
+    Q = np.array(qt or _JPEG_QT, dtype=np.float64).reshape(8, 8)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            dq = qblocks[i].astype(np.float64) * Q
+            blk = A.T @ dq @ A + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            i += 1
+    pix = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return pix[:height, :width].tobytes()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def jpeg_encode_gray(data: bytes, width: int) -> bytes:
+    """Encode raw bytes as a baseline (SOF0) grayscale JPEG of
+    ``width`` columns — Annex K tables, zigzag + DC-differential +
+    run-length Huffman entropy coding, 0xFF byte stuffing. Lossy by
+    construction (the quantizer); the exactness contract lives at the
+    coefficient level (see module comment)."""
+    height, bh, bw, qblocks = _jpeg_quantized_blocks(data, width)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for blk in qblocks:
+        flat = blk.reshape(64)
+        zz = [int(flat[_JPEG_ZZ[k]]) for k in range(64)]
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        w.put(c, ln)
+        if s:
+            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                w.put(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            w.put(c, ln)
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]  # EOB
+            w.put(c, ln)
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QT[i] for i in _JPEG_ZZ))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan underrun")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:  # unstuff
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG truncated after 0xFF")
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02x}")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]):
+    """(length, code) -> value map for MSB-first canonical decoding."""
+    m: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            m[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+def _read_huff(r: "_BitReader", table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline grayscale JPEG produced by
+    :func:`jpeg_encode_gray` (or any single-component SOF0 stream
+    using one DC + one AC table) → ``(width, height, 1, pixels)``.
+    Pure python/numpy: marker parse, canonical Huffman decode with
+    byte unstuffing, dezigzag, then the shared dequant+IDCT kernel."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt = None
+    width = height = None
+    dc_map = ac_map = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            if body[0] != 0x00:
+                raise NotImplementedError("only 8-bit QT id 0 supported")
+            zz = list(body[1:65])
+            qt = [0] * 64
+            for k, nat in enumerate(_JPEG_ZZ):
+                qt[nat] = zz[k]
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                raise NotImplementedError(
+                    "baseline decoder: 8-bit single-component only"
+                )
+            height, width = struct.unpack_from(">HH", body, 1)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                m = _huff_decode_map(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_map = m
+                else:
+                    ac_map = m
+                off += 17 + nv
+        elif marker == 0xDA:
+            scan_start = pos + 2 + seglen
+            end = payload.rindex(b"\xff\xd9")
+            scan = payload[scan_start:end]
+            pos = end
+            continue
+        pos += 2 + seglen
+    if None in (qt, width, height, dc_map, ac_map) or scan is None:
+        raise ValueError("JPEG missing required segments")
+    if qt != _JPEG_QT:
+        # foreign quant table: still decodable, kernel takes it as-is
+        pass
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    r = _BitReader(scan)
+    qblocks = np.zeros((bh * bw, 8, 8), dtype=np.int32)
+    prev_dc = 0
+    for i in range(bh * bw):
+        zz = [0] * 64
+        s = _read_huff(r, dc_map)
+        diff = _extend(r.bits(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_huff(r, ac_map)
+            if sym == 0x00:  # EOB
+                break
+            run, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(r.bits(s), s)
+            k += 1
+        flat = np.zeros(64, dtype=np.int32)
+        for k2 in range(64):
+            flat[_JPEG_ZZ[k2]] = zz[k2]
+        qblocks[i] = flat.reshape(8, 8)
+    # reconstruct with the decoded table (== _JPEG_QT for our encoder)
+    px = _jpeg_blocks_to_pixels(qblocks, width, height, qt=qt)
+    return width, height, 1, px
+
+
+def jpeg_reference_reconstruct(data: bytes, width: int) -> bytes:
+    """The bitstream-free ground truth: quantize -> dequantize -> IDCT
+    through the SAME kernels the codec uses. jpeg_decode(
+    jpeg_encode_gray(x, w)) must equal this byte-for-byte — the
+    lossless-roundtrip invariant's lossy-codec replacement."""
+    height, _bh, _bw, qblocks = _jpeg_quantized_blocks(data, width)
+    return _jpeg_blocks_to_pixels(qblocks, width, height)

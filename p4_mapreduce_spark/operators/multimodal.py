@@ -26,6 +26,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from p4_mapreduce_spark.operators.codecs import (
+    jpeg_decode,
+    jpeg_encode_gray,
+    jpeg_reference_reconstruct,
     png_decode,
     png_encode_gray,
     png_encode_rgb,
@@ -60,9 +63,13 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             _w, _h, _c, px = png_decode(payload)
             return [float(len(px)), float(px[0]), float(px[-1])]
+        if payload[:2] == b"\xff\xd8":
+            _w, _h, _c, px = jpeg_decode(payload)
+            return [float(len(px)), float(px[0]), float(px[-1])]
         raise NotImplementedError(
-            "non-PNG image decode requires a codec library; wire it "
-            "here (PIL/torchvision/ffmpeg) on a real cluster"
+            "video decode requires a codec library; wire it here "
+            "(ffmpeg/torchvision) on a real cluster — PNG and "
+            "baseline JPEG decode in-engine (operators/codecs.py)"
         )
     if not payload:
         return [0.0, 0.0, 0.0]
@@ -541,17 +548,61 @@ def _dhash_px_sql(i: int) -> str:
     )
 
 
+def _dhash_rowbyte_sql(r: int) -> str:
+    """Row-byte r of the dHash, as an integer expression over ``text``."""
+    return " + ".join(
+        f"(CASE WHEN ({_dhash_px_sql(r * _DH_COLS + c + 1)})"
+        f" < ({_dhash_px_sql(r * _DH_COLS + c + 2)})"
+        f" THEN {1 << c} ELSE 0 END)"
+        for c in range(8)
+    )
+
+
 def _dhash_hex_sql() -> str:
-    row_bytes = []
-    for r in range(_DH_ROWS):
-        bits = " + ".join(
-            f"(CASE WHEN ({_dhash_px_sql(r * _DH_COLS + c + 1)})"
-            f" < ({_dhash_px_sql(r * _DH_COLS + c + 2)})"
-            f" THEN {1 << c} ELSE 0 END)"
-            for c in range(8)
-        )
-        row_bytes.append(f"printf('%02x', {bits})")
-    return " || ".join(row_bytes)
+    return " || ".join(
+        f"printf('%02x', {_dhash_rowbyte_sql(r)})" for r in range(_DH_ROWS)
+    )
+
+
+def _phash_rowbyte_col(r: int) -> F.Column:
+    """Row-byte r of the dHash from the decoded ``px`` array — the
+    Spark twin of :func:`_dhash_rowbyte_sql`."""
+    return F.expr(
+        f"aggregate(sequence(0, 7), 0, (acc, c) -> acc + "
+        f"IF(element_at(px, {r} * {_DH_COLS} + c + 1)"
+        f" < element_at(px, {r} * {_DH_COLS} + c + 2),"
+        " shiftleft(1, c), 0))"
+    )
+
+
+def _phash_hex_col() -> F.Column:
+    return F.concat(
+        *[
+            F.lpad(F.lower(F.hex(_phash_rowbyte_col(r))), 2, "0")
+            for r in range(_DH_ROWS)
+        ]
+    )
+
+
+def _decode_px(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """PNG-encode each payload, decode it back through the real codec,
+    and emit the first 8x9 decoded pixels — the dHash grid shared by
+    multimodal_phash_dedup and multimodal_phash_neardup."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "px": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            if not raw:
+                continue
+            png = png_encode_gray(raw, _IMG_WIDTH)
+            _w, _h, _c, px = png_decode(png)
+            px = bytes(px[: len(raw)])  # drop encoder padding
+            grid = (px + b"\x00" * _DH_NPIX)[:_DH_NPIX]
+            out["doc_id"].append(doc_id)
+            out["px"].append(list(grid))
+        yield pd.DataFrame(out)
 
 
 @register(
@@ -582,41 +633,9 @@ def _dhash_hex_sql() -> str:
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
-
-    def decode_px(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"doc_id": [], "px": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if not raw:
-                    continue
-                png = png_encode_gray(raw, _IMG_WIDTH)
-                _w, _h, _c, px = png_decode(png)
-                px = bytes(px[: len(raw)])  # drop encoder padding
-                grid = (px + b"\x00" * _DH_NPIX)[:_DH_NPIX]
-                out["doc_id"].append(doc_id)
-                out["px"].append(list(grid))
-            yield pd.DataFrame(out)
-
-    pxdf = assets.mapInPandas(decode_px, schema=PHASH_SCHEMA)
-    row_byte = (
-        f"aggregate(sequence(0, 7), 0, (acc, c) -> acc + "
-        f"IF(element_at(px, {{r}} * {_DH_COLS} + c + 1)"
-        f" < element_at(px, {{r}} * {_DH_COLS} + c + 2),"
-        " shiftleft(1, c), 0))"
-    )
-    phash = F.expr(
-        "concat("
-        + ", ".join(
-            f"lpad(lower(hex({row_byte.format(r=r)})), 2, '0')"
-            for r in range(_DH_ROWS)
-        )
-        + ")"
-    )
+    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     return (
-        pxdf.select("doc_id", phash.alias("phash"))
+        pxdf.select("doc_id", _phash_hex_col().alias("phash"))
         .groupBy("phash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -624,6 +643,147 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# Hamming-banded perceptual near-dup: 4 bands of 16 bits over the
+# 64-bit dHash. Pigeonhole: any pair within Hamming distance <= 3
+# differs in at most 3 of the 4 bands, so it MATCHES at least one —
+# the multi-index guarantee (d+1 bands catch distance <= d exactly).
+_PH_BANDS = 4
+_PH_BAND_HEX = (_DH_ROWS * 2) // _PH_BANDS  # 4 hex chars = 16 bits
+_PH_HAM_MAX = _PH_BANDS - 1
+
+
+def _phash_neardup_oracle() -> str:
+    rbs = ", ".join(
+        f"({_dhash_rowbyte_sql(r)}) AS rb{r}" for r in range(_DH_ROWS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(ga.rb{r}, gb.rb{r}))" for r in range(_DH_ROWS)
+    )
+    band_ids = ", ".join(str(b) for b in range(_PH_BANDS))
+    return f"""
+    WITH h AS (
+        SELECT doc_id, ({_dhash_hex_sql()}) AS phash, {rbs}
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS MATERIALIZED (
+        SELECT phash, {', '.join(f'rb{r}' for r in range(_DH_ROWS))},
+               count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM h GROUP BY ALL
+    ),
+    bnd AS (
+        SELECT phash, band_id,
+               substr(phash, band_id * {_PH_BAND_HEX} + 1,
+                      {_PH_BAND_HEX}) AS bv
+        FROM g, (SELECT unnest([{band_ids}]) AS band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b
+        FROM bnd a JOIN bnd b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.phash < b.phash
+    )
+    SELECT c.phash_a, c.phash_b,
+           CAST({ham} AS INTEGER) AS hamming,
+           ga.n_docs AS n_docs_a, gb.n_docs AS n_docs_b,
+           ga.min_doc_id AS min_doc_a, gb.min_doc_id AS min_doc_b
+    FROM cand c
+    JOIN g ga ON c.phash_a = ga.phash
+    JOIN g gb ON c.phash_b = gb.phash
+    WHERE ({ham}) <= {_PH_HAM_MAX}
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_phash_neardup_oracle(),
+    doc="Hamming-banded perceptual NEAR-dup (r7, the r6 verdict's ask "
+    "#2): multimodal_phash_dedup finds re-encoded exact copies "
+    "(identical 64-bit dHash); this finds the one-to-three-bits-off "
+    "neighbors perceptual hashing exists for. Multi-index banding: "
+    f"the 64-bit hash splits into {_PH_BANDS} 16-bit bands, and the "
+    "pigeonhole principle guarantees any pair within Hamming <= "
+    f"{_PH_HAM_MAX} shares at least one band verbatim — so candidates "
+    "come from a band equi-join, never a hash cross-join, and the "
+    "exact Hamming verify (sum of per-row-byte bit_count(xor)) runs "
+    "only on band-collided pairs. Composes the collapse rule at the "
+    "HASH level: docs group to distinct dHash values first (the dedup "
+    "shuffle carries 8-byte keys), the pair join runs over distinct "
+    "hashes only, and doc counts/min-ids ride the group row — "
+    "identical-hash multiplicities never enter the pairwise stage. "
+    "At 100 TB: decode+hash is an Arrow-batched map, banding is 4 "
+    "16-bit-key equi-joins over the (much smaller) distinct-hash "
+    "table, verify is output-bound — the same shape as the MinHash "
+    "and ANN banded families, applied to the image modality.",
+    tags=("multimodal", "pandas-udf", "codec", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+    rbs = [f"rb{r}" for r in range(_DH_ROWS)]
+    hashed = pxdf.select(
+        "doc_id",
+        _phash_hex_col().alias("phash"),
+        *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+    )
+    g = hashed.groupBy("phash", *rbs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    bnd = g.select(
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        "phash", b * _PH_BAND_HEX + 1, _PH_BAND_HEX
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band_id", "bv"),
+    )
+    cand = (
+        bnd.select(F.col("phash").alias("phash_a"), "band_id", "bv")
+        .join(
+            bnd.select(F.col("phash").alias("phash_b"), "band_id", "bv"),
+            ["band_id", "bv"],
+        )
+        .where(F.col("phash_a") < F.col("phash_b"))
+        .select("phash_a", "phash_b")
+        .distinct()
+    )
+    ga = g.select(
+        F.col("phash").alias("phash_a"),
+        *[F.col(c).alias(f"a_{c}") for c in rbs],
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("min_doc_id").alias("min_doc_a"),
+    )
+    gb = g.select(
+        F.col("phash").alias("phash_b"),
+        *[F.col(c).alias(f"b_{c}") for c in rbs],
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("min_doc_id").alias("min_doc_b"),
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in rbs
+    ).cast("int")
+    return (
+        cand.join(ga, "phash_a")
+        .join(gb, "phash_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= _PH_HAM_MAX)
+        .select(
+            "phash_a",
+            "phash_b",
+            "hamming",
+            "n_docs_a",
+            "n_docs_b",
+            "min_doc_a",
+            "min_doc_b",
+        )
     )
 
 
@@ -729,3 +889,83 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, n_blocks int, "
+    "jpeg_valid boolean, decode_exact boolean"
+)
+
+
+@register(
+    "multimodal_jpeg_pipeline",
+    oracle=f"""
+    SELECT doc_id,
+           {_IMG_WIDTH} AS width,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / {_IMG_WIDTH}.0)
+                AS INTEGER) AS height,
+           CAST(ceil(ceil(octet_length(CAST(text AS BLOB))
+                          / {_IMG_WIDTH}.0) / 8.0)
+                * {(_IMG_WIDTH + 7) // 8} AS INTEGER) AS n_blocks,
+           TRUE AS jpeg_valid,
+           TRUE AS decode_exact
+    FROM documents
+    WHERE length(text) > 0
+      AND octet_length(CAST(text AS BLOB)) = length(text)
+    """,
+    doc="Baseline-JPEG encode -> decode through the pure-python/numpy "
+    "codec (r7, the r6 verdict's ask #4 — the JPEG gap closed without "
+    "PIL): each payload is compressed as a grayscale SOF0 JPEG "
+    "(Annex-K quantization + Huffman tables, 8x8 DCT, zigzag + "
+    "DC-differential run-length entropy coding, 0xFF stuffing) and "
+    "decoded back in-engine. JPEG is lossy, so the PNG family's "
+    "byte-exact source roundtrip is replaced by the coefficient-"
+    "exactness invariant: encoder and decoder share ONE dequant+IDCT "
+    "reconstruction kernel, so decode == reference reconstruction "
+    "bit-for-bit iff the bitstream round-trips the INTEGER quantized "
+    "coefficients exactly — that verdict is the decode_exact column, "
+    "asserted per document by the oracle (the sketch-family pattern: "
+    "the exact arm runs inside the query, the oracle asserts the "
+    "verdict). Geometry and block counts are oracle-derived from the "
+    "source byte length. Per-row CPU inside one Arrow-batched "
+    "mapInPandas, no shuffle — embarrassingly parallel at 100 TB.",
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ascii_only = F.length("text") == F.octet_length(F.encode("text", "utf-8"))
+    assets = docs.where(ascii_only & (F.length("text") > 0)).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_blocks": [],
+                "jpeg_valid": [],
+                "decode_exact": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                jpg = jpeg_encode_gray(raw, _IMG_WIDTH)
+                valid = jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+                w, h, _c, px = jpeg_decode(jpg)
+                ref = jpeg_reference_reconstruct(raw, _IMG_WIDTH)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append(
+                    ((h + 7) // 8) * ((w + 7) // 8)
+                )
+                rows["jpeg_valid"].append(bool(valid))
+                rows["decode_exact"].append(px == ref)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=JPEG_SCHEMA)

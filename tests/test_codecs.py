@@ -177,3 +177,83 @@ def test_wav_roundtrip_even_and_odd():
         assert (rate, ch) == (16000, 1)
         assert frames == (n + 1) // 2
         assert pcm[:n] == data
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (r7): coefficient-exact roundtrip through the bitstream
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_decode_equals_reference():
+    """decode(encode(x)) must equal the bitstream-free reference
+    reconstruction bit-for-bit — the lossy codec's replacement for the
+    PNG byte-exact roundtrip (exactness lives at the integer
+    quantized-coefficient level; both paths share one IDCT kernel)."""
+    from p4_mapreduce_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_reference_reconstruct,
+    )
+
+    cases = [
+        b"hello jpeg world " * 23,  # text-like
+        bytes(range(256)) * 5,  # ramps crossing block edges
+        b"\xff" * 300,  # forces 0xFF stuffing paths
+        b"\x00" * 300,  # all-zero AC (EOB-heavy)
+        bytes([(i * 37 + i * i * 11) % 256 for i in range(2000)]),  # busy
+        b"x",  # single pixel
+        b"",  # empty -> 1x1 per the PNG convention
+    ]
+    for raw in cases:
+        jpg = jpeg_encode_gray(raw, 72)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        w, h, c, px = jpeg_decode(jpg)
+        assert (w, c) == (72, 1) or raw == b"" or len(raw) == 1
+        assert px == jpeg_reference_reconstruct(raw, 72), len(raw)
+
+
+def test_jpeg_zrl_and_wide_runs():
+    """A block with >16 zero AC coefficients between nonzeros forces
+    ZRL (the 0xF0 run-extension symbol) through both coder sides."""
+    from p4_mapreduce_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_reference_reconstruct,
+    )
+
+    # smooth gradient rows: tiny high-frequency content, long AC runs
+    raw = bytes([min(255, y) for y in range(64)] * 24)
+    jpg = jpeg_encode_gray(raw, 8)
+    _w, _h, _c, px = jpeg_decode(jpg)
+    assert px == jpeg_reference_reconstruct(raw, 8)
+
+
+def test_jpeg_lossy_but_close():
+    """Sanity on the lossy claim itself: reconstruction error on a
+    smooth ramp stays small (the quantizer's job), never exact-zero
+    guaranteed — this is what distinguishes the JPEG contract from
+    PNG's byte roundtrip."""
+    import numpy as np
+
+    from p4_mapreduce_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    raw = bytes([(x * 2) % 256 for x in range(72 * 8)])
+    _w, _h, _c, px = jpeg_decode(jpeg_encode_gray(raw, 72))
+    a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    b = np.frombuffer(px[: len(raw)], dtype=np.uint8).astype(np.int32)
+    mae = float(np.abs(a - b).mean())
+    assert mae < 24.0, mae  # quantized DCT of a sawtooth stays close
+
+
+def test_decode_image_jpeg_path():
+    """multimodal.decode_image routes JPEG payloads through the real
+    decoder now — only video remains env-gated."""
+    from p4_mapreduce_spark.operators.codecs import jpeg_encode_gray
+    from p4_mapreduce_spark.operators.multimodal import decode_image
+
+    raw = b"a jpeg routed payload " * 9
+    feats = decode_image(jpeg_encode_gray(raw, 72))
+    assert feats[0] > 0
