@@ -1,0 +1,293 @@
+"""The end-to-end corpus -> training-shards pipeline as ONE query.
+
+Reference scope: none (the reference engine ships isolated map/reduce
+jobs); this is the north-star composition — the single query a real
+100 TB training-data run executes: exact dedup -> quality funnel ->
+benchmark decontamination -> context-window chunking -> sharded
+manifest with integrity checksums. Each stage is an already-registered
+operator; composing them into one Catalyst plan (and one composed
+DuckDB oracle built from the registered component SQL) is where drift
+hides, which is exactly why the r6 verdict asked for this query
+(ask #3): the parts being individually oracle-green does not prove the
+whole, so the whole gets its own oracle.
+
+Scale shape, stage by stage:
+
+- exact dedup: one md5(text) groupBy (8-byte shuffle keys);
+- quality funnel: per-doc map-side screens + the entropy screen's
+  bounded (doc, char)-alphabet aggregation — the same plan
+  quality_screen_funnel audited;
+- decontamination: the decontaminate_test_split posture REVERSED —
+  protect the benchmark by dropping TRAIN texts that near-dup-match a
+  test text; band equi-joins over DISTINCT texts with side flags,
+  Jaccard verify on collisions only, identical-text leakage by flag;
+- chunking: per-row array slicing, zero shuffle;
+- manifest: one groupBy over 8-byte shard keys; checksums are
+  integer sums of md5-prefix words, exact in any order.
+
+Nothing quadratic, nothing collected, no full-text shuffles after the
+first dedup groupBy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from p4_mapreduce_spark.operators.dedup import (
+    _MINHASH_CTES,
+    JACCARD_THRESHOLD,
+    _minhash_sig_table,
+    melt_bands,
+)
+from p4_mapreduce_spark.operators.pipeline_ops import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+)
+from p4_mapreduce_spark.operators.text_analysis import screen_verdicts_frame
+from p4_mapreduce_spark.registry import REGISTRY as _REG
+from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.sources.tables import load
+
+_N_SHARDS = 8
+
+
+def _hex_word_sql(x: str, n: int = 8) -> str:
+    """First ``n`` md5 nibbles of ``x`` as an unsigned integer."""
+    return f"CAST(CONCAT('0x', substr(md5({x}), 1, {n})) AS UBIGINT)"
+
+
+def _hex_word_col(x: F.Column, n: int = 8) -> F.Column:
+    return F.conv(F.substring(F.md5(x), 1, n), 16, 10).cast("bigint")
+
+
+def _shards_oracle() -> str:
+    from p4_mapreduce_spark.operators.dedup import MINHASH_BANDS
+
+    bandcand = " UNION ".join(
+        f"SELECT a.doc_id AS doc_tr, b.doc_id AS doc_te "
+        f"FROM sigs a JOIN sigs b ON a.band{i} = b.band{i} "
+        f"WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8"
+        for i in range(MINHASH_BANDS)
+    )
+    jac = (
+        "len(list_intersect(x.shingles, y.shingles)) "
+        "/ greatest(len(list_distinct(x.shingles || y.shingles)), 1)"
+    )
+    shard_key = (
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)"
+    )
+    return f"""
+    WITH {_MINHASH_CTES},
+    rep AS ({_REG["quality_repetition_screen"].oracle}),
+    ent AS ({_REG["char_entropy_screen"].oracle}),
+    qual AS (
+        SELECT d.doc_id
+        FROM documents d
+        LEFT JOIN rep ON d.doc_id = rep.doc_id
+        LEFT JOIN ent ON d.doc_id = ent.doc_id
+        WHERE rep.keep AND coalesce(NOT ent.is_low_entropy, false)
+    ),
+    nearc AS (
+        SELECT DISTINCT c.doc_tr AS doc_id
+        FROM ({bandcand}) c
+        JOIN sigs x ON x.doc_id = c.doc_tr
+        JOIN sigs y ON y.doc_id = c.doc_te
+        WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
+    exactc AS (
+        SELECT DISTINCT d.doc_id
+        FROM documents d
+        JOIN (SELECT DISTINCT md5(text) AS gh FROM documents
+              WHERE doc_id % 10 >= 8) t
+          ON md5(d.text) = t.gh
+        WHERE d.doc_id % 10 < 8
+    ),
+    keeper AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents WHERE doc_id % 10 < 8 GROUP BY md5(text)
+    ),
+    survivors AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM keeper k
+        JOIN documents d ON d.doc_id = k.doc_id
+        JOIN qual q ON q.doc_id = k.doc_id
+        LEFT JOIN nearc nc ON nc.doc_id = k.doc_id
+        LEFT JOIN exactc ec ON ec.doc_id = k.doc_id
+        WHERE nc.doc_id IS NULL AND ec.doc_id IS NULL
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               array_to_string(t[s : s + {CHUNK_TOKENS - 1}], ' ')
+                   AS chunk_text,
+               CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INTEGER)
+                   AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM survivors),
+             unnest(generate_series(1, greatest(len(t), 1),
+                                    {CHUNK_STRIDE})) AS g(s)
+        WHERE len(t) >= s
+    ),
+    sharded AS (
+        SELECT CAST({_hex_word_sql(shard_key)} % {_N_SHARDS} AS INTEGER)
+                   AS shard,
+               doc_id, n_tokens,
+               CAST({_hex_word_sql('chunk_text')} AS BIGINT) AS ck
+        FROM chunks
+    )
+    SELECT shard,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(ck) AS BIGINT) AS checksum
+    FROM sharded GROUP BY shard
+    """
+
+
+@register(
+    "training_shards_pipeline",
+    oracle=_shards_oracle(),
+    doc="The single query a 100 TB training-data run actually executes "
+    "(r7, the r6 verdict's ask #3): exact dedup (keep lowest doc_id "
+    "per md5(text), train split only — the benchmark is the held-out "
+    "doc_id%10>=8 slice) -> quality funnel (repetition + "
+    "char-entropy screens; the Gopher rule set is corpus-tuned and "
+    "rejects this synthetic corpus wholesale, so it reports via "
+    "quality_screen_funnel but does not gate here) -> "
+    "benchmark DECONTAMINATION (decontaminate_test_split reversed: "
+    "drop train texts that MinHash-near-dup or exactly match any "
+    "test text — protect the eval, not just measure leakage) -> "
+    f"context-window chunking ({CHUNK_TOKENS}-token windows, stride "
+    f"{CHUNK_STRIDE}) -> rendezvous of chunks onto {_N_SHARDS} "
+    "md5-hash shards with a per-shard manifest: doc/chunk/token "
+    "counts plus an order-independent integrity checksum (bigint sum "
+    "of 32-bit md5-prefix words — what a resumable loader verifies "
+    "before training). Composition is where drift hides, so the "
+    "oracle embeds the REGISTERED component SQL (screens via the "
+    "registry, the shared MinHash CTEs, text_chunking's window "
+    "arithmetic) into one statement. Spark plan: collapse-before-"
+    "pairwise decontamination over DISTINCT texts with side flags "
+    "(the band join never sees doc multiplicity), per-doc map "
+    "screens, zero-shuffle chunking, one manifest groupBy on "
+    "8-byte keys; per-stage row counts are the funnel's own "
+    "audited shapes.",
+    headline=True,
+    tags=("pipeline", "dedup", "quality", "text"),
+)
+def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_test = F.col("doc_id") % 10 >= 8
+
+    # --- stage 1: exact dedup among train docs (keep lowest doc_id)
+    train = docs.where(~is_test)
+    keeper = train.groupBy(F.md5("text").alias("gh")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+    # --- stage 2: quality funnel verdicts (per-doc, train side only)
+    # Repetition + entropy screens gate the pipeline; the Gopher rule
+    # set is corpus-tuned (its English-stopword/alpha thresholds
+    # reject 100% of this synthetic corpus — quality_screen_funnel
+    # reports that honestly), so a pipeline gated on it would be the
+    # degenerate empty query. A production run swaps its tuned rule
+    # set in at this line; the composition is unchanged.
+    # The verdicts pass through a doc_id aggregation BARRIER before the
+    # filter: filtering the raw verdict frame lets Catalyst push the
+    # keep predicates into the screens' lambda expression trees across
+    # the 3-way join, re-inlining filter(split(text)) per element (the
+    # winnowing lesson) — measured 13.8s vs 1.3s at sf0.1. A filter on
+    # aggregate output cannot push below the aggregation, so each
+    # screen evaluates exactly once; the added exchange moves
+    # (doc_id, bool, bool) rows only.
+    qual = (
+        screen_verdicts_frame(train)
+        .groupBy("doc_id")
+        .agg(
+            F.first("r_keep").alias("r_keep"),
+            F.first("e_keep").alias("e_keep"),
+        )
+        .where(F.col("r_keep") & F.col("e_keep"))
+        .select("doc_id")
+    )
+
+    # --- stage 3: decontamination at DISTINCT-text level (collapse
+    # rule): a train text is contaminated if it band-collides with a
+    # test text at Jaccard >= tau, or appears verbatim in the test set
+    sides = docs.groupBy(F.md5("text").alias("gh")).agg(
+        F.max(is_test.cast("int")).alias("has_test"),
+        F.max((~is_test).cast("int")).alias("has_train"),
+    )
+    sigs = _minhash_sig_table(spark, sf_dir)
+    bl = melt_bands(sigs).join(sides, "gh")
+    tr_b = bl.where(F.col("has_train") == 1).select(
+        F.col("gh").alias("gh_tr"), "band_id", "sig"
+    )
+    te_b = bl.where(F.col("has_test") == 1).select(
+        F.col("gh").alias("gh_te"), "band_id", "sig"
+    )
+    cand = (
+        tr_b.join(te_b, ["band_id", "sig"])
+        .where(F.col("gh_tr") != F.col("gh_te"))
+        .select("gh_tr", "gh_te")
+        .distinct()
+    )
+    x = sigs.select(F.col("gh").alias("gh_tr"), F.col("shingles").alias("sh_t"))
+    y = sigs.select(F.col("gh").alias("gh_te"), F.col("shingles").alias("sh_e"))
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size(F.array_distinct(F.concat("sh_t", "sh_e")))
+    near_gh = (
+        cand.join(x, "gh_tr")
+        .join(y, "gh_te")
+        .where(
+            inter / F.greatest(union, F.lit(1)) >= F.lit(JACCARD_THRESHOLD)
+        )
+        .select(F.col("gh_tr").alias("gh"))
+        .distinct()
+    )
+    exact_gh = sides.where(F.col("has_test") == 1).select("gh")
+    contaminated = near_gh.unionByName(exact_gh).distinct()
+
+    # --- survivors: keeper ∩ quality, minus contaminated texts
+    survivors = (
+        keeper.join(contaminated, "gh", "left_anti")
+        .join(qual, "doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
+    )
+
+    # --- stage 4: context-window chunking (zero shuffle)
+    toks = survivors.select("doc_id", F.split("text", " ", -1).alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = (
+        toks.select("doc_id", "t", F.explode(starts).alias("s"))
+        .where(F.size("t") >= F.col("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("t", F.col("s"), CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("s") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+    # --- stage 5: shard manifest with order-independent checksums
+    shard_key = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+    )
+    sharded = chunks.select(
+        (_hex_word_col(shard_key) % _N_SHARDS).cast("int").alias("shard"),
+        "doc_id",
+        "n_tokens",
+        _hex_word_col(F.col("chunk_text")).alias("ck"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("ck").cast("bigint").alias("checksum"),
+    )

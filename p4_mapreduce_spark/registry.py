@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "p4_mapreduce_spark.operators.multimodal",
     "p4_mapreduce_spark.operators.sql_modern",
     "p4_mapreduce_spark.operators.fuzzy_text",
+    "p4_mapreduce_spark.operators.megapipeline",
     "p4_mapreduce_spark.streaming.windows",
 ]
 
