@@ -114,6 +114,7 @@ _BNLJ_ALLOWED = {
     "heavy_hitters_words",  # 1-row lazy threshold frame vs candidate counts
     "ann_lsh_recall",  # 1-row corpus-count frame vs 10-row recall table
     "mrl_truncation_recall",  # 5 broadcast query vectors x corpus, non-equi
+    "ivfadc_recall_audit",  # inherits ann_bruteforce_topk's 5-query cross
     "split_balance_audit",  # 3x5 marginal cross + 1-row total/df frames
     "frequent_itemsets_pairs",  # 1-row basket-count frame vs pair supports
     "mutual_information_lang_source",  # 1-row grand total vs cell frame
@@ -220,6 +221,13 @@ _SHUFFLE_CAP_EXEMPT = {
     # the physical exchanges at runtime, and every post-agg exchange
     # moves vocabulary-, posting- or pair-bounded frames.
     "tfidf_doc_knn",
+    # r7 composed mega-pipeline: the decontaminate_test_split budget
+    # (collapse + side flags + band join + verify, all distinct-text-
+    # bounded) plus the dedup-keeper groupBy, the entropy screen's
+    # (doc, char)-alphabet aggregation, the survivor joins on doc_id,
+    # and ONE manifest rollup on 8-byte shard keys; chunking adds no
+    # exchange at all. Every exchange is a component's audited shape.
+    "training_shards_pipeline",
 }
 
 

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Write BENCH_BUDGET.json: per-headline-query ratio-to-calibration
+budgets for the in-tree bench regression gate (r6 verdict ask #5).
+
+Measures every headline query at $SPARK_GRAFT_SF_DIR (default sf0.1)
+with the SAME protocol tests/test_bench_budget.py replays (shared
+session, one warmup run, min-of-2 steady-state, ratio to the min-of-5
+lineitem count+sum calibration scan), so the committed budget and the
+gate's measurement are like-for-like. Re-run this after intentional
+performance changes or when adding a headline query — the diff to
+BENCH_BUDGET.json is the reviewable perf change.
+
+Run ALONE (no concurrent Spark JVMs): probes and benches on this host
+are only comparable single-tenant.
+
+Usage: python tools/update_bench_budget.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from p4_mapreduce_spark.registry import load_all  # noqa: E402
+from p4_mapreduce_spark.session import get_spark  # noqa: E402
+from p4_mapreduce_spark.sources.tables import load  # noqa: E402
+
+
+def measure_ratios(spark, sf_dir: str, runs: int = 2) -> dict:
+    """The shared protocol: calibration min-of-5, queries min-of-N."""
+    import pyspark.sql.functions as F
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def calibration() -> None:
+        noop(
+            load(spark, sf_dir, "lineitem").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("s"),
+            )
+        )
+
+    load(spark, sf_dir, "lineitem").count()  # warm FS metadata
+    calibration()
+    calib = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        calibration()
+        calib = min(calib, time.perf_counter() - t0)
+
+    registry = load_all()
+    ratios: dict[str, float] = {}
+    for name, spec in sorted(registry.items()):
+        if not spec.headline:
+            continue
+        noop(spec.fn(spark, sf_dir))  # codegen warmup
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            noop(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        ratios[name] = round(best / calib, 2)
+    return {"calibration_sec": round(calib, 4), "ratios": ratios}
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench-budget")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = measure_ratios(spark, sf_dir)
+    out["sf_dir"] = sf_dir
+    out["protocol"] = (
+        "ratio = min-of-2 steady-state query time / min-of-5 lineitem "
+        "count+sum calibration scan; gate allows ratio <= budget * 1.5 "
+        "+ 0.75 (see tests/test_bench_budget.py)"
+    )
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BUDGET.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}: {len(out['ratios'])} budgets, "
+          f"calibration {out['calibration_sec']}s")
