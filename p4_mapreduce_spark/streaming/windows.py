@@ -1146,3 +1146,238 @@ def quality_funnel_from_state(
             )
         ]
     )
+
+
+def streaming_training_shards(
+    spark: SparkSession,
+    train_docs_dir: str,
+    bench_sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of operators.megapipeline.training_shards_pipeline
+    (r7): the corpus -> training-shards pipeline maintained
+    INCREMENTALLY as train documents arrive — the form a production
+    ingest actually runs, where yesterday's shards are immutable and
+    each new tranche appends its contribution to the manifest.
+
+    The benchmark index (distinct-text MinHash signatures + exact text
+    hashes of the held-out doc_id%10>=8 slice) is built ONCE and
+    frozen, the streaming_decontaminate posture. Each micro-batch:
+
+    1. exact-dedup with FIRST-SEEN-WINS semantics: batch texts
+       anti-join the accumulated members state (filtered to batch_id <
+       current — the crash-replay guard), and within the batch the
+       lowest doc_id keeps. Under doc_id-ordered arrival this equals
+       the batch pipeline's global min-doc_id keeper exactly (pinned
+       in tests); under arbitrary arrival it is the standard
+       incremental contract — the first occurrence keeps, later
+       smaller ids do not retroactively rewrite published shards.
+    2. quality gate (repetition + entropy screens) through the doc_id
+       aggregation BARRIER (megapipeline's pushdown lesson applies
+       identically per batch);
+    3. decontamination against the frozen benchmark index: band
+       equi-join over the batch's distinct texts + Jaccard verify +
+       exact-hash match;
+    4. chunking + shard assignment of the surviving keepers, reduced
+       to a PER-BATCH partial manifest row per shard (doc/chunk/token
+       counts + the order-independent md5-word checksum — all
+       integer-additive, so per-batch partials sum exactly to the
+       batch pipeline's manifest).
+
+    State: ``members`` (gh, doc_id, batch_id) and ``manifest``
+    (shard, batch_id, partials). Crash-replay idempotent: a replayed
+    batch recomputes byte-identical rows under its batch_id (the
+    members anti-join ignores same-batch appends) and the reader
+    collapses duplicates per (shard, batch_id) before summing."""
+    from p4_mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        melt_bands,
+        minhash_signatures,
+    )
+    from p4_mapreduce_spark.operators.megapipeline import (
+        _N_SHARDS,
+        _hex_word_col,
+    )
+    from p4_mapreduce_spark.operators.pipeline_ops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from p4_mapreduce_spark.operators.text_analysis import (
+        screen_verdicts_frame,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+
+    bench_path = os.path.join(state_dir, "bench_index")
+    members_path = os.path.join(state_dir, "members")
+    manifest_path = os.path.join(state_dir, "manifest")
+
+    if _read_parquet_or_none(spark, bench_path) is None:
+        bench = load(spark, bench_sf_dir, "documents").where(
+            F.col("doc_id") % 10 >= 8
+        )
+        bgroups = bench.groupBy(F.md5("text").alias("gh")).agg(
+            F.min("text").alias("rtext")
+        )
+        minhash_signatures(bgroups).write.mode("overwrite").parquet(
+            bench_path
+        )
+        # exact-hash arm: every distinct benchmark text hash (the sigs
+        # table excludes <3-token texts, the hash set must not)
+        bgroups.select("gh").write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bench_gh")
+        )
+
+    docs = stream_documents(spark, train_docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        members_b = batch_df.select(F.md5("text").alias("gh"), "doc_id")
+        prior = _read_parquet_or_none(spark, members_path)
+        fresh_gh = members_b.select("gh").distinct()
+        if prior is not None:
+            fresh_gh = fresh_gh.join(
+                prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+                .select("gh")
+                .distinct(),
+                "gh",
+                "left_anti",
+            )
+        keeper_b = (
+            members_b.join(fresh_gh, "gh", "left_semi")
+            .groupBy("gh")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+
+        qual = (
+            screen_verdicts_frame(batch_df)
+            .groupBy("doc_id")
+            .agg(
+                F.first("r_keep").alias("r_keep"),
+                F.first("e_keep").alias("e_keep"),
+            )
+            .where(F.col("r_keep") & F.col("e_keep"))
+            .select("doc_id")
+        )
+
+        groups_b = batch_df.groupBy(F.md5("text").alias("gh")).agg(
+            F.min("text").alias("rtext")
+        )
+        sigs_b = minhash_signatures(groups_b).localCheckpoint()
+        bench_sigs = spark.read.parquet(bench_path)
+        cand = (
+            melt_bands(sigs_b)
+            .select(F.col("gh").alias("gh_tr"), "band_id", "sig")
+            .join(
+                melt_bands(bench_sigs).select(
+                    F.col("gh").alias("gh_te"), "band_id", "sig"
+                ),
+                ["band_id", "sig"],
+            )
+            .where(F.col("gh_tr") != F.col("gh_te"))
+            .select("gh_tr", "gh_te")
+            .distinct()
+        )
+        x = sigs_b.select(
+            F.col("gh").alias("gh_tr"), F.col("shingles").alias("sh_t")
+        )
+        y = bench_sigs.select(
+            F.col("gh").alias("gh_te"), F.col("shingles").alias("sh_e")
+        )
+        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        union = F.size(F.array_distinct(F.concat("sh_t", "sh_e")))
+        near_gh = (
+            cand.join(x, "gh_tr")
+            .join(y, "gh_te")
+            .where(
+                inter / F.greatest(union, F.lit(1))
+                >= F.lit(JACCARD_THRESHOLD)
+            )
+            .select(F.col("gh_tr").alias("gh"))
+            .distinct()
+        )
+        exact_gh = spark.read.parquet(os.path.join(state_dir, "bench_gh"))
+        contaminated = near_gh.unionByName(exact_gh.select("gh")).distinct()
+
+        survivors = (
+            keeper_b.join(contaminated, "gh", "left_anti")
+            .join(qual, "doc_id")
+            .join(batch_df.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "text")
+        )
+        toks = survivors.select(
+            "doc_id", F.split("text", " ", -1).alias("t")
+        )
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        )
+        chunks = (
+            toks.select("doc_id", "t", F.explode(starts).alias("s"))
+            .where(F.size("t") >= F.col("s"))
+            .select(
+                "doc_id",
+                ((F.col("s") - 1) / CHUNK_STRIDE)
+                .cast("int")
+                .alias("chunk_idx"),
+                F.array_join(
+                    F.slice("t", F.col("s"), CHUNK_TOKENS), " "
+                ).alias("chunk_text"),
+                F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("s") + 1)
+                .cast("int")
+                .alias("n_tokens"),
+            )
+        )
+        shard_key = F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+        )
+        sharded = chunks.select(
+            (_hex_word_col(shard_key) % _N_SHARDS)
+            .cast("int")
+            .alias("shard"),
+            "doc_id",
+            "n_tokens",
+            _hex_word_col(F.col("chunk_text")).alias("ck"),
+        )
+        man_b = sharded.groupBy("shard").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("ck").cast("bigint").alias("checksum"),
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        man_b.write.mode("append").parquet(manifest_path)
+        members_b.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(members_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def shards_manifest_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cumulative shard manifest derived from
+    streaming_training_shards' per-batch partials. Replay-safe:
+    duplicates collapse by first() per (shard, batch_id) — a replayed
+    batch recomputes byte-identical partials — and every column is
+    integer-additive across batches (docs never split across batches,
+    so per-batch distinct-doc counts sum exactly)."""
+    m = (
+        spark.read.parquet(os.path.join(state_dir, "manifest"))
+        .groupBy("shard", "batch_id")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("n_chunks").alias("n_chunks"),
+            F.first("total_tokens").alias("total_tokens"),
+            F.first("checksum").alias("checksum"),
+        )
+    )
+    return m.groupBy("shard").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("checksum").cast("bigint").alias("checksum"),
+    )

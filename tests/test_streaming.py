@@ -1044,3 +1044,65 @@ def test_streaming_vocab_novelty_crash_replay(spark, sf_dir, tmp_path):
         for r in vocab_novelty_from_state(spark, state).collect()
     }
     assert replayed == clean
+
+
+def test_streaming_training_shards(spark, sf_dir, tmp_path):
+    """The incrementally maintained shard manifest == the batch
+    training_shards_pipeline under doc_id-ordered arrival (first-seen
+    keeper == global min-doc_id keeper), and the derived manifest is
+    idempotent under batch replay."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        shards_manifest_from_state,
+        streaming_training_shards,
+    )
+
+    train = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 < 8
+    )
+    ids = sorted(r.doc_id for r in train.select("doc_id").collect())
+    base = str(tmp_path / "traindocs")
+    # 4 tranches in ascending doc_id order, written sequentially so the
+    # file source ingests them in arrival (== doc_id) order
+    step = (len(ids) + 3) // 4
+    for i in range(4):
+        lo = ids[i * step]
+        hi = ids[min((i + 1) * step, len(ids)) - 1]
+        train.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        ).coalesce(1).write.mode("append").parquet(base)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    state = str(tmp_path / "state")
+    q = streaming_training_shards(
+        spark, base, sf_dir, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    manifest = spark.read.parquet(f"{state}/manifest")
+    batch_ids = {r.batch_id for r in manifest.select("batch_id").distinct().collect()}
+    assert len(batch_ids) >= 2, "need >= 2 micro-batches"
+
+    def canon(pdf):
+        return sorted(
+            (int(r.shard), int(r.n_docs), int(r.n_chunks),
+             int(r.total_tokens), int(r.checksum))
+            for r in pdf.itertuples()
+        )
+
+    got = canon(shards_manifest_from_state(spark, state).toPandas())
+    want = canon(
+        load_all()["training_shards_pipeline"].fn(spark, sf_dir).toPandas()
+    )
+    assert got == want
+
+    # replay idempotency: re-append one batch's manifest partials
+    manifest.where(F.col("batch_id") == min(batch_ids)).write.mode(
+        "append"
+    ).parquet(f"{state}/manifest")
+    assert canon(shards_manifest_from_state(spark, state).toPandas()) == want
