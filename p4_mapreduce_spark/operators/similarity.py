@@ -919,7 +919,9 @@ def _pq_query_luts(q_ids, Q, cents) -> list[list[list[int]]]:
     return lut
 
 
-def _adc_topk(coded: DataFrame, q_ids, lut, label_of=None) -> DataFrame:
+def _adc_topk(
+    coded: DataFrame, q_ids, lut, label_of=None, labels_of=None
+) -> DataFrame:
     """Shared ADC scoring tail for pq_adc_topk and ivfadc_search:
     ``coded`` carries vec_id (+label when ``label_of`` is given) and
     the c0..c{_PQ_M-1} code columns; per query, the distance is the
@@ -931,7 +933,15 @@ def _adc_topk(coded: DataFrame, q_ids, lut, label_of=None) -> DataFrame:
     per-row fan-out to the 5 queries is the 1-sided
     BroadcastNestedLoopJoin the brute-force arm already uses."""
     spark = coded.sparkSession
-    if label_of is None:
+    if labels_of is not None:  # multi-probe: a CELL LIST per query
+        ldf = spark.createDataFrame(
+            [
+                (int(qid), lut[qi], [int(c) for c in labels_of[int(qid)]])
+                for qi, qid in enumerate(q_ids)
+            ],
+            "query_id bigint, lut array<array<bigint>>, qlabels array<int>",
+        )
+    elif label_of is None:
         ldf = spark.createDataFrame(
             [(int(qid), lut[qi]) for qi, qid in enumerate(q_ids)],
             "query_id bigint, lut array<array<bigint>>",
@@ -949,7 +959,11 @@ def _adc_topk(coded: DataFrame, q_ids, lut, label_of=None) -> DataFrame:
         dist = dist + F.element_at(
             F.element_at(F.col("lut"), q + 1), F.col(f"c{q}") + 1
         )
-    if label_of is not None:
+    if labels_of is not None:
+        dist = F.when(
+            F.array_contains(F.col("qlabels"), F.col("label")), dist
+        )
+    elif label_of is not None:
         dist = F.when(F.col("label") == F.col("qlabel"), dist)
     pairs = (
         coded.crossJoin(F.broadcast(ldf))
@@ -1208,6 +1222,200 @@ def ivfadc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0))
             / F.lit(float(TOP_K))
         ).alias(f"recall_at_{TOP_K}"),
+    )
+
+
+# Multi-probe IVFADC: probe the _NPROBE nearest fitted coarse cells
+# per query instead of only the query's own — the recall knob every
+# IVF deployment actually turns (Jegou et al.'s multiple-assignment).
+_NPROBE = 2
+
+
+def _qprobe_cells(Q, centroids, nprobe: int):
+    """The nprobe nearest fitted cells per query row, replaying the
+    engine's quantized-argmin recipe (cumsum chain, 1e-6 floor,
+    stable sort == ORDER BY qd, cid)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    sq = (Q[:, None, :] - C[None, :, :]) ** 2
+    qd = np.floor(np.cumsum(sq, axis=2)[:, :, -1] * 1e6 + 0.5) / 1e6
+    return np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+
+
+def _ivfadc_multiprobe_oracle() -> str:
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        _ITERS,
+        _dist_sql,
+        _fq_sql,
+        kmeans_assign_ctes,
+    )
+
+    qd = _fq_sql(_dist_sql("q.v", "c.v"))
+    return f"""
+    WITH {kmeans_assign_ctes()},
+    {_pq_best_ctes()},
+    {_pq_lut_ctes(probe_expr="0", from_sql="embeddings")},
+    qp AS (
+        SELECT query_id, cid AS probe FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {qd}, c.cid) AS rn
+            FROM e q, c{_ITERS} c
+            WHERE q.vec_id IN ({_query_ids_sql()})
+        ) WHERE rn <= {_NPROBE}
+    ),
+    adc AS (
+        SELECT l.query_id, b.vec_id,
+               CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+        FROM best b
+        JOIN kassign ka ON ka.vec_id = b.vec_id
+        JOIN qp ON qp.probe = ka.cluster
+        JOIN lut l ON l.query_id = qp.query_id
+                  AND l.q = b.q AND l.cid = b.cid
+        GROUP BY l.query_id, b.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_micro, vec_id) AS rk
+        FROM adc WHERE vec_id <> query_id
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "ivfadc_multiprobe_search",
+    oracle=_ivfadc_multiprobe_oracle(),
+    doc=f"Multi-probe IVFADC (nprobe={_NPROBE}): each query scans the "
+    f"{_NPROBE} nearest FITTED coarse cells instead of only its own — "
+    "the knob an IVF deployment turns to buy recall with a bounded "
+    "scan-cost increase (Jegou et al.'s multiple assignment; nprobe "
+    "x the per-cell scan is still a tiny fraction of the corpus). "
+    "The per-query probe list is the engine's own quantized-argmin "
+    "recipe truncated at nprobe (stable-sorted ties on cid), computed "
+    "driver-side from the 5 collected query rows and the k x 64 "
+    "fitted centroid literals — a bounded collect. The cell guard "
+    "rides the broadcast LUT frame as an array_contains over the "
+    "per-query probe list, so the scan prunes to the probed cells "
+    "BEFORE code computation (partition pruning at the source at "
+    "100 TB), exactly ivfadc_kmeans_search's shape with a wider "
+    "probe. Oracle: the composed k-means + PQ CTEs with a rank-"
+    f"bounded (rn <= {_NPROBE}) query-to-cell CTE.",
+    tags=("similarity", "vector", "quantization", "ml"),
+)
+def ivfadc_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        fit_kmeans_centroids,
+        kmeans_assign_frame,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = fit_kmeans_centroids(emb)
+    asg = kmeans_assign_frame(emb, centroids)
+    cents = _pq_codebook(spark, sf_dir, emb)
+    qrows = sorted(
+        emb.where(F.col("vec_id").isin(*QUERY_IDS)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    cells = _qprobe_cells(Q, centroids, _NPROBE)
+    probes_of = {
+        int(qid): [int(c) for c in cells[i]]
+        for i, qid in enumerate(q_ids)
+    }
+    probed = sorted({c for cs in probes_of.values() for c in cs})
+    scan = asg.where(F.col("cluster").isin(*probed)).select(
+        "vec_id", F.col("cluster").alias("label"), "embedding"
+    )
+    coded = _pq_arrow_coded(scan, cents)
+    lut = _pq_query_luts(q_ids, Q, cents)
+    return _adc_topk(coded, q_ids, lut, labels_of=probes_of)
+
+
+@register(
+    "ivfadc_nprobe_recall",
+    oracle=f"""
+    WITH exact AS ({_BF_ORACLE}),
+    adc1 AS ({_ivfadc_kmeans_oracle()}),
+    adc2 AS ({_ivfadc_multiprobe_oracle()}),
+    h1 AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM adc1 a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    ),
+    h2 AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM adc2 a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(h1.n_hits, 0) AS BIGINT) AS n_hits_nprobe1,
+           CAST(coalesce(h2.n_hits, 0) AS BIGINT)
+               AS n_hits_nprobe{_NPROBE},
+           coalesce(h1.n_hits, 0) / CAST({TOP_K} AS DOUBLE)
+               AS recall_nprobe1,
+           coalesce(h2.n_hits, 0) / CAST({TOP_K} AS DOUBLE)
+               AS recall_nprobe{_NPROBE}
+    FROM embeddings q
+    LEFT JOIN h1 ON q.vec_id = h1.query_id
+    LEFT JOIN h2 ON q.vec_id = h2.query_id
+    WHERE q.vec_id IN ({_query_ids_sql()})
+    """,
+    doc=f"The nprobe tuning curve in one row per query: recall@{TOP_K} "
+    f"of single-probe IVFADC vs nprobe={_NPROBE} multi-probe against "
+    "the exact arm — the measured number that justifies (or refutes) "
+    "paying a second cell scan per query. Composes three already-"
+    "registered bounded arms; the rollup runs on 5 x 10-row frames. "
+    "Note recall is NOT asserted monotone: widening the candidate "
+    "pool can swap a true neighbor out of the ADC top-k when "
+    "quantized distances invert true order — if that happens the "
+    "row SHOWS it, which is the point of measuring.",
+    tags=("similarity", "vector", "quantization", "audit"),
+)
+def ivfadc_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits(df):
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+
+    h1 = hits(ivfadc_kmeans_search(spark, sf_dir))
+    h2 = hits(ivfadc_multiprobe_search(spark, sf_dir))
+    base = emb.where(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        base.join(h1, "query_id", "left")
+        .join(h2.select(F.col("query_id").alias("q2"),
+                        F.col("n_hits").alias("nh2")),
+              F.col("query_id") == F.col("q2"), "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits_nprobe1"),
+            F.coalesce(F.col("nh2"), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_hits_nprobe{_NPROBE}"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)))
+            .alias("recall_nprobe1"),
+            (F.coalesce(F.col("nh2"), F.lit(0)) / F.lit(float(TOP_K)))
+            .alias(f"recall_nprobe{_NPROBE}"),
+        )
     )
 
 

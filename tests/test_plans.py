@@ -115,6 +115,8 @@ _BNLJ_ALLOWED = {
     "ann_lsh_recall",  # 1-row corpus-count frame vs 10-row recall table
     "mrl_truncation_recall",  # 5 broadcast query vectors x corpus, non-equi
     "ivfadc_recall_audit",  # inherits ann_bruteforce_topk's 5-query cross
+    "ivfadc_multiprobe_search",  # 5-row broadcast LUT frame x probed scan
+    "ivfadc_nprobe_recall",  # composes the three bounded arms above
     "split_balance_audit",  # 3x5 marginal cross + 1-row total/df frames
     "frequent_itemsets_pairs",  # 1-row basket-count frame vs pair supports
     "mutual_information_lang_source",  # 1-row grand total vs cell frame
