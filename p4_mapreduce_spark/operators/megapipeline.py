@@ -291,3 +291,149 @@ def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("ck").cast("bigint").alias("checksum"),
     )
+
+
+# Sequence packing: the training-loader step after chunking/sharding —
+# greedy NEXT-FIT of chunks into fixed-capacity context windows in
+# stream order. Packing is inherently sequential (each decision needs
+# the previous bin's remaining capacity), which makes it the showcase
+# for the custom-operator contract: per-shard-stream applyInPandas on
+# the Spark side, an exact RECURSIVE CTE on the oracle side, integer
+# arithmetic only so parity is exact.
+_PACK_CAP = 48  # context window capacity in tokens (> CHUNK_TOKENS)
+
+
+def _pack_chunks_sql() -> str:
+    return f"""ordered AS (
+        SELECT shard, n_tokens,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM sharded
+    ),
+    packed AS (
+        SELECT shard, rn, n_tokens, 1 AS bin_id, n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens <= {_PACK_CAP}
+                    THEN p.bin_id ELSE p.bin_id + 1 END,
+               CASE WHEN p.fill + o.n_tokens <= {_PACK_CAP}
+                    THEN p.fill + o.n_tokens ELSE o.n_tokens END
+        FROM packed p JOIN ordered o
+          ON o.shard = p.shard AND o.rn = p.rn + 1
+    )"""
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INTEGER)
+                   AS n_tokens
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t), 1),
+                                    {CHUNK_STRIDE})) AS g(s)
+        WHERE len(t) >= s
+    ),
+    sharded AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST({_hex_word_sql(
+                   "CAST(doc_id AS VARCHAR) || ':' "
+                   "|| CAST(chunk_idx AS VARCHAR)")}
+                    % {_N_SHARDS} AS INTEGER) AS shard
+        FROM chunks
+    ),
+    {_pack_chunks_sql()}
+    SELECT shard,
+           count(*) AS n_chunks,
+           CAST(max(bin_id) AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(bin_id) * {_PACK_CAP} - sum(n_tokens) AS BIGINT)
+               AS padding_tokens,
+           CAST(sum(n_tokens) AS DOUBLE)
+               / (max(bin_id) * {_PACK_CAP}.0) AS fill_rate
+    FROM packed GROUP BY shard
+    """,
+    doc=f"Sequence packing — the step between sharding and the data "
+    "loader: chunks pack greedily (NEXT-FIT, stream order by "
+    f"(doc_id, chunk_idx)) into fixed {_PACK_CAP}-token context "
+    "windows, and the per-shard report gives bins, padding tokens, "
+    "and fill rate — the padding-efficiency number that directly "
+    "multiplies training cost. Packing is inherently SEQUENTIAL "
+    "(each placement needs the previous bin's remaining capacity), "
+    "so this is the custom-operator showcase the brief calls for: "
+    "Spark runs the loop per shard STREAM inside one Arrow-batched "
+    "applyInPandas (8 groups here; at 100 TB the shard key IS the "
+    "loader stream id, thousands of groups, each a sequential "
+    "tape read — the exact parallelism the real loader has), and "
+    "the oracle replays the identical decision sequence as a "
+    "RECURSIVE CTE over row_number order. Integer token arithmetic "
+    "only — parity is exact, no quantization needed.",
+    tags=("pipeline", "text", "pandas-udf"),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = (
+        toks.select("doc_id", "t", F.explode(starts).alias("s"))
+        .where(F.size("t") >= F.col("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("s") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+    shard_key = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+    )
+    sharded = chunks.select(
+        (_hex_word_col(shard_key) % _N_SHARDS).cast("int").alias("shard"),
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"])
+        shard = int(pdf["shard"].iloc[0])
+        bin_id, fill, total = 0, _PACK_CAP + 1, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill + n <= _PACK_CAP:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            total += n
+        n_chunks = len(pdf)
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "n_chunks": n_chunks,
+                    "n_bins": bin_id,
+                    "total_tokens": total,
+                    "padding_tokens": bin_id * _PACK_CAP - total,
+                    "fill_rate": float(total)
+                    / float(bin_id * _PACK_CAP),
+                }
+            ]
+        )
+
+    return sharded.groupBy("shard").applyInPandas(
+        pack,
+        schema="shard int, n_chunks bigint, n_bins bigint, "
+        "total_tokens bigint, padding_tokens bigint, fill_rate double",
+    )
