@@ -412,3 +412,219 @@ def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def _crossmodal_oracle() -> str:
+    from p4_mapreduce_spark.operators.multimodal import (
+        _DH_ROWS,
+        _PH_BAND_HEX,
+        _PH_BANDS,
+        _PH_HAM_MAX,
+        _dhash_hex_sql,
+        _dhash_rowbyte_sql,
+    )
+
+    rbs = ", ".join(
+        f"({_dhash_rowbyte_sql(r)}) AS rb{r}" for r in range(_DH_ROWS)
+    )
+    rb_names = ", ".join(f"rb{r}" for r in range(_DH_ROWS))
+    ham = " + ".join(
+        f"bit_count(xor(ga.rb{r}, gb.rb{r}))" for r in range(_DH_ROWS)
+    )
+    band_ids = ", ".join(str(b) for b in range(_PH_BANDS))
+    return f"""
+    WITH RECURSIVE h AS (
+        SELECT doc_id, ({_dhash_hex_sql()}) AS phash, {rbs}
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS MATERIALIZED (
+        SELECT phash, {rb_names}, min(doc_id) AS min_doc_id
+        FROM h GROUP BY ALL
+    ),
+    bnd AS (
+        SELECT phash, band_id,
+               substr(phash, band_id * {_PH_BAND_HEX} + 1,
+                      {_PH_BAND_HEX}) AS bv
+        FROM g, (SELECT unnest([{band_ids}]) AS band_id)
+    ),
+    nearp AS (
+        SELECT DISTINCT a.phash AS pa, b.phash AS pb
+        FROM bnd a JOIN bnd b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.phash < b.phash
+    ),
+    near_edges AS (
+        SELECT ga.min_doc_id AS src, gb.min_doc_id AS dst
+        FROM nearp n
+        JOIN g ga ON n.pa = ga.phash
+        JOIN g gb ON n.pb = gb.phash
+        WHERE ({ham}) <= {_PH_HAM_MAX}
+    ),
+    tg AS (
+        SELECT md5(text) AS gh, doc_id FROM documents
+        WHERE length(text) > 0
+    ),
+    tmin AS (SELECT gh, min(doc_id) AS src FROM tg GROUP BY gh),
+    text_edges AS (
+        SELECT tmin.src, tg.doc_id AS dst FROM tg JOIN tmin USING (gh)
+    ),
+    ph_edges AS (
+        SELECT g.min_doc_id AS src, h.doc_id AS dst
+        FROM h JOIN g ON h.phash = g.phash
+    ),
+    edges0 AS (
+        SELECT src, dst FROM text_edges WHERE src <> dst
+        UNION SELECT src, dst FROM ph_edges WHERE src <> dst
+        UNION SELECT src, dst FROM near_edges WHERE src <> dst
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION SELECT dst AS src, src AS dst FROM edges0
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT src, dst FROM edges
+        )
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT component AS keeper_doc_id,
+           count(*) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM labels GROUP BY component HAVING count(*) >= 2
+    """
+
+
+@register(
+    "crossmodal_dup_components",
+    oracle=_crossmodal_oracle(),
+    doc="CROSS-MODAL duplicate components: one asset-level dup graph "
+    "from three edge families — exact text duplicates (md5(text) "
+    "star edges to the group's min doc), exact perceptual duplicates "
+    "(identical 64-bit dHash through the real codec, star edges), "
+    "and perceptual NEAR-duplicates (multimodal_phash_neardup's "
+    "Hamming-banded pairs between hash-group representatives) — "
+    "closed under min-label-propagation connected components. This "
+    "is the dedup verdict a multimodal pipeline actually needs: a "
+    "re-encoded image of a re-worded caption and its byte-identical "
+    "twin land in ONE cluster with one keeper, where per-modality "
+    "dedup would emit overlapping partial groups. Scale shape: "
+    "every edge family is collapse-before-pairwise (star edges to "
+    "group minima, near edges between DISTINCT-hash reps — never "
+    "member x member), CC rounds are one shuffle each over the edge "
+    "list with lineage truncated per round, and the output is "
+    "bounded by multi-member groups only. Oracle: the banded phash "
+    "SQL composed with a recursive transitive-closure CTE (closure "
+    "quadratic only within tiny dup clusters).",
+    tags=("dedup", "graph", "multimodal", "pipeline"),
+)
+def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.operators.multimodal import (
+        _DH_ROWS,
+        _PH_BAND_HEX,
+        _PH_BANDS,
+        _PH_HAM_MAX,
+        PHASH_SCHEMA,
+        _decode_px,
+        _phash_hex_col,
+        _phash_rowbyte_col,
+        assets_from_documents,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tg = docs.select(F.md5("text").alias("gh"), "doc_id")
+    tmin = tg.groupBy("gh").agg(F.min("doc_id").alias("src"))
+    text_edges = tg.join(tmin, "gh").select(
+        "src", F.col("doc_id").alias("dst")
+    )
+
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+    rbs = [f"rb{r}" for r in range(_DH_ROWS)]
+    hashed = pxdf.select(
+        "doc_id",
+        _phash_hex_col().alias("phash"),
+        *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+    )
+    g = hashed.groupBy("phash", *rbs).agg(
+        F.min("doc_id").alias("min_doc_id")
+    )
+    ph_edges = (
+        hashed.select("doc_id", "phash")
+        .join(g.select("phash", "min_doc_id"), "phash")
+        .select(
+            F.col("min_doc_id").alias("src"), F.col("doc_id").alias("dst")
+        )
+    )
+    bnd = g.select(
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        "phash", b * _PH_BAND_HEX + 1, _PH_BAND_HEX
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("band_id", "bv"),
+    )
+    nearp = (
+        bnd.select(F.col("phash").alias("pa"), "band_id", "bv")
+        .join(bnd.select(F.col("phash").alias("pb"), "band_id", "bv"),
+              ["band_id", "bv"])
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    ga = g.select(
+        F.col("phash").alias("pa"),
+        *[F.col(c).alias(f"a_{c}") for c in rbs],
+        F.col("min_doc_id").alias("src"),
+    )
+    gb = g.select(
+        F.col("phash").alias("pb"),
+        *[F.col(c).alias(f"b_{c}") for c in rbs],
+        F.col("min_doc_id").alias("dst"),
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        for c in rbs
+    )
+    near_edges = (
+        nearp.join(ga, "pa")
+        .join(gb, "pb")
+        .where(hamming <= _PH_HAM_MAX)
+        .select("src", "dst")
+    )
+    edges0 = (
+        text_edges.unionByName(ph_edges)
+        .unionByName(near_edges)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges0)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .where(F.col("cluster_size") >= 2)
+        .select(
+            F.col("component").alias("keeper_doc_id"),
+            "cluster_size",
+            "members",
+        )
+    )

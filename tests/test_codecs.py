@@ -257,3 +257,41 @@ def test_decode_image_jpeg_path():
     raw = b"a jpeg routed payload " * 9
     feats = decode_image(jpeg_encode_gray(raw, 72))
     assert feats[0] > 0
+
+
+def test_phash_on_jpeg_assets():
+    """dHash over JPEG-decoded pixels == dHash over the reference
+    reconstruction (coefficient-exactness makes perceptual hashing on
+    the lossy codec deterministic), and near-identical sources stay
+    near in Hamming distance after the lossy roundtrip."""
+    import hashlib
+
+    from p4_mapreduce_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_reference_reconstruct,
+    )
+
+    def dhash(px: bytes) -> int:
+        grid = (px + b"\x00" * 72)[:72]
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                if grid[r * 9 + c] < grid[r * 9 + c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    base = ("the quick brown fox jumps over the lazy dog " * 6).encode()
+    near = bytearray(base)
+    near[100] ^= 0x01  # one-bit source perturbation
+    hashes = {}
+    for name, raw in [("base", base), ("near", bytes(near))]:
+        _w, _h, _c, px = jpeg_decode(jpeg_encode_gray(raw, 72))
+        ref = jpeg_reference_reconstruct(raw, 72)
+        assert px == ref
+        hashes[name] = dhash(px[: len(raw)])
+    ham = bin(hashes["base"] ^ hashes["near"]).count("1")
+    assert ham <= 8, ham  # perceptually near after the lossy roundtrip
+    # determinism: re-encoding yields the identical hash
+    _w, _h, _c, px2 = jpeg_decode(jpeg_encode_gray(base, 72))
+    assert dhash(px2[: len(base)]) == hashes["base"]
