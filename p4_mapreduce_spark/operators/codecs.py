@@ -449,6 +449,11 @@ def jpeg_encode_gray(data: bytes, width: int) -> bytes:
     construction (the quantizer); the exactness contract lives at the
     coefficient level (see module comment)."""
     height, bh, bw, qblocks = _jpeg_quantized_blocks(data, width)
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(
+            f"JPEG SOF dimensions are 16-bit: got {width}x{height}, "
+            "max 65535x65535"
+        )
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _BitWriter()

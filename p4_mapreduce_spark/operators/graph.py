@@ -13,11 +13,14 @@ the neighborhood; converges in O(diameter) rounds (near-dup clusters
 are tiny and dense, so typically 2-4). Non-convergence within
 ``max_iter`` raises rather than returning silently-wrong labels.
 
-Scale notes: each round is one shuffle on node id. The loop runs on
-the driver but touches only DataFrame lineage; ``localCheckpoint``
-truncates the growing plan each round (without it, round k replays
-rounds 1..k-1 — the classic iterative-Spark trap). Convergence is
-checked with a cheap count of changed labels.
+Scale notes: each round is one action over two shuffles (labels join
++ min aggregation; the edge list is pre-partitioned on the join key so
+it never re-shuffles). The loop runs on the driver but touches only
+DataFrame lineage; lazy ``localCheckpoint`` truncates the growing plan
+each round (without it, round k replays rounds 1..k-1 — the classic
+iterative-Spark trap). Convergence is the monotone label-sum check:
+labels only decrease, so an unchanged exact decimal sum is the
+fixpoint — no changed-labels join, no second action per round.
 """
 
 from __future__ import annotations
@@ -37,36 +40,71 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     minimum node id in the node's component. Raises ``RuntimeError``
     if labels haven't converged after ``max_iter`` rounds (components
     with diameter > max_iter would otherwise come back split).
-    """
-    sym = edges.selectExpr("src", "dst").union(
-        edges.selectExpr("dst AS src", "src AS dst")
-    )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node"))
-    sym = sym.localCheckpoint()
 
+    Per-round fixed cost is the number that matters (r7 verdict ask
+    #3: the crossmodal consumer paid an 18.3s floor on 500 docs), so
+    each round is exactly ONE Spark action over TWO shuffles:
+
+    - self-loops ride inside the symmetrized edge list, so own label +
+      neighbor labels arrive through one join (no union branch);
+    - the edge list is repartitioned on the join key BEFORE its one-off
+      localCheckpoint — LogicalRDD preserves outputPartitioning, so
+      rounds re-shuffle only the (node, component) labels, never the
+      edges;
+    - the seed labels are one aggregation (min node id over the
+      self-inclusive neighborhood = propagation round 1 without a
+      join);
+    - convergence is the MONOTONE LABEL-SUM check: labels only ever
+      decrease (min over a self-inclusive neighborhood), so the sum of
+      labels — exact as decimal(38,0), no bigint overflow at any
+      corpus size — is strictly decreasing until the fixpoint; an
+      unchanged sum IS convergence. That folds lineage truncation
+      (lazy localCheckpoint), the round's compute, and the convergence
+      test into a single collect, replacing the old eager-checkpoint
+      job + changed-labels join + count action.
+    """
+    # Materialize the caller's edge build ONCE before the 4-way union —
+    # unioning the raw plan would re-execute it (possibly an expensive
+    # hash/decode pipeline) four times at checkpoint time.
+    e0 = edges.selectExpr("src", "dst").localCheckpoint()
+    sym = (
+        e0.union(e0.selectExpr("dst AS src", "src AS dst"))
+        .union(e0.selectExpr("src AS src", "src AS dst"))
+        .union(e0.selectExpr("dst AS src", "dst AS dst"))
+        .distinct()  # collapse duplicate self-loops (one per endpoint
+        # occurrence otherwise — degree-many for hubs), halving every
+        # round's join input for star-heavy dup graphs
+        .repartition(F.col("dst"))
+        .localCheckpoint()
+    )
+
+    # seed = min node id over each self-inclusive neighborhood: exactly
+    # propagation round 1, but as a bare aggregation (no label join).
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)  # materializes the lazy checkpoint
     for _ in range(max_iter):
-        # candidate labels: own label + each neighbor's label
-        neighbor_labels = (
+        new_labels = (
             sym.join(labels, sym.dst == labels.node)
             .select(sym.src.alias("node"), "component")
-        )
-        new_labels = (
-            labels.select("node", "component")
-            .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate lineage each round
+            .localCheckpoint(eager=False)  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)  # one action: compute + persist
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter too large); raise max_iter"

@@ -264,7 +264,10 @@ def _sample_fit_audit_oracle() -> str:
            CAST(sum(CASE WHEN sa.cid = fa.cid THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*) AS agreement_rate,
            CAST(sum({micro('sa.qd')}) AS BIGINT) AS distortion_micro_sample,
-           CAST(sum({micro('fa.qd')}) AS BIGINT) AS distortion_micro_full
+           CAST(sum({micro('fa.qd')}) AS BIGINT) AS distortion_micro_full,
+           CAST(sum({micro('sa.qd')}) AS BIGINT) * 100
+               <= CAST(sum({micro('fa.qd')}) AS BIGINT) * 102
+               AS distortion_ok
     FROM sa JOIN fa USING (vec_id)
     """
 
@@ -283,7 +286,11 @@ def _sample_fit_audit_oracle() -> str:
     "sample fit so a deployment can drop the full fit; it must never "
     "migrate into a headline set or composed pipeline) — then assign "
     "the full corpus with both and report label agreement plus "
-    "per-arm quantized distortion as exact bigint-micro sums. Shared "
+    "per-arm quantized distortion as exact bigint-micro sums, plus "
+    "the ASSERTED distortion_ok bound (r8: sample distortion <= "
+    "1.02x full, integer-only x100<=x102 comparison so both engines "
+    "agree bit-exactly — a silent sample-quality regression now "
+    "fails CORRECTNESS, not just a report). Shared "
     "init means labels correspond arm-to-arm, so agreement_rate is "
     "directly interpretable. At 100 TB only the sample arm runs: "
     "fit cost O(S x k x iters) driver-side, one linear Arrow "
@@ -310,12 +317,21 @@ def kmeans_sample_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = F.sum(
         F.when(F.col("scid") == F.col("fcid"), 1).otherwise(0)
     ).cast("bigint")
+    # distortion_ok is the ASSERTED invariant (r7 verdict ask #2): the
+    # sample fit's total quantized distortion must stay within 1.02x of
+    # the full fit's. Integer-only comparison (x100 vs x102 on the
+    # bigint-micro sums — no float multiply) so Spark and DuckDB agree
+    # bit-exactly; a silent sample-quality regression now fails the
+    # oracle hash instead of just moving a reported number.
+    ds = F.sum(micro("sqd")).cast("bigint")
+    df_ = F.sum(micro("fqd")).cast("bigint")
     return per.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         agree.alias("n_agree"),
         (agree.cast("double") / F.count(F.lit(1))).alias("agreement_rate"),
-        F.sum(micro("sqd")).alias("distortion_micro_sample"),
-        F.sum(micro("fqd")).alias("distortion_micro_full"),
+        ds.alias("distortion_micro_sample"),
+        df_.alias("distortion_micro_full"),
+        (ds * F.lit(100) <= df_ * F.lit(102)).alias("distortion_ok"),
     )
 
 

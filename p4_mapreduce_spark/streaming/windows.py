@@ -1219,13 +1219,18 @@ def streaming_training_shards(
         bgroups = bench.groupBy(F.md5("text").alias("gh")).agg(
             F.min("text").alias("rtext")
         )
-        minhash_signatures(bgroups).write.mode("overwrite").parquet(
-            bench_path
-        )
         # exact-hash arm: every distinct benchmark text hash (the sigs
-        # table excludes <3-token texts, the hash set must not)
+        # table excludes <3-token texts, the hash set must not).
+        # bench_gh is written FIRST and bench_index (the existence
+        # guard above) LAST — commit-marker-last ordering, so a crash
+        # between the two writes re-runs the whole rebuild on restart
+        # instead of leaving a state dir whose micro-batches all fail
+        # reading a missing bench_gh.
         bgroups.select("gh").write.mode("overwrite").parquet(
             os.path.join(state_dir, "bench_gh")
+        )
+        minhash_signatures(bgroups).write.mode("overwrite").parquet(
+            bench_path
         )
 
     docs = stream_documents(spark, train_docs_dir)

@@ -55,6 +55,15 @@ def test_headline_ratios_within_budget(spark):
         n: r / budget[n] for n, r in got["ratios"].items() if budget[n] > 0
     }
     scale = statistics.median(factors.values())
+    # Median self-normalization would silently absorb a regression that
+    # hits half or more of the headliners (session-config or framework
+    # wide slowdown): bound the scale factor itself so a fleet-wide
+    # slowdown fails loudly instead of rescaling everything green.
+    assert scale < 3.0, (
+        f"session scale factor {scale:.2f} >= 3.0 — more than half the "
+        "headline queries slowed together (framework/session-config "
+        "regression?); per-query rescaling would mask it"
+    )
     failures = []
     for name, ratio in sorted(got["ratios"].items()):
         b = budget[name] * scale  # median-rescaled expectation
