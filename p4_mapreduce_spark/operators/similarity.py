@@ -1646,13 +1646,30 @@ _ANN_INCR_CAND = " UNION ".join(
     "boundary ride the flags through ONE self-cosine per distinct "
     "vector, never a pairwise join (without this, x60 replicated "
     "probes blow the bucket join up quadratically in the duplicate "
-    "multiplicity; with it the probe tracks the minhash twin). The "
-    "oracle replays the uncollapsed vector-level band join — parity "
-    "proves the collapse exact.",
+    "multiplicity; with it the probe tracks the minhash twin). r8: "
+    "the rep embeddings and per-side member vec_id lists ride "
+    "THROUGH the band join, so the collapse subtree is computed "
+    "exactly twice (the two join sides) instead of six times — the "
+    "verify needs no join back to the vectors and the output "
+    "expansion is two explodes. The oracle replays the uncollapsed "
+    "vector-level band join — parity proves the collapse exact.",
     headline=True,
     tags=("similarity", "vector", "lsh", "incremental"),
 )
 def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8 restructure (r7 verdict ask #1): the r7 shape referenced the
+    # scan+md5+groupBy collapse subtree SIX times (two band sides, the
+    # x/y embedding joins for the verify, the mn/me expansion joins) —
+    # Spark recomputes each reference, and that constant multiplied the
+    # whole query. Now the rep embeddings AND the per-side vec_id
+    # lists ride THROUGH the band join, so the verify has its vectors
+    # in hand and the output expansion is two explodes: the collapse
+    # subtree is referenced exactly twice (the two band-join sides)
+    # and nothing joins back to the corpus. Identical-vector pairs
+    # across the batch boundary need no separate branch — an identical
+    # embedding collides in every band, so the (gh, gh) pair arrives
+    # through the same join and the Arrow kernel computes the
+    # self-cosine (bit-identical to the oracle's x == y formula).
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # injective distinct-vector key: md5 over the exact float32 string
     # forms (same bit pattern <=> same string <=> same key)
@@ -1667,61 +1684,62 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("embedding"),  # all rows identical
         F.max(is_new.cast("int")).alias("has_new"),
         F.max((~is_new).cast("int")).alias("has_ex"),
+        # collect_list skips nulls: each side's member vec_ids
+        F.collect_list(F.when(is_new, F.col("vec_id"))).alias("vids_new"),
+        F.collect_list(F.when(~is_new, F.col("vec_id"))).alias("vids_ex"),
     )
-    bnd = reps.select(
+    sig_arr = F.array(
+        *[ann_band_col(F.col("embedding"), b) for b in range(_ANN_BANDS)]
+    )
+    bnd = reps.withColumn("sigs", sig_arr).select(
         "gh",
+        "embedding",
         "has_new",
         "has_ex",
-        F.posexplode(
-            F.array(
-                *[
-                    ann_band_col(F.col("embedding"), b)
-                    for b in range(_ANN_BANDS)
-                ]
-            )
-        ).alias("band_id", "sig"),
+        "vids_new",
+        "vids_ex",
+        F.element_at("sigs", 1).alias("band0"),
+        F.posexplode("sigs").alias("band_id", "sig"),
     )
     left = bnd.where(F.col("has_new") == 1).select(
-        F.col("gh").alias("gh_n"), "band_id", "sig"
+        F.col("gh").alias("gh_n"),
+        "band_id",
+        "sig",
+        F.col("band0").alias("b0_n"),
+        F.col("embedding").alias("ex"),
+        "vids_new",
     )
     right = bnd.where(F.col("has_ex") == 1).select(
-        F.col("gh").alias("gh_e"), "band_id", "sig"
-    )
-    cand = (
-        left.join(right, ["band_id", "sig"])
-        .where(F.col("gh_n") != F.col("gh_e"))
-        .select("gh_n", "gh_e")
-        .distinct()
-    )
-    x = reps.select(F.col("gh").alias("gh_n"), F.col("embedding").alias("ex"))
-    y = reps.select(F.col("gh").alias("gh_e"), F.col("embedding").alias("ey"))
-    cross = arrow_pair_cosine(
-        cand.join(x, "gh_n").join(y, "gh_e").select("gh_n", "gh_e", "ex", "ey"),
-        "ex",
-        "ey",
-    )
-    # identical vector on both sides of the batch boundary: ONE
-    # self-cosine per distinct vector (the oracle computes the same
-    # formula with x == y, which need not be exactly 1.0)
-    same = reps.where(
-        (F.col("has_new") == 1) & (F.col("has_ex") == 1)
-    ).select(
-        F.col("gh").alias("gh_n"),
         F.col("gh").alias("gh_e"),
-        cosine(F.col("embedding"), F.col("embedding")).alias("cosine_sim"),
+        "band_id",
+        "sig",
+        F.col("band0").alias("b0_e"),
+        F.col("embedding").alias("ey"),
+        "vids_ex",
     )
-    rep_pairs = cross.unionByName(same).where(
-        F.col("cosine_sim") >= ANN_INCR_TAU
+    # FIRST-COLLISION dedup: a pair that collides in several bands is
+    # emitted only from its lowest colliding band (band 1 emits only
+    # if band 0 did not match). Candidates are unique BY CONSTRUCTION,
+    # so no distinct/groupBy — the join output (the near-quadratic
+    # bucket-collision set) pipelines straight into the Arrow cosine
+    # kernel in the same stage, never shuffling pair payloads.
+    cand = left.join(right, ["band_id", "sig"]).where(
+        (F.col("band_id") == 0) | (F.col("b0_n") != F.col("b0_e"))
     )
-    mn = m.where(is_new).select(
-        F.col("gh").alias("gh_n"), F.col("vec_id").alias("vec_id_new")
-    )
-    me = m.where(~is_new).select(
-        F.col("gh").alias("gh_e"), F.col("vec_id").alias("vec_id_existing")
-    )
+    scored = arrow_pair_cosine(
+        cand.select("ex", "ey", "vids_new", "vids_ex"), "ex", "ey"
+    ).where(F.col("cosine_sim") >= ANN_INCR_TAU)
     return (
-        rep_pairs.join(mn, "gh_n")
-        .join(me, "gh_e")
+        scored.select(
+            "vids_ex",
+            "cosine_sim",
+            F.explode("vids_new").alias("vec_id_new"),
+        )
+        .select(
+            "vec_id_new",
+            F.explode("vids_ex").alias("vec_id_existing"),
+            "cosine_sim",
+        )
         .select("vec_id_new", "vec_id_existing", "cosine_sim")
     )
 
