@@ -1386,3 +1386,141 @@ def shards_manifest_from_state(spark: SparkSession, state_dir: str) -> DataFrame
         F.sum("total_tokens").cast("bigint").alias("total_tokens"),
         F.sum("checksum").cast("bigint").alias("checksum"),
     )
+
+
+def streaming_phash_neardup(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.multimodal.multimodal_phash_neardup
+    (r8, the r7 verdict's ask #7): image assets arrive in micro-batches
+    and each batch's perceptual hashes band-join the ACCUMULATED
+    distinct-hash index — the frozen-index posture of
+    streaming_decontaminate applied to the image modality, where the
+    image corpus is warm and each newly ingested image needs its
+    Hamming-near neighbors before it lands in the training set.
+
+    Each micro-batch:
+
+    1. builds the asset payloads and runs the REAL codec round-trip
+       dHash (the shared ``_decode_px`` + hex/row-byte columns, so
+       batch and streaming hashes can never drift), collapsing to
+       DISTINCT batch hashes (the collapse rule at the hash level);
+    2. keeps only hashes NEVER SEEN in prior batches (anti-join
+       against the index filtered to ``batch_id < current`` — the
+       crash-replay guard: a replay that appended its hashes before
+       the checkpoint commit died must not treat its own rows as
+       prior corpus), so a re-ingested identical image emits nothing
+       — the first-seen-batch contract the test pins;
+    3. band-joins the fresh hashes against the prior index
+       (four 16-bit bands, pigeonhole catches Hamming <= 3
+       exactly), verifies exact Hamming via
+       bit_count(xor) on the row bytes riding both sides, and appends
+       qualifying (phash_new, phash_existing, hamming) rows keyed by
+       batch_id;
+    4. appends its fresh hashes (+ row bytes) to the index.
+
+    Per-batch cost: batch decode+hash (Arrow-batched map) + one
+    16-bit-key equi-join per band against the warm index + verify on
+    collisions — batch-proportional, never a corpus self-join.
+    Replay-idempotent: a replayed batch recomputes byte-identical
+    rows under its batch_id and the readers collapse duplicates."""
+    from p4_mapreduce_spark.operators.multimodal import (
+        _DH_ROWS,
+        _PH_BAND_HEX,
+        _PH_BANDS,
+        _PH_HAM_MAX,
+        PHASH_SCHEMA,
+        _decode_px,
+        _phash_hex_col,
+        _phash_rowbyte_col,
+    )
+
+    docs = stream_documents(spark, docs_dir)
+    index_path = os.path.join(state_dir, "phash_index")
+    pairs_path = os.path.join(state_dir, "phash_pairs")
+    rbs = [f"rb{r}" for r in range(_DH_ROWS)]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        assets = batch_df.where(F.length("text") > 0).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+        hashed_b = (
+            pxdf.select(
+                "doc_id",
+                _phash_hex_col().alias("phash"),
+                *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+            )
+            .groupBy("phash", *rbs)
+            .agg(F.min("doc_id").alias("min_doc_id"))
+            .localCheckpoint()  # batch-bounded, never corpus-sized
+        )
+        prior = _read_parquet_or_none(spark, index_path)
+        if prior is not None:
+            # crash-replay guard + first-seen contract: only hashes
+            # never seen in PRIOR batches join the index
+            prior = prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+            fresh = hashed_b.join(
+                prior.select("phash").distinct(), "phash", "left_anti"
+            ).localCheckpoint()  # batch-bounded
+            bands = lambda df, tag: df.select(  # noqa: E731
+                F.col("phash").alias(f"phash_{tag}"),
+                *[F.col(c).alias(f"{tag}_{c}") for c in rbs],
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.substring(
+                                "phash", b * _PH_BAND_HEX + 1, _PH_BAND_HEX
+                            )
+                            for b in range(_PH_BANDS)
+                        ]
+                    )
+                ).alias("band_id", "bv"),
+            )
+            ham = sum(
+                F.bit_count(
+                    F.col(f"n_{c}").bitwiseXOR(F.col(f"e_{c}"))
+                )
+                for c in rbs
+            ).cast("int")
+            out = (
+                bands(fresh, "n")
+                .join(
+                    bands(prior.select("phash", *rbs).distinct(), "e"),
+                    ["band_id", "bv"],
+                )
+                .select("phash_n", "phash_e", ham.alias("hamming"))
+                .distinct()
+                .where(F.col("hamming") <= _PH_HAM_MAX)
+                .select(
+                    F.col("phash_n").alias("phash_new"),
+                    F.col("phash_e").alias("phash_existing"),
+                    "hamming",
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            out.write.mode("append").parquet(pairs_path)
+        else:
+            fresh = hashed_b
+        fresh.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def phash_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All cross-batch perceptual near-dup hash pairs accumulated by
+    streaming_phash_neardup. Replay-safe: a re-run batch appends
+    byte-identical rows under the same batch_id, so distinct()
+    restores exactly-once semantics."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "phash_pairs"))
+        .select("phash_new", "phash_existing", "hamming")
+        .distinct()
+    )

@@ -1106,3 +1106,77 @@ def test_streaming_training_shards(spark, sf_dir, tmp_path):
         "append"
     ).parquet(f"{state}/manifest")
     assert canon(shards_manifest_from_state(spark, state).toPandas()) == want
+
+
+def test_streaming_phash_neardup(spark, sf_dir, tmp_path):
+    """Streaming perceptual near-dup maintenance == the batch answer:
+    ingesting the image assets in micro-batches (each batch's fresh
+    hashes band-joined against the accumulated hash index only) must
+    emit exactly the cross-batch slice of multimodal_phash_neardup's
+    hash-level pair set, oriented later-first-seen -> earlier, with
+    identical Hamming distances — and the derived pair set must be
+    idempotent under batch replay."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.multimodal import (
+        multimodal_phash_neardup,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        phash_pairs_from_state,
+        streaming_phash_neardup,
+    )
+
+    base = str(tmp_path / "docs")
+    docs = load(spark, sf_dir, "documents")
+    # deterministic batch split (the corpus' one planted near pair at
+    # this sf is docs 33/436 — parity puts them in different batches)
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(base)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_phash_neardup(spark, base, state, ckpt)
+    q.awaitTermination(300)
+
+    idx = (
+        spark.read.parquet(f"{state}/phash_index")
+        .groupBy("phash")
+        .agg(F.min("batch_id").alias("batch_id"))
+        .collect()
+    )
+    batch_of = {r.phash: r.batch_id for r in idx}
+    assert len(set(batch_of.values())) >= 2, "need >= 2 micro-batches"
+
+    want = {}
+    for r in multimodal_phash_neardup(spark, sf_dir).collect():
+        ba, bb = batch_of[r.phash_a], batch_of[r.phash_b]
+        if ba == bb:
+            continue  # intra-batch: bootstrap territory, not emitted
+        new, old = (r.phash_a, r.phash_b) if ba > bb else (
+            r.phash_b, r.phash_a)
+        want[(new, old)] = r.hamming
+
+    got = {
+        (r.phash_new, r.phash_existing): r.hamming
+        for r in phash_pairs_from_state(spark, state).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's pair rows under
+    # the same batch_id; the derived pair set must not change
+    pairs = spark.read.parquet(f"{state}/phash_pairs")
+    some_batch = pairs.agg(F.min("batch_id")).collect()[0][0]
+    pairs.where(F.col("batch_id") == some_batch).write.mode(
+        "append"
+    ).parquet(f"{state}/phash_pairs")
+    replayed = {
+        (r.phash_new, r.phash_existing): r.hamming
+        for r in phash_pairs_from_state(spark, state).collect()
+    }
+    assert replayed == want
