@@ -442,6 +442,42 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _encode_block(
+    w: "_BitWriter", blk, dc_codes, ac_codes, prev_dc: int
+) -> int:
+    """Entropy-encode one 8x8 quantized block (zigzag + DC-diff + RLE
+    Huffman) — shared by the grayscale and the color encoder so the
+    bitstream layer exists exactly once. Returns the new DC predictor."""
+    flat = blk.reshape(64)
+    zz = [int(flat[_JPEG_ZZ[k]]) for k in range(64)]
+    diff = zz[0] - prev_dc
+    prev_dc = zz[0]
+    s = _category(diff)
+    c, ln = dc_codes[s]
+    w.put(c, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.put(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        w.put(c, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        w.put(c, ln)
+    return prev_dc
+
+
 def jpeg_encode_gray(data: bytes, width: int) -> bytes:
     """Encode raw bytes as a baseline (SOF0) grayscale JPEG of
     ``width`` columns — Annex K tables, zigzag + DC-differential +
@@ -459,33 +495,7 @@ def jpeg_encode_gray(data: bytes, width: int) -> bytes:
     w = _BitWriter()
     prev_dc = 0
     for blk in qblocks:
-        flat = blk.reshape(64)
-        zz = [int(flat[_JPEG_ZZ[k]]) for k in range(64)]
-        diff = zz[0] - prev_dc
-        prev_dc = zz[0]
-        s = _category(diff)
-        c, ln = dc_codes[s]
-        w.put(c, ln)
-        if s:
-            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        run = 0
-        for k in range(1, 64):
-            v = zz[k]
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]  # ZRL
-                w.put(c, ln)
-                run -= 16
-            s = _category(v)
-            c, ln = ac_codes[(run << 4) | s]
-            w.put(c, ln)
-            w.put(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if run:
-            c, ln = ac_codes[0x00]  # EOB
-            w.put(c, ln)
+        prev_dc = _encode_block(w, blk, dc_codes, ac_codes, prev_dc)
     scan = w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -570,6 +580,39 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_block(r: "_BitReader", dc_map, ac_map, prev_dc: int):
+    """Entropy-decode one 8x8 block into natural-order int32 —
+    shared by the grayscale and the color decoder. Returns
+    ``(block, new_prev_dc)``."""
+    import numpy as np
+
+    zz = [0] * 64
+    s = _read_huff(r, dc_map)
+    diff = _extend(r.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff(r, ac_map)
+        if sym == 0x00:  # EOB
+            break
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(r.bits(s), s)
+        k += 1
+    flat = np.zeros(64, dtype=np.int32)
+    for k2 in range(64):
+        flat[_JPEG_ZZ[k2]] = zz[k2]
+    return flat.reshape(8, 8), prev_dc
+
+
 def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline grayscale JPEG produced by
     :func:`jpeg_encode_gray` (or any single-component SOF0 stream
@@ -636,31 +679,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     qblocks = np.zeros((bh * bw, 8, 8), dtype=np.int32)
     prev_dc = 0
     for i in range(bh * bw):
-        zz = [0] * 64
-        s = _read_huff(r, dc_map)
-        diff = _extend(r.bits(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_huff(r, ac_map)
-            if sym == 0x00:  # EOB
-                break
-            run, s = sym >> 4, sym & 0x0F
-            if s == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = _extend(r.bits(s), s)
-            k += 1
-        flat = np.zeros(64, dtype=np.int32)
-        for k2 in range(64):
-            flat[_JPEG_ZZ[k2]] = zz[k2]
-        qblocks[i] = flat.reshape(8, 8)
+        qblocks[i], prev_dc = _decode_block(r, dc_map, ac_map, prev_dc)
     # reconstruct with the decoded table (== _JPEG_QT for our encoder)
     px = _jpeg_blocks_to_pixels(qblocks, width, height, qt=qt)
     return width, height, 1, px
@@ -673,3 +692,361 @@ def jpeg_reference_reconstruct(data: bytes, width: int) -> bytes:
     lossless-roundtrip invariant's lossy-codec replacement."""
     height, _bh, _bw, qblocks = _jpeg_quantized_blocks(data, width)
     return _jpeg_blocks_to_pixels(qblocks, width, height)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG, COLOR (SOF0, 3-component YCbCr, 4:2:0 chroma
+# subsampling) — r8, the r7 verdict's ask #6, still pure python/numpy
+# and still public spec: Annex K.2 chrominance quantization table,
+# Annex K.3.3.1/K.3.3.2 chrominance Huffman tables, JFIF YCbCr
+# transform, 16x16 MCUs interleaving 4 Y blocks + Cb + Cr with
+# per-component DC predictors. The grayscale invariant carries over
+# unchanged: the color transform, subsampling, and reconstruction
+# kernels are SHARED between encoder, decoder, and the bitstream-free
+# reference, so decode == reference bit-for-bit iff the bitstream
+# round-trips every component's INTEGER quantized coefficients.
+# ---------------------------------------------------------------------------
+
+# Annex K.2 chrominance quantization table (natural row-major order).
+_JPEG_QT_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3.3.1 / K.3.3.2: chrominance DC and AC Huffman specs.
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _rgb_ycbcr_planes(data: bytes, width: int):
+    """Interleaved RGB bytes -> integer (Y, Cb, Cr) uint8 planes padded
+    to the 16x16 MCU grid, plus the source (height, width). ONE kernel
+    shared by the color encoder and the reference reconstruction —
+    JFIF transform in float64, floor(x + 0.5) rounding, edge padding."""
+    import numpy as np
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    if not data:
+        data = b"\x00\x00\x00"
+    n_px = (len(data) + 2) // 3
+    height = (n_px + width - 1) // width
+    raw = data.ljust(width * height * 3, b"\x00")
+    rgb = np.frombuffer(raw, dtype=np.uint8).reshape(
+        height, width, 3
+    ).astype(np.float64)
+    R, G, B = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    yf = 0.299 * R + 0.587 * G + 0.114 * B
+    cbf = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    crf = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+
+    def q8(p):
+        return np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+
+    h16 = ((height + 15) // 16) * 16
+    w16 = ((width + 15) // 16) * 16
+
+    def pad16(p):
+        return np.pad(
+            p, ((0, h16 - height), (0, w16 - width)), mode="edge"
+        )
+
+    return (
+        pad16(q8(yf)),
+        pad16(q8(cbf)),
+        pad16(q8(crf)),
+        height,
+        width,
+    )
+
+
+def _subsample_420(plane):
+    """2x2 integer mean with round-half-up — exact integer arithmetic,
+    deterministic in any engine."""
+    import numpy as np
+
+    p = plane.astype(np.int32)
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return ((s + 2) >> 2).astype(np.uint8)
+
+
+def _plane_qblocks(plane, qt):
+    """2D uint8 plane (dims already multiples of 8) -> (bh, bw,
+    (bh*bw, 8, 8) int32 quantized blocks) with the given quant table."""
+    import numpy as np
+
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    A = _dct_matrix()
+    Q = np.array(qt, dtype=np.float64).reshape(8, 8)
+    img = plane.astype(np.float64)
+    qblocks = np.empty((bh * bw, 8, 8), dtype=np.int32)
+    i = 0
+    for by in range(bh):
+        for bx in range(bw):
+            b = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = A @ b @ A.T
+            qblocks[i] = np.floor(coef / Q + 0.5).astype(np.int32)
+            i += 1
+    return bh, bw, qblocks
+
+
+def _color_component_blocks(data: bytes, width: int):
+    """Shared encoder/reference front half: RGB bytes -> per-component
+    quantized blocks + geometry."""
+    Y, Cb, Cr, height, _w = _rgb_ycbcr_planes(data, width)
+    yb = _plane_qblocks(Y, _JPEG_QT)
+    cbb = _plane_qblocks(_subsample_420(Cb), _JPEG_QT_C)
+    crb = _plane_qblocks(_subsample_420(Cr), _JPEG_QT_C)
+    return yb, cbb, crb, height, Y.shape
+
+
+def _color_planes_to_rgb(
+    yq, cbq, crq, h16: int, w16: int, height: int, width: int,
+    qt_y=None, qt_c=None,
+) -> bytes:
+    """Per-component quantized blocks -> interleaved RGB bytes — the
+    ONE color reconstruction kernel shared by jpeg_decode_color and
+    jpeg_reference_reconstruct_rgb (dequant+IDCT per plane via the
+    grayscale kernel, nearest-neighbor chroma upsample, inverse JFIF
+    transform, floor(x + 0.5) rounding)."""
+    import numpy as np
+
+    ypx = np.frombuffer(
+        _jpeg_blocks_to_pixels(yq, w16, h16, qt=qt_y or _JPEG_QT),
+        dtype=np.uint8,
+    ).reshape(h16, w16)
+    hc, wc = h16 // 2, w16 // 2
+    cbs = np.frombuffer(
+        _jpeg_blocks_to_pixels(cbq, wc, hc, qt=qt_c or _JPEG_QT_C),
+        dtype=np.uint8,
+    ).reshape(hc, wc)
+    crs = np.frombuffer(
+        _jpeg_blocks_to_pixels(crq, wc, hc, qt=qt_c or _JPEG_QT_C),
+        dtype=np.uint8,
+    ).reshape(hc, wc)
+    cb = cbs.repeat(2, axis=0).repeat(2, axis=1)
+    cr = crs.repeat(2, axis=0).repeat(2, axis=1)
+    Y = ypx[:height, :width].astype(np.float64)
+    Cb = cb[:height, :width].astype(np.float64) - 128.0
+    Cr = cr[:height, :width].astype(np.float64) - 128.0
+    R = Y + 1.402 * Cr
+    G = Y - 0.344136 * Cb - 0.714136 * Cr
+    B = Y + 1.772 * Cb
+    rgb = np.stack(
+        [
+            np.clip(np.floor(R + 0.5), 0, 255),
+            np.clip(np.floor(G + 0.5), 0, 255),
+            np.clip(np.floor(B + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return rgb.tobytes()
+
+
+def jpeg_encode_rgb(data: bytes, width: int) -> bytes:
+    """Encode interleaved RGB bytes as a baseline (SOF0) color JPEG of
+    ``width`` pixel columns — YCbCr 4:2:0, Annex K luma + chroma
+    tables, 16x16 MCU interleave (4 Y + Cb + Cr), per-component DC
+    predictors. The exactness contract is per-component coefficient
+    round-trip (see the color section comment)."""
+    (ybh, ybw, yq), (_cbh, cbw, cbq), (_crh, _crw, crq), height, (
+        h16, w16) = _color_component_blocks(data, width)
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(
+            f"JPEG SOF dimensions are 16-bit: got {width}x{height}, "
+            "max 65535x65535"
+        )
+    dc_y = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    ac_c = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+    w = _BitWriter()
+    mh, mw = h16 // 16, w16 // 16
+    pd_y = pd_cb = pd_cr = 0
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    i = (2 * my + dy) * ybw + (2 * mx + dx)
+                    pd_y = _encode_block(w, yq[i], dc_y, ac_y, pd_y)
+            pd_cb = _encode_block(
+                w, cbq[my * cbw + mx], dc_c, ac_c, pd_cb
+            )
+            pd_cr = _encode_block(
+                w, crq[my * cbw + mx], dc_c, ac_c, pd_cr
+            )
+    scan = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + bytes(_JPEG_QT[i] for i in _JPEG_ZZ)
+        + bytes([0x01]) + bytes(_JPEG_QT_C[i] for i in _JPEG_ZZ),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def jpeg_decode_color(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline 3-component 4:2:0 SOF0 JPEG (as produced by
+    :func:`jpeg_encode_rgb`) → ``(width, height, 3, rgb_bytes)``.
+    Marker parse, MCU-interleaved canonical Huffman decode, then the
+    shared color reconstruction kernel."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    width = height = None
+    comps = None
+    huff: dict[int, dict] = {}
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("only 8-bit QTs supported")
+                zz = list(body[off + 1 : off + 65])
+                qt = [0] * 64
+                for k, nat in enumerate(_JPEG_ZZ):
+                    qt[nat] = zz[k]
+                qts[pq_tq & 0x0F] = qt
+                off += 65
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 3:
+                raise NotImplementedError(
+                    "color decoder: 8-bit 3-component SOF0 only"
+                )
+            height, width = struct.unpack_from(">HH", body, 1)
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                for i in range(3)
+            ]
+            if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                raise NotImplementedError(
+                    "color decoder: 4:2:0 (2x2,1x1,1x1) sampling only"
+                )
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                huff[tc_th] = _huff_decode_map(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDA:
+            scan_start = pos + 2 + seglen
+            end = payload.rindex(b"\xff\xd9")
+            scan = payload[scan_start:end]
+            pos = end
+            continue
+        pos += 2 + seglen
+    if (
+        comps is None or width is None or scan is None
+        or 0 not in qts or 1 not in qts
+        or not {0x00, 0x10, 0x01, 0x11} <= huff.keys()
+    ):
+        raise ValueError("color JPEG missing required segments")
+    h16 = ((height + 15) // 16) * 16
+    w16 = ((width + 15) // 16) * 16
+    mh, mw = h16 // 16, w16 // 16
+    ybw = w16 // 8
+    cbw = w16 // 16
+    yq = np.zeros((h16 // 8 * ybw, 8, 8), dtype=np.int32)
+    cbq = np.zeros((mh * cbw, 8, 8), dtype=np.int32)
+    crq = np.zeros((mh * cbw, 8, 8), dtype=np.int32)
+    r = _BitReader(scan)
+    pd_y = pd_cb = pd_cr = 0
+    for my in range(mh):
+        for mx in range(mw):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    i = (2 * my + dy) * ybw + (2 * mx + dx)
+                    yq[i], pd_y = _decode_block(
+                        r, huff[0x00], huff[0x10], pd_y
+                    )
+            cbq[my * cbw + mx], pd_cb = _decode_block(
+                r, huff[0x01], huff[0x11], pd_cb
+            )
+            crq[my * cbw + mx], pd_cr = _decode_block(
+                r, huff[0x01], huff[0x11], pd_cr
+            )
+    rgb = _color_planes_to_rgb(
+        yq, cbq, crq, h16, w16, height, width,
+        qt_y=qts[0], qt_c=qts[1],
+    )
+    return width, height, 3, rgb
+
+
+def jpeg_reference_reconstruct_rgb(data: bytes, width: int) -> bytes:
+    """Bitstream-free color ground truth: RGB -> YCbCr planes ->
+    4:2:0 subsample -> quantize -> dequantize -> IDCT -> upsample ->
+    RGB, through the SAME kernels the codec uses.
+    jpeg_decode_color(jpeg_encode_rgb(x, w)) must equal this
+    byte-for-byte."""
+    (
+        (_ybh, _ybw, yq),
+        (_cbh, _cbw, cbq),
+        (_crh, _crw, crq),
+        height,
+        (h16, w16),
+    ) = _color_component_blocks(data, width)
+    return _color_planes_to_rgb(yq, cbq, crq, h16, w16, height, width)

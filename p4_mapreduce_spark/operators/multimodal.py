@@ -64,12 +64,21 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
             _w, _h, _c, px = png_decode(payload)
             return [float(len(px)), float(px[0]), float(px[-1])]
         if payload[:2] == b"\xff\xd8":
-            _w, _h, _c, px = jpeg_decode(payload)
+            try:
+                _w, _h, _c, px = jpeg_decode(payload)
+            except NotImplementedError:
+                # 3-component SOF0: the color decoder (r8)
+                from p4_mapreduce_spark.operators.codecs import (
+                    jpeg_decode_color,
+                )
+
+                _w, _h, _c, px = jpeg_decode_color(payload)
             return [float(len(px)), float(px[0]), float(px[-1])]
         raise NotImplementedError(
             "video decode requires a codec library; wire it here "
             "(ffmpeg/torchvision) on a real cluster — PNG and "
-            "baseline JPEG decode in-engine (operators/codecs.py)"
+            "baseline JPEG (grayscale + 4:2:0 color) decode "
+            "in-engine (operators/codecs.py)"
         )
     if not payload:
         return [0.0, 0.0, 0.0]
@@ -893,7 +902,8 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JPEG_SCHEMA = (
     "doc_id bigint, width int, height int, n_blocks int, "
-    "jpeg_valid boolean, decode_exact boolean"
+    "jpeg_valid boolean, decode_exact boolean, "
+    "color_valid boolean, color_exact boolean"
 )
 
 
@@ -908,7 +918,9 @@ JPEG_SCHEMA = (
                           / {_IMG_WIDTH}.0) / 8.0)
                 * {(_IMG_WIDTH + 7) // 8} AS INTEGER) AS n_blocks,
            TRUE AS jpeg_valid,
-           TRUE AS decode_exact
+           TRUE AS decode_exact,
+           TRUE AS color_valid,
+           TRUE AS color_exact
     FROM documents
     WHERE length(text) > 0
       AND octet_length(CAST(text AS BLOB)) = length(text)
@@ -926,7 +938,14 @@ JPEG_SCHEMA = (
     "coefficients exactly — that verdict is the decode_exact column, "
     "asserted per document by the oracle (the sketch-family pattern: "
     "the exact arm runs inside the query, the oracle asserts the "
-    "verdict). Geometry and block counts are oracle-derived from the "
+    "verdict). r8 adds the COLOR leg (the r7 verdict's ask #6): the "
+    "same payload read as interleaved RGB goes through the 4:2:0 "
+    "YCbCr baseline codec (Annex-K chroma quantization + Huffman "
+    "tables, 16x16 MCUs of 4 Y + Cb + Cr with per-component DC "
+    "predictors), and color_exact asserts per-component coefficient "
+    "round-trip via the shared color reconstruction kernel — the "
+    "video gate at operators/multimodal.py now covers video only. "
+    "Geometry and block counts are oracle-derived from the "
     "source byte length. Per-row CPU inside one Arrow-batched "
     "mapInPandas, no shuffle — embarrassingly parallel at 100 TB.",
     tags=("multimodal", "pandas-udf", "codec"),
@@ -941,6 +960,12 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        from p4_mapreduce_spark.operators.codecs import (
+            jpeg_decode_color,
+            jpeg_encode_rgb,
+            jpeg_reference_reconstruct_rgb,
+        )
+
         for pdf in batches:
             rows = {
                 "doc_id": [],
@@ -949,6 +974,8 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_blocks": [],
                 "jpeg_valid": [],
                 "decode_exact": [],
+                "color_valid": [],
+                "color_exact": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
@@ -958,6 +985,15 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 valid = jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
                 w, h, _c, px = jpeg_decode(jpg)
                 ref = jpeg_reference_reconstruct(raw, _IMG_WIDTH)
+                # RGB leg (r8): the same payload bytes read as
+                # interleaved RGB through the 4:2:0 color codec, same
+                # coefficient-exactness invariant per component
+                cjpg = jpeg_encode_rgb(raw, _IMG_WIDTH)
+                cvalid = (
+                    cjpg[:2] == b"\xff\xd8" and cjpg[-2:] == b"\xff\xd9"
+                )
+                _cw, _ch, _cc, crgb = jpeg_decode_color(cjpg)
+                cref = jpeg_reference_reconstruct_rgb(raw, _IMG_WIDTH)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -966,6 +1002,8 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 rows["jpeg_valid"].append(bool(valid))
                 rows["decode_exact"].append(px == ref)
+                rows["color_valid"].append(bool(cvalid))
+                rows["color_exact"].append(crgb == cref)
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=JPEG_SCHEMA)
