@@ -558,6 +558,7 @@ def _crossmodal_oracle() -> str:
     "bounded by multi-member groups only. Oracle: the banded phash "
     "SQL composed with a recursive transitive-closure CTE (closure "
     "quadratic only within tiny dup clusters).",
+    headline=True,
     tags=("dedup", "graph", "multimodal", "pipeline"),
 )
 def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +582,11 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.col("doc_id").alias("dst")
     )
 
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    from p4_mapreduce_spark.operators.multimodal import spread_for_cpu
+
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
     pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     rbs = [f"rb{r}" for r in range(_DH_ROWS)]
     hashed = pxdf.select(

@@ -418,6 +418,7 @@ def _pack_chunks_sql() -> str:
     "the oracle replays the identical decision sequence as a "
     "RECURSIVE CTE over row_number order. Integer token arithmetic "
     "only — parity is exact, no quantization needed.",
+    headline=True,
     tags=("pipeline", "text", "pandas-udf"),
 )
 def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,6 +89,22 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     return [float(len(payload)), float(ord(text[0])), float(ord(text[-1]))]
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism
+    before a CPU-bound Arrow map stage (r8). Parquet splits are sized
+    by BYTES (spark.sql.files.maxPartitionBytes), so a small-but-dense
+    input — 594 KB of text at sf0.1 — arrives as ONE split, and every
+    per-row codec stage downstream serializes on one core (measured:
+    multimodal_jpeg_pipeline ~12.6s single-core vs ~4 ms/doc of actual
+    codec CPU). The general 100 TB rule: split count follows
+    compressed bytes, but decode cost follows ROWS — any stage whose
+    per-row CPU dwarfs its per-row I/O needs an explicit
+    row-count-oriented repartition, because neither the scan planner
+    nor AQE can see Python-side CPU cost."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a multimodal asset table from documents: the text
     payload stands in for an opaque binary blob, with typed metadata."""
@@ -255,7 +271,9 @@ ROUNDTRIP_SCHEMA = (
     tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
 
     def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -321,7 +339,9 @@ _RGB_WIDTH = 16  # pixels; stride = 48 bytes/row at 3 bytes per pixel
 def multimodal_image_roundtrip_rgb(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
 
     def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -391,7 +411,9 @@ AUDIO_SCHEMA = (
     tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
 
     def roundtrip(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -494,7 +516,9 @@ def _audio_features_oracle() -> str:
     tags=("multimodal", "pandas-udf", "audio"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
 
     def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import math
@@ -641,7 +665,9 @@ def _decode_px(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  
     tags=("multimodal", "pandas-udf", "codec", "dedup"),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
     pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     return (
         pxdf.select("doc_id", _phash_hex_col().alias("phash"))
@@ -725,10 +751,13 @@ def _phash_neardup_oracle() -> str:
     "16-bit-key equi-joins over the (much smaller) distinct-hash "
     "table, verify is output-bound — the same shape as the MinHash "
     "and ANN banded families, applied to the image modality.",
+    headline=True,
     tags=("multimodal", "pandas-udf", "codec", "dedup"),
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
     pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     rbs = [f"rb{r}" for r in range(_DH_ROWS)]
     hashed = pxdf.select(
@@ -862,8 +891,10 @@ RESIZE_SCHEMA = (
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ascii_only = F.length("text") == F.octet_length(F.encode("text", "utf-8"))
-    assets = docs.where(ascii_only).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    assets = spread_for_cpu(
+        docs.where(ascii_only).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
     )
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -947,14 +978,19 @@ JPEG_SCHEMA = (
     "video gate at operators/multimodal.py now covers video only. "
     "Geometry and block counts are oracle-derived from the "
     "source byte length. Per-row CPU inside one Arrow-batched "
-    "mapInPandas, no shuffle — embarrassingly parallel at 100 TB.",
+    "mapInPandas behind an explicit row-count repartition "
+    "(spread_for_cpu: byte-sized splits serialize ms-per-row codec "
+    "stages) — embarrassingly parallel at 100 TB.",
+    headline=True,
     tags=("multimodal", "pandas-udf", "codec"),
 )
 def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ascii_only = F.length("text") == F.octet_length(F.encode("text", "utf-8"))
-    assets = docs.where(ascii_only & (F.length("text") > 0)).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    assets = spread_for_cpu(
+        docs.where(ascii_only & (F.length("text") > 0)).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821

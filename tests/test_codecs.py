@@ -366,3 +366,41 @@ def test_jpeg_color_is_perceptually_faithful():
     _dw, _dh, _c, rgb = jpeg_decode_color(jpeg_encode_rgb(data, w))
     mae = sum(abs(a - b) for a, b in zip(rgb, data)) / len(data)
     assert mae < 26.0, mae
+
+
+def test_jpeg_property_roundtrips():
+    """Property sweep: random payloads and widths — both codecs'
+    decode must equal their reference reconstruction bit-for-bit
+    (hypothesis-style but with a fixed LCG so the corpus is stable
+    across runs; failures reproduce by seed index)."""
+    from p4_mapreduce_spark.operators.codecs import (
+        jpeg_decode,
+        jpeg_decode_color,
+        jpeg_encode_gray,
+        jpeg_encode_rgb,
+        jpeg_reference_reconstruct,
+        jpeg_reference_reconstruct_rgb,
+    )
+
+    state = 0x243F6A8885A308D3  # fixed seed: pi digits
+
+    def rnd(n: int) -> bytes:
+        nonlocal state
+        out = bytearray()
+        for _ in range(n):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            out.append((state >> 33) & 0xFF)
+        return bytes(out)
+
+    for i in range(12):
+        w = 1 + (i * 7) % 40
+        n = (i * i * 131) % 900
+        data = rnd(n)
+        g = jpeg_encode_gray(data, w)
+        _gw, _gh, _gc, px = jpeg_decode(g)
+        assert px == jpeg_reference_reconstruct(data, w), (i, "gray")
+        c = jpeg_encode_rgb(data, w)
+        _cw, _ch, _cc, rgb = jpeg_decode_color(c)
+        assert rgb == jpeg_reference_reconstruct_rgb(data, w), (i, "color")

@@ -148,6 +148,12 @@ _BNLJ_ALLOWED = {
 # the per-query ceiling doesn't apply.
 _SHUFFLE_CAP_EXEMPT = {
     "hybrid_search_rrf",  # bm25 arm (4) + ann arm + rank fusion
+    # Three-arm recall curve (r8: nprobe 1/2/4): each IVFADC arm
+    # contributes its own hit-join + per-query rollup, but every
+    # exchange moves one of the 5 x 10-row audit frames (the arms are
+    # rank-bounded by construction) — shuffle COUNT grew with the
+    # third arm, shuffle BYTES stayed panel-sized.
+    "ivfadc_nprobe_recall",
     # Iterative: 4 merge rounds x (pair-count agg + argmax) — every
     # shuffle after the initial word count moves the distinct-word
     # vocabulary, never the corpus, so the count is high but each

@@ -77,7 +77,21 @@ if __name__ == "__main__":
     # the gate runs at 8 (measured: ann_lsh_incremental 6.3 -> 15.9).
     spark = get_spark(app_name="bench-budget", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    out = measure_ratios(spark, sf_dir)
+    # TWO full passes, per-query MIN (r8): this shared host shows
+    # transient contention spikes that inflate shuffle/UDF-heavy
+    # queries 5-10x while the scan-bound calibration barely moves
+    # (measured: dedup_minhash_lsh 3.3 -> 29.9 between two otherwise
+    # identical runs minutes apart). A spike rarely hits the same
+    # query in both passes, so the per-query min over two passes is a
+    # far more stable budget than any single pass.
+    p1 = measure_ratios(spark, sf_dir)
+    p2 = measure_ratios(spark, sf_dir)
+    out = {
+        "calibration_sec": min(p1["calibration_sec"], p2["calibration_sec"]),
+        "ratios": {
+            n: min(p1["ratios"][n], p2["ratios"][n]) for n in p1["ratios"]
+        },
+    }
     out["sf_dir"] = sf_dir
     out["protocol"] = (
         "ratio = min-of-2 steady-state query time / min-of-5 lineitem "
