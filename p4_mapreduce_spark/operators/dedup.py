@@ -1601,3 +1601,118 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_train_matches"),
         "max_jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram decontamination: the published 13-gram standard
+# ---------------------------------------------------------------------------
+
+# The GPT-3 appendix's decontamination recipe (public): a training
+# document is contaminated if it shares any exact 13-token n-gram with
+# an evaluation document. Complements decontaminate_test_split's
+# MinHash posture: MinHash finds whole-document near-duplicates; the
+# n-gram containment check catches a benchmark QUOTE embedded in an
+# otherwise-unrelated long document, which document-level Jaccard
+# dilutes below any workable threshold.
+_DECON_NGRAM_N = 13
+
+
+def _ngram_hash_sql(expr: str) -> str:
+    """48-bit integer hash of an n-gram string — md5-prefix via the
+    exact-in-both-engines <=12-nibble conv recipe."""
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 12)) AS UBIGINT)"
+
+
+@register(
+    "decontaminate_ngram_exact",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               {_ngram_hash_sql(
+                   f"array_to_string(t[s : s + {_DECON_NGRAM_N - 1}], ' ')")}
+                   AS gh
+        FROM toks,
+             unnest(generate_series(1, len(t) - {_DECON_NGRAM_N - 1}))
+                 AS g(s)
+        WHERE len(t) >= {_DECON_NGRAM_N}
+    ),
+    tg AS (SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % 10 < 8),
+    te AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 10 >= 8),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hit FROM tg JOIN te USING (gh)
+        GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_ngrams,
+           coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE)
+               AS contamination_rate,
+           coalesce(h.n_hit, 0) >= 1 AS is_contaminated
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc=f"Exact {_DECON_NGRAM_N}-gram decontamination — the published "
+    "GPT-3-appendix standard, next to decontaminate_test_split's "
+    "MinHash posture and contamination_ngram_overlap's "
+    "benchmark-centric 3-gram scan: a train document (doc_id%10<8) is contaminated "
+    f"if any of its exact {_DECON_NGRAM_N}-token n-grams appears in "
+    "any benchmark document (doc_id%10>=8). Catches a benchmark QUOTE "
+    "embedded in an otherwise-unrelated long document, which "
+    "document-level Jaccard dilutes below any workable threshold. "
+    "Scale shape: the n-gram explode is token-proportional (len-12 "
+    "grams per doc), both sides collapse to DISTINCT (doc, gram-hash) "
+    "/ DISTINCT gram-hash BEFORE the join (the collapse rule), keys "
+    "are 48-bit md5-prefix integers (8-byte shuffle, exact in both "
+    "engines via the <=12-nibble conv recipe), and at 100 TB the "
+    "benchmark side's distinct-gram table is eval-suite-sized — a "
+    "broadcast — so the train side is one scan + one map-side "
+    "semi-join + one per-doc count. Per-doc output: distinct-gram "
+    "count, hit count, contamination rate, verdict boolean.",
+    tags=("dedup", "pipeline", "text", "quality"),
+)
+def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    n = _DECON_NGRAM_N
+    gh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), n))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    grams = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (n - 1))
+            ).alias("i"),
+            "t",
+        )
+        .select("doc_id", gh.alias("gh"))
+    )
+    is_train = F.col("doc_id") % 10 < 8
+    tg = grams.where(is_train).distinct()
+    te = grams.where(~is_train).select("gh").distinct()
+    hits = (
+        tg.join(F.broadcast(te), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit_ngrams"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            / F.col("n_grams").cast("double")
+        ).alias("contamination_rate"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) >= 1).alias("is_contaminated"),
+    )

@@ -453,12 +453,12 @@ def _pq_best_ctes() -> str:
         f"FROM embeddings e CROSS JOIN cent c"
         for q in range(_PQ_M)
     )
-    return f"""cent AS (
+    return f"""cent AS MATERIALIZED (
         SELECT vec_id AS cid, embedding AS cvec FROM embeddings
         WHERE vec_id < {_PQ_K}
     ),
-    d AS ({per_q}),
-    best AS (
+    d AS MATERIALIZED ({per_q}),
+    best AS MATERIALIZED (
         SELECT vec_id, q, cid,
                floor(dist * 1000000.0 + 0.5) / 1000000.0 AS qdist
         FROM (
@@ -867,8 +867,8 @@ def _pq_lut_ctes(
         FROM {from_sql}
         WHERE vec_id IN ({_query_ids_sql()})
     ),
-    lutd AS ({per_q_lut}),
-    lut AS (
+    lutd AS MATERIALIZED ({per_q_lut}),
+    lut AS MATERIALIZED (
         SELECT query_id, q, cid,
                CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) AS dm
         FROM lutd
@@ -1350,32 +1350,81 @@ def _multiprobe_frame(
 _NPROBE_WIDE = 4
 
 
+def _nprobe_recall_oracle() -> str:
+    """Consolidated three-arm oracle: ONE k-means chain + ONE PQ
+    codebook/LUT chain + ONE adc table carrying each candidate's
+    cell_rank (the probe rank at which its cell enters), from which
+    every arm is a filter + window. The first version embedded three
+    full per-arm oracles and DuckDB's planner intermittently exploded
+    past its 100 GiB budget inlining them (the r7 MATERIALIZED-CTE
+    rule's composition-level sequel) — deriving the arms from one
+    shared adc table cuts the statement ~3x and removes the
+    duplicated chains entirely. Arm nprobe=1 equals the kassign-probe
+    oracle because a vector's fitted cell IS its rank-1 nearest cell
+    under the same quantized-argmin ordering."""
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        _ITERS,
+        _dist_sql,
+        _fq_sql,
+        kmeans_assign_ctes,
+    )
+
+    qd = _fq_sql(_dist_sql("q.v", "c.v"))
+
+    def arm(np: int) -> str:
+        return f"""h{np} AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_dist_micro, vec_id) AS rk
+                FROM adc
+                WHERE cell_rank <= {np} AND vec_id <> query_id
+            ) WHERE rk <= {TOP_K}
+        ) a JOIN exact e
+          ON a.query_id = e.query_id AND a.vec_id = e.neighbor_id
+        GROUP BY 1
+    )"""
+
+    return f"""
+    WITH {kmeans_assign_ctes()},
+    {_pq_best_ctes()},
+    {_pq_lut_ctes(probe_expr="0", from_sql="embeddings")},
+    exact AS MATERIALIZED ({_BF_ORACLE}),
+    qp AS MATERIALIZED (
+        SELECT query_id, cid AS probe, rn FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {qd}, c.cid) AS rn
+            FROM e q, c{_ITERS} c
+            WHERE q.vec_id IN ({_query_ids_sql()})
+        ) WHERE rn <= {_NPROBE_WIDE}
+    ),
+    mem AS MATERIALIZED (
+        SELECT qp.query_id, ka.vec_id, min(qp.rn) AS cell_rank
+        FROM qp JOIN kassign ka ON ka.cluster = qp.probe
+        GROUP BY 1, 2
+    ),
+    adc AS MATERIALIZED (
+        SELECT m.query_id, m.vec_id, m.cell_rank,
+               CAST(sum(l.dm) AS BIGINT) AS adc_dist_micro
+        FROM mem m
+        JOIN best b ON b.vec_id = m.vec_id
+        JOIN lut l ON l.query_id = m.query_id
+                  AND l.q = b.q AND l.cid = b.cid
+        GROUP BY 1, 2, 3
+    ),
+    {arm(1)},
+    {arm(_NPROBE)},
+    {arm(_NPROBE_WIDE)}
+    SELECT q.vec_id AS query_id,"""
+
+
 @register(
     "ivfadc_nprobe_recall",
-    oracle=f"""
-    WITH exact AS ({_BF_ORACLE}),
-    adc1 AS ({_ivfadc_kmeans_oracle()}),
-    adc2 AS ({_ivfadc_multiprobe_oracle()}),
-    adc4 AS ({_ivfadc_multiprobe_oracle(_NPROBE_WIDE)}),
-    h1 AS (
-        SELECT a.query_id, count(*) AS n_hits
-        FROM adc1 a JOIN exact e
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-    ),
-    h2 AS (
-        SELECT a.query_id, count(*) AS n_hits
-        FROM adc2 a JOIN exact e
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-    ),
-    h4 AS (
-        SELECT a.query_id, count(*) AS n_hits
-        FROM adc4 a JOIN exact e
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-    )
-    SELECT q.vec_id AS query_id,
+    oracle=_nprobe_recall_oracle() + f"""
            CAST(coalesce(h1.n_hits, 0) AS BIGINT) AS n_hits_nprobe1,
            CAST(coalesce(h2.n_hits, 0) AS BIGINT)
                AS n_hits_nprobe{_NPROBE},

@@ -1524,3 +1524,208 @@ def phash_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .select("phash_new", "phash_existing", "hamming")
         .distinct()
     )
+
+
+def streaming_sequence_packing(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.megapipeline.sequence_packing_stats
+    (r8): chunks arrive in micro-batches and each shard's next-fit
+    packing CONTINUES from its carried (bin_id, fill) state — the
+    incremental form of the training loader's packing step, where a
+    resumable run must keep filling the bin it left open rather than
+    re-packing the epoch.
+
+    Per micro-batch:
+
+    1. chunks the batch documents with the shared window arithmetic
+       and assigns shards with the SAME integer ladder as the batch
+       query, applied to the epoch corpus ONCE at stream start (a
+       real loader fixes its stream count per epoch; recomputing the
+       ladder mid-epoch would reshuffle streams);
+    2. joins each shard's carried state (latest batch's bin_id /
+       fill / cumulative counts, filtered to ``batch_id < current`` —
+       the crash-replay guard) onto the batch chunks — a
+       shard-count-sized broadcast;
+    3. packs each shard's chunk stream in (doc_id, chunk_idx) order
+       inside one applyInPandas group, STARTING from the carried
+       fill, and appends one cumulative state row per touched shard
+       keyed by batch_id.
+
+    Under in-order arrival (ascending doc_id tranches — the loader
+    contract) the final per-shard state equals the batch query's
+    one-shot packing exactly, which the test pins. Replay-idempotent:
+    a replayed batch recomputes byte-identical state rows under its
+    batch_id and the reader collapses duplicates."""
+    from p4_mapreduce_spark.operators.megapipeline import (
+        _PACK_CAP,
+        _hex_word_col,
+        _pack_n_shards,
+    )
+    from p4_mapreduce_spark.operators.pipeline_ops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    state_path = os.path.join(state_dir, "pack_state")
+
+    def batch_chunks(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split("text", " ", -1).alias("t"))
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        )
+        return (
+            toks.select("doc_id", "t", F.explode(starts).alias("s"))
+            .where(F.size("t") >= F.col("s"))
+            .select(
+                "doc_id",
+                ((F.col("s") - 1) / CHUNK_STRIDE)
+                .cast("int")
+                .alias("chunk_idx"),
+                F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("s") + 1)
+                .cast("int")
+                .alias("n_tokens"),
+            )
+        )
+
+    # shard count: the batch ladder applied to the EPOCH corpus, once
+    n_shards = _pack_n_shards(
+        batch_chunks(spark.read.parquet(docs_dir)).count()
+    )
+
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        shard_key = F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+        )
+        sharded = batch_chunks(batch_df).select(
+            (_hex_word_col(shard_key) % n_shards).cast("int").alias("shard"),
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+        )
+        prior = _read_parquet_or_none(spark, state_path)
+        if prior is not None:
+            latest = (
+                prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+                .groupBy("shard")
+                .agg(
+                    F.max(
+                        F.struct(
+                            "batch_id",
+                            "bin_id",
+                            "fill",
+                            "n_chunks",
+                            "total_tokens",
+                        )
+                    ).alias("s")
+                )
+                .select(
+                    "shard",
+                    F.col("s.bin_id").alias("p_bin"),
+                    F.col("s.fill").alias("p_fill"),
+                    F.col("s.n_chunks").alias("p_chunks"),
+                    F.col("s.total_tokens").alias("p_total"),
+                )
+            )
+            sharded = sharded.join(F.broadcast(latest), "shard", "left")
+        else:
+            sharded = (
+                sharded.withColumn("p_bin", F.lit(None).cast("bigint"))
+                .withColumn("p_fill", F.lit(None).cast("bigint"))
+                .withColumn("p_chunks", F.lit(None).cast("bigint"))
+                .withColumn("p_total", F.lit(None).cast("bigint"))
+            )
+
+        cap = _PACK_CAP
+
+        def pack(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(["doc_id", "chunk_idx"])
+            shard = int(pdf["shard"].iloc[0])
+            p_bin = pdf["p_bin"].iloc[0]
+            carried = not pd.isna(p_bin)
+            bin_id = int(p_bin) if carried else 0
+            fill = int(pdf["p_fill"].iloc[0]) if carried else cap + 1
+            n_chunks = int(pdf["p_chunks"].iloc[0]) if carried else 0
+            total = int(pdf["p_total"].iloc[0]) if carried else 0
+            for t in pdf["n_tokens"]:
+                t = int(t)
+                if fill + t <= cap:
+                    fill += t
+                else:
+                    bin_id += 1
+                    fill = t
+                n_chunks += 1
+                total += t
+            return pd.DataFrame(
+                [
+                    {
+                        "shard": shard,
+                        "bin_id": bin_id,
+                        "fill": fill,
+                        "n_chunks": n_chunks,
+                        "total_tokens": total,
+                    }
+                ]
+            )
+
+        out = sharded.groupBy("shard").applyInPandas(
+            pack,
+            schema="shard int, bin_id bigint, fill bigint, "
+            "n_chunks bigint, total_tokens bigint",
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def packing_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-shard packing stats derived from streaming_sequence_packing's
+    carried state: the LATEST state row per shard is the cumulative
+    answer (sequence_packing_stats' columns). Replay-safe: duplicate
+    rows per (shard, batch_id) are byte-identical, collapsed by the
+    max-struct pick."""
+    from p4_mapreduce_spark.operators.megapipeline import _PACK_CAP
+
+    latest = (
+        spark.read.parquet(os.path.join(state_dir, "pack_state"))
+        .groupBy("shard")
+        .agg(
+            F.max(
+                F.struct(
+                    "batch_id", "bin_id", "fill", "n_chunks", "total_tokens"
+                )
+            ).alias("s")
+        )
+        .select(
+            "shard",
+            F.col("s.n_chunks").alias("n_chunks"),
+            F.col("s.bin_id").alias("n_bins"),
+            F.col("s.total_tokens").alias("total_tokens"),
+        )
+    )
+    return latest.select(
+        "shard",
+        "n_chunks",
+        "n_bins",
+        "total_tokens",
+        (F.col("n_bins") * _PACK_CAP - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * _PACK_CAP).cast("double")
+        ).alias("fill_rate"),
+    )

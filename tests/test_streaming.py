@@ -1180,3 +1180,67 @@ def test_streaming_phash_neardup(spark, sf_dir, tmp_path):
         for r in phash_pairs_from_state(spark, state).collect()
     }
     assert replayed == want
+
+
+def test_streaming_sequence_packing(spark, sf_dir, tmp_path):
+    """Incrementally carried next-fit packing == the batch answer
+    under in-order arrival: each micro-batch continues every shard's
+    open bin from carried state, and the final per-shard stats must
+    equal sequence_packing_stats' one-shot packing exactly — plus
+    replay idempotency of the derived stats."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        packing_from_state,
+        streaming_sequence_packing,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    base = str(tmp_path / "docs")
+    step = (len(ids) + 3) // 4
+    for i in range(4):
+        lo = ids[i * step]
+        hi = ids[min((i + 1) * step, len(ids)) - 1]
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        ).coalesce(1).write.mode("append").parquet(base)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    state = str(tmp_path / "state")
+    q = streaming_sequence_packing(
+        spark, base, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    st = spark.read.parquet(f"{state}/pack_state")
+    assert st.select("batch_id").distinct().count() >= 2, "need >= 2 batches"
+
+    def as_map(df):
+        return {
+            r.shard: (
+                r.n_chunks,
+                r.n_bins,
+                r.total_tokens,
+                r.padding_tokens,
+                r.fill_rate,
+            )
+            for r in df.collect()
+        }
+
+    want = as_map(load_all()["sequence_packing_stats"].fn(spark, sf_dir))
+    got = as_map(packing_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's state rows under
+    # the same batch_id; the derived stats must not change
+    some_batch = st.agg(F.min("batch_id")).collect()[0][0]
+    st.where(F.col("batch_id") == some_batch).write.mode("append").parquet(
+        f"{state}/pack_state"
+    )
+    assert as_map(packing_from_state(spark, state)) == want
