@@ -1442,3 +1442,161 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(term * 1000000000.0 + 0.5).cast("bigint") / 1000000000.0
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture manifest: deterministic stratified sampling for mixing
+# ---------------------------------------------------------------------------
+
+# The mixing step every training run executes between curation and
+# sharding: given per-language domain weights (the DoReMi/Pile-style
+# mixture config — a fixed literal here, a config table in
+# production), compute each (lang, source) cell's deterministic
+# hash-sampling rate and the achieved counts. All arithmetic is
+# integer (ppm rates, floor division), and membership is decided by a
+# 48-bit md5 prefix of the salted doc_id — so the "random" sample is
+# exactly reproducible in any engine, the property a training run
+# needs to re-materialize the identical mixture months later.
+_MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2  # sample half the corpus tokens
+_MIX_SALT = "mix:"
+
+
+def _mix_weight_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE {col} {cases} ELSE 1 END"
+
+
+@register(
+    "data_mixture_manifest",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(CONCAT('0x', substr(md5('{_MIX_SALT}'
+                    || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+                    % 1000000 AS ticket
+        FROM documents
+    ),
+    lang_tot AS (
+        SELECT lang, {_mix_weight_sql('lang')} AS w,
+               sum(n_tokens) AS lang_tokens
+        FROM d GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(sum(lang_tokens) * {_MIX_BUDGET_NUM}
+                    // {_MIX_BUDGET_DEN} AS BIGINT) AS budget,
+               sum(w) AS wsum
+        FROM lang_tot
+    ),
+    rates AS (
+        SELECT lt.lang,
+               CAST(least(1000000, ((g.budget * lt.w) // g.wsum)
+                                   * 1000000 // lang_tokens)
+                    AS BIGINT) AS rate_ppm
+        FROM lang_tot lt CROSS JOIN g
+    )
+    SELECT d.lang, d.source, r.rate_ppm,
+           count(*) AS n_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN d.ticket < r.rate_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled_docs,
+           CAST(sum(CASE WHEN d.ticket < r.rate_ppm
+                         THEN d.n_tokens ELSE 0 END) AS BIGINT)
+               AS sampled_tokens
+    FROM d JOIN rates r USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Data-mixture manifest — the domain-reweighting step between "
+    "curation and sharding (the DoReMi / Pile-style mixture config "
+    "applied to a curated corpus): per-language weights turn a total "
+    "token budget (half the corpus here) into per-language token "
+    "targets, each language's DETERMINISTIC sampling rate is the "
+    "integer ppm ratio target/available capped at 1e6 (no "
+    "upsampling in this op), and membership is decided by a salted "
+    "48-bit md5 prefix of the doc_id mod 1e6 — a reproducible "
+    "hash lottery, so the exact mixture can be re-materialized "
+    "months later from the config alone, no RNG state. Output: one "
+    "row per (lang, source) cell with available and achieved "
+    "doc/token counts plus the cell's rate. Scale shape: one "
+    "token-count scan + a language-sized aggregate (broadcast back) "
+    "+ one map-side sampling predicate + one (lang, source) "
+    "aggregation — no shuffle carries text; all arithmetic integer, "
+    "so the oracle is exact.",
+    tags=("pipeline", "text", "quality"),
+)
+def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_MIX_SALT), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("ticket"),
+    )
+    w = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(_MIX_WEIGHTS.items())
+        ],
+        F.lit(1),
+    )
+    lang_tot = d.groupBy("lang").agg(
+        F.first(w).alias("w"), F.sum("n_tokens").alias("lang_tokens")
+    )
+    g = lang_tot.agg(
+        F.expr(
+            f"CAST((sum(lang_tokens) * {_MIX_BUDGET_NUM})"
+            f" div {_MIX_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget"),
+        F.sum("w").alias("wsum"),
+    )
+    rates = lang_tot.crossJoin(F.broadcast(g)).select(
+        "lang",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr(
+                "CAST(((budget * w) div wsum) * 1000000"
+                " div lang_tokens AS BIGINT)"
+            ),
+        ).alias("rate_ppm"),
+    )
+    sampled = F.col("ticket") < F.col("rate_ppm")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "source", "rate_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(sampled.cast("int")).cast("bigint").alias("n_sampled_docs"),
+            F.sum(F.when(sampled, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "rate_ppm",
+            "n_docs",
+            "n_tokens",
+            "n_sampled_docs",
+            "sampled_tokens",
+        )
+    )

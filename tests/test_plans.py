@@ -105,6 +105,7 @@ _BNLJ_ALLOWED = {
     "quality_unigram_logppl",  # single-row token total vs vocab frame
     "inverted_index_build",  # single-row doc-count frame vs df table
     "pmi_collocations",  # single-row corpus total vs bigram frame
+    "data_mixture_manifest",  # 1-row budget frame vs language-sized rates
     "hybrid_search_rrf",  # embeds the bm25 arm (avgdl 1-row frame)
     "bpe_train_merges",  # 4x single-row argmax pair re-entering as broadcast
     "bpe_encode_corpus",  # same 4x argmax chain + vocab join-back
