@@ -1457,14 +1457,14 @@ def psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 48-bit md5 prefix of the salted doc_id — so the "random" sample is
 # exactly reproducible in any engine, the property a training run
 # needs to re-materialize the identical mixture months later.
-_MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
-_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2  # sample half the corpus tokens
-_MIX_SALT = "mix:"
+_MIXM_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+_MIXM_BUDGET_NUM, _MIXM_BUDGET_DEN = 1, 2  # sample half the corpus tokens
+_MIXM_SALT = "mix:"
 
 
-def _mix_weight_sql(col: str) -> str:
+def _mixm_weight_sql(col: str) -> str:
     cases = " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIXM_WEIGHTS.items())
     )
     return f"CASE {col} {cases} ELSE 1 END"
 
@@ -1475,19 +1475,19 @@ def _mix_weight_sql(col: str) -> str:
     WITH d AS (
         SELECT doc_id, lang, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(CONCAT('0x', substr(md5('{_MIX_SALT}'
+               CAST(CONCAT('0x', substr(md5('{_MIXM_SALT}'
                     || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
                     % 1000000 AS ticket
         FROM documents
     ),
     lang_tot AS (
-        SELECT lang, {_mix_weight_sql('lang')} AS w,
+        SELECT lang, {_mixm_weight_sql('lang')} AS w,
                sum(n_tokens) AS lang_tokens
         FROM d GROUP BY 1
     ),
     g AS (
-        SELECT CAST(sum(lang_tokens) * {_MIX_BUDGET_NUM}
-                    // {_MIX_BUDGET_DEN} AS BIGINT) AS budget,
+        SELECT CAST(sum(lang_tokens) * {_MIXM_BUDGET_NUM}
+                    // {_MIXM_BUDGET_DEN} AS BIGINT) AS budget,
                sum(w) AS wsum
         FROM lang_tot
     ),
@@ -1539,7 +1539,7 @@ def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(
                     F.md5(
                         F.concat(
-                            F.lit(_MIX_SALT), F.col("doc_id").cast("string")
+                            F.lit(_MIXM_SALT), F.col("doc_id").cast("string")
                         )
                     ),
                     1,
@@ -1554,7 +1554,7 @@ def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))
-            for k, v in sorted(_MIX_WEIGHTS.items())
+            for k, v in sorted(_MIXM_WEIGHTS.items())
         ],
         F.lit(1),
     )
@@ -1563,8 +1563,8 @@ def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = lang_tot.agg(
         F.expr(
-            f"CAST((sum(lang_tokens) * {_MIX_BUDGET_NUM})"
-            f" div {_MIX_BUDGET_DEN} AS BIGINT)"
+            f"CAST((sum(lang_tokens) * {_MIXM_BUDGET_NUM})"
+            f" div {_MIXM_BUDGET_DEN} AS BIGINT)"
         ).alias("budget"),
         F.sum("w").alias("wsum"),
     )
