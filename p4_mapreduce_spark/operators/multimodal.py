@@ -8,8 +8,9 @@ feature-extract steps as Arrow-batched pandas functions over
 available) — ``multimodal_image_roundtrip`` / ``multimodal_audio_
 roundtrip`` push every document payload through encode→decode and the
 oracle verifies byte-exact md5 recovery. Formats needing external
-codec libraries (JPEG, video) still raise ``NotImplementedError`` with
-the wiring point documented.
+Since round 7/8 baseline JPEG decodes in-engine too (grayscale SOF0
+plus 4:2:0 YCbCr color, ``operators/codecs.py``); only VIDEO still
+raises ``NotImplementedError`` with the wiring point documented.
 
 Scale notes: binary payloads ride the same parquet scan as everything
 else (no per-row fetches); ``mapInPandas`` keeps the Python boundary
