@@ -357,6 +357,16 @@ def _dct_matrix():
     return A
 
 
+def _check_sof_dims(width: int, height: int) -> None:
+    """JPEG SOF0 stores height/width as 16-bit fields; callers check
+    this before running any DCT work so oversized inputs fail fast."""
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError(
+            f"JPEG SOF dimensions are 16-bit: got {width}x{height}, "
+            "max 65535x65535"
+        )
+
+
 def _jpeg_quantized_blocks(data: bytes, width: int):
     """Pixels -> per-block INTEGER quantized DCT coefficients.
 
@@ -484,12 +494,11 @@ def jpeg_encode_gray(data: bytes, width: int) -> bytes:
     run-length Huffman entropy coding, 0xFF byte stuffing. Lossy by
     construction (the quantizer); the exactness contract lives at the
     coefficient level (see module comment)."""
+    # SOF dimensions are 16-bit; reject BEFORE the full DCT pass so an
+    # oversized input fails in O(1), not after encoding the whole image.
+    _check_sof_dims(width, (max(len(data), 1) + width - 1) // width
+                    if width > 0 else 1)
     height, bh, bw, qblocks = _jpeg_quantized_blocks(data, width)
-    if width > 0xFFFF or height > 0xFFFF:
-        raise ValueError(
-            f"JPEG SOF dimensions are 16-bit: got {width}x{height}, "
-            "max 65535x65535"
-        )
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _BitWriter()
@@ -880,13 +889,15 @@ def jpeg_encode_rgb(data: bytes, width: int) -> bytes:
     tables, 16x16 MCU interleave (4 Y + Cb + Cr), per-component DC
     predictors. The exactness contract is per-component coefficient
     round-trip (see the color section comment)."""
+    # SOF dimensions are 16-bit; reject BEFORE the per-plane DCT pass
+    # (same early-exit contract as jpeg_encode_gray).
+    _check_sof_dims(
+        width,
+        ((max(len(data), 3) + 2) // 3 + width - 1) // width
+        if width > 0 else 1,
+    )
     (ybh, ybw, yq), (_cbh, cbw, cbq), (_crh, _crw, crq), height, (
         h16, w16) = _color_component_blocks(data, width)
-    if width > 0xFFFF or height > 0xFFFF:
-        raise ValueError(
-            f"JPEG SOF dimensions are 16-bit: got {width}x{height}, "
-            "max 65535x65535"
-        )
     dc_y = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_y = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     dc_c = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)

@@ -1807,6 +1807,12 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no distinct/groupBy — the join output (the near-quadratic
     # bucket-collision set) pipelines straight into the Arrow cosine
     # kernel in the same stage, never shuffling pair payloads.
+    # The guard below only checks band 0, which is complete iff there
+    # are exactly two bands; with 3+ bands a pair colliding in bands 1
+    # and 2 (but not 0) would be emitted twice. Generalizing means
+    # carrying every lower band's signature — do that before raising
+    # _ANN_BANDS.
+    assert _ANN_BANDS == 2, "first-collision guard assumes 2 bands"
     cand = left.join(right, ["band_id", "sig"]).where(
         (F.col("band_id") == 0) | (F.col("b0_n") != F.col("b0_e"))
     )

@@ -1518,12 +1518,17 @@ def phash_pairs_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """All cross-batch perceptual near-dup hash pairs accumulated by
     streaming_phash_neardup. Replay-safe: a re-run batch appends
     byte-identical rows under the same batch_id, so distinct()
-    restores exactly-once semantics."""
-    return (
-        spark.read.parquet(os.path.join(state_dir, "phash_pairs"))
-        .select("phash_new", "phash_existing", "hamming")
-        .distinct()
+    restores exactly-once semantics. A single-batch (or empty) stream
+    never creates the pairs path — return an empty frame, not an
+    AnalysisException."""
+    pairs = _read_parquet_or_none(
+        spark, os.path.join(state_dir, "phash_pairs")
     )
+    if pairs is None:
+        return spark.createDataFrame(
+            [], "phash_new string, phash_existing string, hamming int"
+        )
+    return pairs.select("phash_new", "phash_existing", "hamming").distinct()
 
 
 def streaming_sequence_packing(

@@ -1,6 +1,6 @@
 """Replay the driver's DuckDB-parity protocol for a SUBSET of queries.
 
-Usage: python tools/verify_one.py name1 [name2 ...] [--sf DIR[,DIR2]]
+Usage: python tools/verify_one.py name1 [name2 ...] [--sf=DIR[,DIR2]]
 
 Same bar as tools/verify_contract.py (row count + columns +
 order-insensitive value equality, floats bit-exact) but only for the
@@ -14,11 +14,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
-names = [a for a in sys.argv[1:] if not a.startswith("--")]
+names = []
 sf_dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
-for a in sys.argv[1:]:
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
     if a.startswith("--sf="):
         sf_dirs = a.split("=", 1)[1].split(",")
+    elif a == "--sf" and i + 1 < len(argv):  # two-token form
+        i += 1
+        sf_dirs = argv[i].split(",")
+    elif not a.startswith("--"):
+        names.append(a)
+    i += 1
 
 spark = (
     SparkSession.builder.master("local[8]")
