@@ -32,7 +32,9 @@ from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, reliable: bool = False
+) -> DataFrame:
     """Connected components of an undirected edge list.
 
     ``edges``: DataFrame[src: long, dst: long]. Returns
@@ -40,6 +42,18 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     minimum node id in the node's component. Raises ``RuntimeError``
     if labels haven't converged after ``max_iter`` rounds (components
     with diameter > max_iter would otherwise come back split).
+
+    ``reliable``: checkpoint durability trade (r8 verdict #3). The
+    default ``localCheckpoint`` stores blocks in EXECUTOR storage —
+    fastest, but lineage is truncated, so on a real cluster losing any
+    executor mid-convergence kills the job unrecoverably. With
+    ``reliable=True`` every checkpoint goes through
+    ``DataFrame.checkpoint`` to the SparkContext's checkpoint dir
+    (set it to an HDFS/S3 path on a cluster; a local temp dir is
+    auto-set here if unset), surviving executor loss at the price of
+    a filesystem write per round. Both paths produce identical labels
+    (pinned by test); pick reliable for 100 TB runs, local for
+    single-node.
 
     Per-round fixed cost is the number that matters (r7 verdict ask
     #3: the crossmodal consumer paid an 18.3s floor on 500 docs), so
@@ -63,11 +77,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
       test into a single collect, replacing the old eager-checkpoint
       job + changed-labels join + count action.
     """
+    if reliable:
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="cc_ckpt_")
+            )  # cluster runs should point this at HDFS/S3 instead
+
+    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        return df.checkpoint(eager) if reliable else df.localCheckpoint(
+            eager
+        )
+
     # Materialize the caller's edge build ONCE before the 4-way union —
     # unioning the raw plan would re-execute it (possibly an expensive
     # hash/decode pipeline) four times at checkpoint time.
-    e0 = edges.selectExpr("src", "dst").localCheckpoint()
-    sym = (
+    e0 = _ckpt(edges.selectExpr("src", "dst"))
+    sym = _ckpt(
         e0.union(e0.selectExpr("dst AS src", "src AS dst"))
         .union(e0.selectExpr("src AS src", "src AS dst"))
         .union(e0.selectExpr("dst AS src", "dst AS dst"))
@@ -75,15 +103,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # occurrence otherwise — degree-many for hubs), halving every
         # round's join input for star-heavy dup graphs
         .repartition(F.col("dst"))
-        .localCheckpoint()
     )
 
     # seed = min node id over each self-inclusive neighborhood: exactly
     # propagation round 1, but as a bare aggregation (no label join).
-    labels = (
-        sym.groupBy(F.col("src").alias("node"))
-        .agg(F.min("dst").alias("component"))
-        .localCheckpoint(eager=False)
+    labels = _ckpt(
+        sym.groupBy(F.col("src").alias("node")).agg(
+            F.min("dst").alias("component")
+        ),
+        eager=False,
     )
 
     def _label_sum(frame: DataFrame):
@@ -93,12 +121,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
     prev_sum = _label_sum(labels)  # materializes the lazy checkpoint
     for _ in range(max_iter):
-        new_labels = (
+        new_labels = _ckpt(
             sym.join(labels, sym.dst == labels.node)
             .select(sym.src.alias("node"), "component")
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)  # truncate lineage each round
+            .agg(F.min("component").alias("component")),
+            eager=False,  # truncate lineage each round
         )
         cur_sum = _label_sum(new_labels)  # one action: compute + persist
         labels = new_labels

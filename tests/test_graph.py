@@ -60,6 +60,36 @@ def test_synthetic_chain_and_triangle(spark):
     }
 
 
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    """The reliable (setCheckpointDir + checkpoint) path must produce
+    labels identical to the default localCheckpoint path — the r8
+    verdict's durability ask: localCheckpoint blocks live in executor
+    storage, so a 100 TB run needs the filesystem-backed mode."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    default = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    prior_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        durable = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, reliable=True).collect()
+        }
+    finally:
+        if prior_dir is not None:
+            spark.sparkContext.setCheckpointDir(prior_dir)
+    assert durable == default
+    # the reliable path really wrote filesystem checkpoints
+    import os
+
+    assert any(os.scandir(tmp_path / "cc_ckpt"))
+
+
 def _pagerank_py(edge_list, damping=0.85, n_iter=10):
     """Pure-Python reference for the same fixed-iteration formulation."""
     from collections import defaultdict
