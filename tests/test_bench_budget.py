@@ -1,4 +1,5 @@
-"""In-tree bench regression gate (r6 verdict ask #5).
+"""In-tree bench regression gate (r6 verdict ask #5; r8 verdict ask #1
+hardened it against host contention).
 
 BENCH_BUDGET.json records each headline query's ratio-to-calibration
 (min-of-2 steady-state / min-of-5 lineitem-scan calibration) measured
@@ -18,9 +19,28 @@ move the median and trips its own factor. A query fails when its
 measured ratio exceeds max(1.5x, +1.0 calibration-unit) of its
 median-rescaled budget.
 
+Contention-proofing (r9, after the gate false-failed twice under
+moderate host co-load with CHANGING failure sets — the fingerprint of
+noise, invisible from a single pass):
+
+1. CALIBRATION GUARD — if the session's calibration deviates >1.5x
+   from BENCH_BUDGET.json's recorded calibration_sec (either
+   direction), the session is not comparable to the one that set the
+   budget: skip loudly.
+2. DISPERSION GUARD — if the factor distribution's p75/p25 exceeds
+   2.0, contention is distorting relative query times: skip loudly.
+3. RETRY PASS — on failure, re-measure ONLY the over-budget queries
+   (fresh calibration, min with the original measurement) before
+   issuing a verdict. A contention spike rarely hits the same query
+   twice; a real regression reproduces and still fails.
+
 A headline query with NO budget at all also fails — adding a headliner
 requires re-running the updater, making every perf-relevant change a
 reviewable BENCH_BUDGET.json diff.
+
+The verdict logic is the pure function ``evaluate_gate`` below, unit-
+tested without Spark (contention scenario must PASS after retry, real
+regression must FAIL even after retry, deviant calibration must SKIP).
 """
 
 from __future__ import annotations
@@ -33,64 +53,218 @@ _BUDGET_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_BUDGET.json")
 _SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_CALIB_DEV_MAX = 1.5
+_DISPERSION_MAX = 2.0
+_SCALE_MAX = 3.0
 
-def test_headline_ratios_within_budget(spark):
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(_BUDGET_PATH), "tools"))
-    from update_bench_budget import measure_ratios
+def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
+    """Pure gate verdict. Returns (verdict, message) where verdict is
+    'skip' | 'pass' | 'fail'.
 
-    with open(_BUDGET_PATH) as f:
-        budget = json.load(f)["ratios"]
+    ``budget``: BENCH_BUDGET.json contents ({'calibration_sec': s,
+    'ratios': {name: ratio}}). ``got``: measure_ratios() output for
+    this session. ``remeasure``: callable(names) -> {'calibration_sec':
+    s, 'ratios': {name: ratio}} re-measuring only ``names`` (fresh
+    calibration); called at most once, only when a first-pass failure
+    needs confirming.
+    """
+    bratios = budget["ratios"]
+    missing = [n for n in got["ratios"] if n not in bratios]
+    if missing:
+        return "fail", (
+            f"headline queries without a budget: {sorted(missing)} — run "
+            "`python tools/update_bench_budget.py` and commit the diff"
+        )
 
-    got = measure_ratios(spark, _SF_DIR, runs=2)
-
-    missing = [n for n in got["ratios"] if n not in budget]
-    assert not missing, (
-        f"headline queries without a budget: {sorted(missing)} — run "
-        "`python tools/update_bench_budget.py` and commit the diff"
-    )
+    # Guard 1: calibration comparability. The budget's ratios were
+    # taken against ITS calibration; a session whose calibration
+    # deviates >1.5x is measuring a different machine state.
+    bc = budget.get("calibration_sec")
+    c = got["calibration_sec"]
+    if bc and max(c / bc, bc / c) > _CALIB_DEV_MAX:
+        return "skip", (
+            f"session calibration {c}s deviates >{_CALIB_DEV_MAX}x from "
+            f"the budget's {bc}s — host state is not comparable to the "
+            "budget session; re-run when quiet (or re-baseline with "
+            "tools/update_bench_budget.py if the machine changed)"
+        )
 
     factors = {
-        n: r / budget[n] for n, r in got["ratios"].items() if budget[n] > 0
+        n: r / bratios[n] for n, r in got["ratios"].items() if bratios[n] > 0
     }
-    # Noise guard (r8): this shared host shows transient contention
-    # that inflates shuffle/UDF-heavy queries 5-10x while scan-bound
-    # ones barely move — under that, per-query comparison is
-    # meaningless in BOTH directions. If the factor distribution is
-    # widely dispersed (p75/p25 of 37 queries moving together should
-    # be near 1; a single real regression is 1/37th of the mass and
-    # cannot widen the IQR), the session is too noisy to judge: skip
-    # loudly rather than fail/pass arbitrarily.
+    # Guard 2: factor dispersion. Contention inflates shuffle/UDF-heavy
+    # queries 5-10x while scan-bound ones barely move; under that,
+    # per-query comparison is meaningless in BOTH directions. 37
+    # queries moving together keep p75/p25 near 1; a single real
+    # regression is 1/37th of the mass and cannot widen the IQR.
     qs = statistics.quantiles(sorted(factors.values()), n=4)
     dispersion = qs[2] / max(qs[0], 1e-9)
-    if dispersion > 2.0:
-        import pytest
-
-        pytest.skip(
+    if dispersion > _DISPERSION_MAX:
+        return "skip", (
             f"bench factors too dispersed to judge (p75/p25 = "
-            f"{dispersion:.2f} > 2.0; session calib "
-            f"{got['calibration_sec']}s) — host contention is "
-            "distorting relative query times; re-run when quiet"
+            f"{dispersion:.2f} > {_DISPERSION_MAX}; session calib {c}s) "
+            "— host contention is distorting relative query times; "
+            "re-run when quiet"
         )
     scale = statistics.median(factors.values())
     # Median self-normalization would silently absorb a regression that
     # hits half or more of the headliners (session-config or framework
     # wide slowdown): bound the scale factor itself so a fleet-wide
     # slowdown fails loudly instead of rescaling everything green.
-    assert scale < 3.0, (
-        f"session scale factor {scale:.2f} >= 3.0 — more than half the "
-        "headline queries slowed together (framework/session-config "
-        "regression?); per-query rescaling would mask it"
+    if scale >= _SCALE_MAX:
+        return "fail", (
+            f"session scale factor {scale:.2f} >= {_SCALE_MAX} — more "
+            "than half the headline queries slowed together (framework/"
+            "session-config regression?); per-query rescaling would "
+            "mask it"
+        )
+
+    def over_budget(ratios: dict) -> list[str]:
+        out = []
+        for name in sorted(ratios):
+            b = bratios[name] * scale  # median-rescaled expectation
+            allowed = max(b * 1.5, b + 1.0)
+            if ratios[name] > allowed:
+                out.append(
+                    f"{name}: ratio {ratios[name]:.2f} > allowed "
+                    f"{allowed:.2f} (budget {bratios[name]}, session "
+                    f"scale {scale:.2f}, session calib {c}s)"
+                )
+        return out
+
+    failures = over_budget(got["ratios"])
+    if not failures:
+        return "pass", ""
+    # Guard 3: retry pass. A contention spike rarely hits the same
+    # query in two separated measurements; a real regression does.
+    names = [f.split(":", 1)[0] for f in failures]
+    retry = remeasure(names)
+    merged = {
+        n: min(got["ratios"][n], retry["ratios"].get(n, float("inf")))
+        for n in names
+    }
+    failures = over_budget(merged)
+    if not failures:
+        return "pass", ""
+    return "fail", (
+        "bench regression(s) (confirmed by retry pass):\n"
+        + "\n".join(failures)
     )
-    failures = []
-    for name, ratio in sorted(got["ratios"].items()):
-        b = budget[name] * scale  # median-rescaled expectation
-        allowed = max(b * 1.5, b + 1.0)
-        if ratio > allowed:
-            failures.append(
-                f"{name}: ratio {ratio:.2f} > allowed {allowed:.2f} "
-                f"(budget {budget[name]}, session scale {scale:.2f}, "
-                f"session calib {got['calibration_sec']}s)"
-            )
-    assert not failures, "bench regression(s):\n" + "\n".join(failures)
+
+
+def test_headline_ratios_within_budget(spark):
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(_BUDGET_PATH), "tools"))
+    from update_bench_budget import measure_ratios
+
+    with open(_BUDGET_PATH) as f:
+        budget = json.load(f)
+
+    got = measure_ratios(spark, _SF_DIR, runs=2)
+
+    def remeasure(names):
+        return measure_ratios(spark, _SF_DIR, runs=2, only=set(names))
+
+    verdict, msg = evaluate_gate(budget, got, remeasure)
+    if verdict == "skip":
+        pytest.skip(msg)
+    assert verdict == "pass", msg
+
+
+# ----- pure-logic unit tests (no Spark) ---------------------------------
+
+_N = 12
+
+
+def _budget(calib=0.2):
+    return {
+        "calibration_sec": calib,
+        "ratios": {f"q{i}": 4.0 for i in range(_N)},
+    }
+
+
+def _no_retry(names):  # a scenario that must resolve without retrying
+    raise AssertionError("retry pass should not run here")
+
+
+def test_gate_passes_clean_session():
+    got = {
+        "calibration_sec": 0.21,
+        "ratios": {f"q{i}": 4.1 for i in range(_N)},
+    }
+    verdict, _ = evaluate_gate(_budget(), got, _no_retry)
+    assert verdict == "pass"
+
+
+def test_gate_skips_on_deviant_calibration():
+    # the r8 false-failure fingerprint: session calibration 0.33s vs a
+    # 0.19s budget — >1.5x deviation must SKIP before any comparison
+    got = {
+        "calibration_sec": 0.33,
+        "ratios": {f"q{i}": 4.0 for i in range(_N)},
+    }
+    verdict, msg = evaluate_gate(_budget(0.19), got, _no_retry)
+    assert verdict == "skip" and "not comparable" in msg
+
+
+def test_gate_skips_on_dispersed_factors():
+    # contention: scan-bound queries flat, shuffle-heavy ones 3x
+    ratios = {f"q{i}": (12.0 if i % 2 else 4.0) for i in range(_N)}
+    got = {"calibration_sec": 0.2, "ratios": ratios}
+    verdict, msg = evaluate_gate(_budget(), got, _no_retry)
+    assert verdict == "skip" and "dispersed" in msg
+
+
+def test_gate_retry_clears_transient_spike():
+    # one query spikes 2.5x in pass 1 (mild enough to stay under the
+    # dispersion guard) but measures normal on retry -> PASS, and the
+    # retry must have been asked for exactly the spiked query
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q3"] = 10.0
+    got = {"calibration_sec": 0.2, "ratios": ratios}
+    asked = []
+
+    def remeasure(names):
+        asked.append(sorted(names))
+        return {"calibration_sec": 0.2, "ratios": {n: 4.2 for n in names}}
+
+    verdict, _ = evaluate_gate(_budget(), got, remeasure)
+    assert verdict == "pass"
+    assert asked == [["q3"]]
+
+
+def test_gate_fails_reproducing_regression():
+    # a real regression reproduces on retry -> FAIL with the query named
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q7"] = 10.0
+    got = {"calibration_sec": 0.2, "ratios": ratios}
+
+    def remeasure(names):
+        return {"calibration_sec": 0.2, "ratios": {n: 9.8 for n in names}}
+
+    verdict, msg = evaluate_gate(_budget(), got, remeasure)
+    assert verdict == "fail" and "q7" in msg and "retry" in msg
+
+
+def test_gate_fails_fleet_wide_slowdown():
+    # everything 3.2x slower with a matching calibration: the median
+    # rescale would absorb it; the scale bound must fail loudly
+    got = {
+        "calibration_sec": 0.2,
+        "ratios": {f"q{i}": 12.8 for i in range(_N)},
+    }
+    verdict, msg = evaluate_gate(_budget(), got, _no_retry)
+    assert verdict == "fail" and "scale factor" in msg
+
+
+def test_gate_fails_missing_budget():
+    got = {
+        "calibration_sec": 0.2,
+        "ratios": {**{f"q{i}": 4.0 for i in range(_N)}, "new_q": 1.0},
+    }
+    verdict, msg = evaluate_gate(_budget(), got, _no_retry)
+    assert verdict == "fail" and "new_q" in msg

@@ -30,8 +30,13 @@ from p4_mapreduce_spark.session import get_spark  # noqa: E402
 from p4_mapreduce_spark.sources.tables import load  # noqa: E402
 
 
-def measure_ratios(spark, sf_dir: str, runs: int = 2) -> dict:
-    """The shared protocol: calibration min-of-5, queries min-of-N."""
+def measure_ratios(spark, sf_dir: str, runs: int = 2, only=None) -> dict:
+    """The shared protocol: calibration min-of-5, queries min-of-N.
+
+    ``only``: optional collection of query names — measure just those
+    headliners (the gate's retry pass re-measures only the over-budget
+    queries, with a FRESH calibration so a transient spike in the
+    original calibration can't poison the retry ratios too)."""
     import pyspark.sql.functions as F
 
     def noop(df) -> None:
@@ -57,6 +62,8 @@ def measure_ratios(spark, sf_dir: str, runs: int = 2) -> dict:
     ratios: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
         if not spec.headline:
+            continue
+        if only is not None and name not in only:
             continue
         noop(spec.fn(spark, sf_dir))  # codegen warmup
         best = float("inf")
@@ -96,7 +103,11 @@ if __name__ == "__main__":
     out["protocol"] = (
         "ratio = min-of-2 steady-state query time / min-of-5 lineitem "
         "count+sum calibration scan; the gate median-rescales measured "
-        "ratios by budget and allows max(1.5x, +1.0) per query "
+        "ratios by budget and allows max(1.5x, +1.0) per query; "
+        "contention-proofing: SKIP when session calibration deviates "
+        ">1.5x from calibration_sec here or factor p75/p25 > 2.0, and "
+        "on first-pass failure re-measure ONLY the over-budget queries "
+        "(fresh calibration, min with original) before the verdict "
         "(see tests/test_bench_budget.py)"
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
