@@ -1528,7 +1528,19 @@ def _mixm_weight_sql(col: str) -> str:
     tags=("pipeline", "text", "quality"),
 )
 def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return mixture_manifest_frame(load(spark, sf_dir, "documents"))
+
+
+def mixture_manifest_frame(
+    docs: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Weights-parametric core of data_mixture_manifest (production
+    passes the mixture config table; the registered query fixes
+    _MIXM_WEIGHTS so the oracle stays a literal). The behavioral test
+    doubles one language's weight and checks rate_ppm moves exactly as
+    the closed form predicts."""
+    if weights is None:
+        weights = _MIXM_WEIGHTS
     d = docs.select(
         "doc_id",
         "lang",
@@ -1554,7 +1566,7 @@ def data_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))
-            for k, v in sorted(_MIXM_WEIGHTS.items())
+            for k, v in sorted(weights.items())
         ],
         F.lit(1),
     )
