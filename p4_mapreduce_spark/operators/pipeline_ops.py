@@ -1539,30 +1539,56 @@ def mixture_manifest_frame(
     _MIXM_WEIGHTS so the oracle stays a literal). The behavioral test
     doubles one language's weight and checks rate_ppm moves exactly as
     the closed form predicts."""
-    if weights is None:
-        weights = _MIXM_WEIGHTS
-    d = docs.select(
-        "doc_id",
+    return manifest_from_units(mixture_units(docs), weights)
+
+
+def mixture_ticket_col(doc_id_col: str = "doc_id"):
+    """The deterministic hash-lottery ticket: salted 48-bit md5 prefix
+    of the doc_id, mod 1e6 — shared by the batch manifest and the
+    streaming twin so membership can never drift between them."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_MIXM_SALT), F.col(doc_id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+
+
+def mixture_units(docs: DataFrame) -> DataFrame:
+    """Documents -> mixture UNITS: (lang, source, ticket, n_docs,
+    n_tokens) rows. The batch path emits one unit per document
+    (n_docs = 1); the streaming twin accumulates units pre-aggregated
+    per (lang, source, ticket) — bounded by cells x 1e6 tickets
+    regardless of corpus size — and both feed the same
+    manifest_from_units kernel."""
+    return docs.select(
         "lang",
         "source",
+        mixture_ticket_col().alias("ticket"),
+        F.lit(1).cast("bigint").alias("n_docs"),
         F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(_MIXM_SALT), F.col("doc_id").cast("string")
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 1000000
-        ).alias("ticket"),
     )
+
+
+def manifest_from_units(
+    units: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """The manifest arithmetic over mixture units — ONE kernel shared
+    by the batch query and the streaming state reader (integer ppm
+    rates, floor division, 1e6 cap; any drift between the two paths
+    would break the streaming==batch pin)."""
+    if weights is None:
+        weights = _MIXM_WEIGHTS
     w = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))
@@ -1570,7 +1596,7 @@ def mixture_manifest_frame(
         ],
         F.lit(1),
     )
-    lang_tot = d.groupBy("lang").agg(
+    lang_tot = units.groupBy("lang").agg(
         F.first(w).alias("w"), F.sum("n_tokens").alias("lang_tokens")
     )
     g = lang_tot.agg(
@@ -1591,14 +1617,17 @@ def mixture_manifest_frame(
         ).alias("rate_ppm"),
     )
     sampled = F.col("ticket") < F.col("rate_ppm")
+    zero = F.lit(0).cast("bigint")
     return (
-        d.join(F.broadcast(rates), "lang")
+        units.join(F.broadcast(rates), "lang")
         .groupBy("lang", "source", "rate_ppm")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.sum(sampled.cast("int")).cast("bigint").alias("n_sampled_docs"),
-            F.sum(F.when(sampled, F.col("n_tokens")).otherwise(0))
+            F.sum(F.when(sampled, F.col("n_docs")).otherwise(zero))
+            .cast("bigint")
+            .alias("n_sampled_docs"),
+            F.sum(F.when(sampled, F.col("n_tokens")).otherwise(zero))
             .cast("bigint")
             .alias("sampled_tokens"),
         )

@@ -1734,3 +1734,79 @@ def packing_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
             / (F.col("n_bins") * _PACK_CAP).cast("double")
         ).alias("fill_rate"),
     )
+
+
+def streaming_mixture_manifest(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.pipeline_ops.data_mixture_manifest
+    (r9, the r8 verdict's ask #7): documents arrive in micro-batches
+    and each batch folds into per-(lang, source, ticket) integer unit
+    aggregates — the cheapest possible twin, because membership is a
+    pure config-derived hash lottery, so the state is INTEGER-ADDITIVE
+    per micro-batch and never stores text.
+
+    Why tickets stay in the state: the final rate_ppm depends on the
+    WHOLE epoch's per-language token totals, which no mid-stream batch
+    can know — a real loader accumulates the corpus statistics during
+    ingest and fixes the mixture at epoch end. Keeping the additive
+    (n_docs, n_tokens) cells keyed by the 1e6-valued ticket lets the
+    reader apply ANY final rate exactly: state size is bounded by
+    cells x 1e6 rows REGARDLESS of corpus size (at 100 TB the ticket
+    dimension saturates and batches fold into existing cells), while
+    a per-doc catalog would grow forever.
+
+    Per-batch cost: one batch-proportional aggregation, appended with
+    batch_id. Replay-idempotent: a replayed batch recomputes
+    byte-identical cell rows under its batch_id and the reader
+    collapses duplicates (the corpus_report_from_state contract)."""
+    from p4_mapreduce_spark.operators.pipeline_ops import mixture_units
+
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            mixture_units(batch_df)
+            .groupBy("lang", "source", "ticket")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mixture_manifest_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Derive the data-mixture manifest from the accumulated unit
+    state alone — no access to the raw corpus. Matches
+    data_mixture_manifest column-for-column (the test pins equality):
+    the rate arithmetic is the SAME manifest_from_units kernel the
+    batch query runs, fed by summed state cells instead of per-doc
+    rows. Replay-safe: duplicated (batch_id, lang, source, ticket)
+    rows from a crash-replayed batch collapse with first() before the
+    cross-batch sum."""
+    from p4_mapreduce_spark.operators.pipeline_ops import (
+        manifest_from_units,
+    )
+
+    state = spark.read.parquet(state_dir)
+    once = state.groupBy("batch_id", "lang", "source", "ticket").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    units = once.groupBy("lang", "source", "ticket").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return manifest_from_units(units)

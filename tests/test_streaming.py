@@ -1244,3 +1244,60 @@ def test_streaming_sequence_packing(spark, sf_dir, tmp_path):
         f"{state}/pack_state"
     )
     assert as_map(packing_from_state(spark, state)) == want
+
+
+def test_streaming_mixture_manifest_matches_batch(spark, sf_dir, tmp_path):
+    """r9 twin: streaming the corpus in 4 micro-batches and deriving
+    the mixture manifest from the additive (lang, source, ticket) unit
+    state equals the batch data_mixture_manifest exactly — rates,
+    achieved counts, everything (the rate arithmetic is the shared
+    manifest_from_units kernel, so drift is structurally impossible;
+    this test pins the state plumbing). State never stores text and is
+    bounded by cells x 1e6 tickets regardless of corpus size."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        mixture_manifest_from_state,
+        streaming_mixture_manifest,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_mixture_manifest(spark, docs_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    st = spark.read.parquet(state)
+    batch_ids = {r.batch_id for r in st.select("batch_id").distinct().collect()}
+    assert len(batch_ids) >= 2, batch_ids
+
+    def as_map(df):
+        return {
+            (r.lang, r.source): (
+                r.rate_ppm,
+                r.n_docs,
+                r.n_tokens,
+                r.n_sampled_docs,
+                r.sampled_tokens,
+            )
+            for r in df.collect()
+        }
+
+    want = as_map(load_all()["data_mixture_manifest"].fn(spark, sf_dir))
+    got = as_map(mixture_manifest_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's state rows under
+    # the same batch_id; the derived manifest must not change
+    some_batch = min(batch_ids)
+    st.where(F.col("batch_id") == some_batch).write.mode("append").parquet(
+        state
+    )
+    assert as_map(mixture_manifest_from_state(spark, state)) == want
