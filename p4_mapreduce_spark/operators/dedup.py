@@ -1747,11 +1747,11 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L-parametric; nothing below depends on the value.
 _CUTLIST_L = 30
 
-
-@register(
-    "dedup_span_cutlist",
-    oracle=f"""
-    WITH toks AS (
+# Shared oracle CTE chain ending in `runs` (doc_id, run_start, run_end,
+# run_len, n_windows) — the cut list both SQL oracles consume, so the
+# cut-list emitter and the surgery consumer can never disagree on what
+# a maximal run is.
+_CUTLIST_RUNS_CTES = f"""toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
     w AS (
@@ -1778,19 +1778,29 @@ _CUTLIST_L = 30
                     ) > {_CUTLIST_L} THEN 1 ELSE 0 END AS new_run
         FROM hits
     ),
-    runs AS (
+    islands AS (
         SELECT doc_id, pos,
                sum(new_run) OVER (
                    PARTITION BY doc_id ORDER BY pos
                ) AS run_id
         FROM isl
-    )
-    SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS run_start,
-           CAST(max(pos) + {_CUTLIST_L - 1} AS BIGINT) AS run_end,
-           CAST(max(pos) + {_CUTLIST_L} - min(pos) AS BIGINT) AS run_len,
-           CAST(count(*) AS BIGINT) AS n_windows
-    FROM runs GROUP BY doc_id, run_id
+    ),
+    runs AS (
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS run_start,
+               CAST(max(pos) + {_CUTLIST_L - 1} AS BIGINT) AS run_end,
+               CAST(max(pos) + {_CUTLIST_L} - min(pos) AS BIGINT)
+                   AS run_len,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM islands GROUP BY doc_id, run_id
+    )"""
+
+
+@register(
+    "dedup_span_cutlist",
+    oracle=f"""
+    WITH {_CUTLIST_RUNS_CTES}
+    SELECT doc_id, run_start, run_end, run_len, n_windows FROM runs
     """,
     doc=f"ExactSubstr-style maximal duplicated-span CUT LIST (Lee et "
     "al. 2021's surgical-dedup contract; r8 verdict ask #2): one row "
@@ -1818,7 +1828,13 @@ _CUTLIST_L = 30
     headline=True,
 )
 def dedup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return _span_runs(load(spark, sf_dir, "documents"))
+
+
+def _span_runs(docs: DataFrame) -> DataFrame:
+    """The cut list as a frame: (doc_id, run_start, run_end, run_len,
+    n_windows) — shared by the emitter query and the surgery consumer
+    (mirrors the shared _CUTLIST_RUNS_CTES on the oracle side)."""
     L = _CUTLIST_L
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     wh = F.conv(
@@ -1872,4 +1888,114 @@ def dedup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e") + (L - 1)).cast("bigint").alias("run_end"),
         (F.col("e") + L - F.col("s")).cast("bigint").alias("run_len"),
         F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+
+
+@register(
+    "dedup_span_surgery",
+    oracle=f"""
+    WITH {_CUTLIST_RUNS_CTES},
+    rc AS (
+        SELECT r.doc_id, r.run_start, r.run_len,
+               md5(array_to_string(t[r.run_start : r.run_end], ' '))
+                   AS ch
+        FROM runs r JOIN toks USING (doc_id)
+    ),
+    keep AS (
+        SELECT doc_id, run_len,
+               row_number() OVER (
+                   PARTITION BY ch ORDER BY doc_id, run_start
+               ) = 1 AS keeper
+        FROM rc
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               count(*) AS n_runs,
+               sum(CASE WHEN keeper THEN 0 ELSE 1 END) AS n_runs_cut,
+               sum(CASE WHEN keeper THEN 0 ELSE run_len END)
+                   AS tokens_removed
+        FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(p.n_runs_cut, 0) AS BIGINT) AS n_runs_cut,
+           CAST(coalesce(p.tokens_removed, 0) AS BIGINT)
+               AS tokens_removed,
+           CAST(len(t.t) - coalesce(p.tokens_removed, 0) AS BIGINT)
+               AS tokens_kept
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="ExactSubstr SURGERY — the consumption step of "
+    "dedup_span_cutlist (Lee et al. 2021: remove every duplicated "
+    "substring occurrence except one): per document, how many maximal "
+    "duplicated runs it holds, how many get cut, and the resulting "
+    "token counts. The corpus-canonical KEEPER of each run CONTENT "
+    "(md5 of the run's token slice — exact-equal runs share a keeper; "
+    "distinct contents are independent) is the minimal (doc_id, "
+    "run_start) occurrence via row_number, so a quote shared by two "
+    "docs survives in the lower doc_id and a within-doc repeat keeps "
+    "its first occurrence. Maximal runs are disjoint by construction "
+    "(islands merge overlapping coverage), so removed-token sums never "
+    "double-count. Scale shape: the cut-list subtree (two "
+    "key-partitioned shuffles, see dedup_span_cutlist) + one "
+    "doc_id-partitioned join to slice run contents (token arrays move "
+    "once, cut-list-proportional) + one content-hash window "
+    "(cut-list-sized, tiny) + one per-doc left join. Output: one row "
+    "per document — the post-surgery corpus card.",
+    tags=("dedup", "pipeline", "text"),
+)
+def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    runs = _span_runs(docs)
+    rc = runs.join(toks, "doc_id").select(
+        "doc_id",
+        "run_start",
+        "run_len",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t",
+                    F.col("run_start").cast("int"),
+                    F.col("run_len").cast("int"),
+                ),
+            )
+        ).alias("ch"),
+    )
+    keeper = (
+        F.row_number().over(
+            Window.partitionBy("ch").orderBy("doc_id", "run_start")
+        )
+        == 1
+    )
+    zero = F.lit(0).cast("bigint")
+    per_doc = (
+        rc.withColumn("keeper", keeper)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum(F.when(F.col("keeper"), 0).otherwise(1)).alias(
+                "n_runs_cut"
+            ),
+            F.sum(
+                F.when(F.col("keeper"), zero).otherwise(F.col("run_len"))
+            ).alias("tokens_removed"),
+        )
+    )
+    nt = F.size("t").cast("bigint")
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.coalesce(F.col("n_runs"), zero).cast("bigint").alias("n_runs"),
+        F.coalesce(F.col("n_runs_cut"), zero)
+        .cast("bigint")
+        .alias("n_runs_cut"),
+        F.coalesce(F.col("tokens_removed"), zero)
+        .cast("bigint")
+        .alias("tokens_removed"),
+        (nt - F.coalesce(F.col("tokens_removed"), zero))
+        .cast("bigint")
+        .alias("tokens_kept"),
     )

@@ -113,6 +113,24 @@ def test_span_cutlist_planted_quote(spark, sf_dir, tmp_path):
     assert runs[3] == [(1, 35, 35, 6), (60, 94, 35, 6)]
     assert 4 not in runs
 
+    # the surgery consumer on the same planted corpus: the canonical
+    # keeper is the minimal (doc_id, run_start) occurrence of each run
+    # CONTENT, so doc 1 keeps the quote, doc 2 loses it, and doc 3's
+    # within-doc repeat keeps its first occurrence only
+    surg = registry["dedup_span_surgery"]
+    sgot = surg.fn(spark, planted).toPandas()
+    compare_frames(sgot, run_oracle(surg.oracle, planted),
+                   name="dedup_span_surgery[planted]")
+    srows = {
+        int(r.doc_id): (int(r.n_tokens), int(r.n_runs), int(r.n_runs_cut),
+                        int(r.tokens_removed), int(r.tokens_kept))
+        for r in sgot.itertuples()
+    }
+    assert srows[1] == (120, 1, 0, 0, 120)   # keeper: nothing removed
+    assert srows[2] == (105, 1, 1, 60, 45)   # quote cut
+    assert srows[3] == (100, 2, 1, 35, 65)   # second occurrence cut
+    assert srows[4] == (80, 0, 0, 0, 80)     # untouched control
+
 
 # ---------------------------------------------------------------------
 # decontaminate_ngram_exact vs document-level Jaccard
