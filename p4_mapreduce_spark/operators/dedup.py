@@ -1835,6 +1835,13 @@ def _span_runs(docs: DataFrame) -> DataFrame:
     """The cut list as a frame: (doc_id, run_start, run_end, run_len,
     n_windows) — shared by the emitter query and the surgery consumer
     (mirrors the shared _CUTLIST_RUNS_CTES on the oracle side)."""
+    return _runs_from_windows(_span_windows(docs))
+
+
+def _span_windows(docs: DataFrame) -> DataFrame:
+    """Stride-1 L-token window hashes: (doc_id, pos, wh). The only
+    stage that touches text — the streaming twin runs it per ingest
+    batch and keeps ONLY these rows as state (the window index)."""
     L = _CUTLIST_L
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     wh = F.conv(
@@ -1844,7 +1851,7 @@ def _span_runs(docs: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    w = (
+    return (
         toks.where(F.size("t") >= L)
         .select(
             "doc_id",
@@ -1855,6 +1862,12 @@ def _span_runs(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "pos", wh.alias("wh"))
     )
+
+
+def _runs_from_windows(w: DataFrame) -> DataFrame:
+    """Window-hash rows -> maximal duplicated runs (text-free half of
+    the cut list, also fed by the streaming twin's state reader)."""
+    L = _CUTLIST_L
     # duplicated-window membership as ONE window count over wh (the
     # position rows must survive for the merge, so a groupBy+join
     # would shuffle w twice; this shuffles it once)

@@ -1810,3 +1810,61 @@ def mixture_manifest_from_state(
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
     return manifest_from_units(units)
+
+
+def streaming_span_cutlist(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.dedup.dedup_span_cutlist (r9):
+    documents arrive in micro-batches and each batch appends its
+    stride-1 window hashes (doc_id, pos, wh) to the WINDOW INDEX — the
+    distributed analog of maintaining the ExactSubstr suffix-array
+    index at ingest. Text is touched exactly once, at ingest; the
+    state holds 3 integers per window.
+
+    The cut list itself is derived from the accumulated index by
+    span_cutlist_from_state, NOT emitted per batch, because the
+    published semantics are corpus-final and non-monotone: a window
+    is duplicated when it occurs >= 2 times ANYWHERE, so a batch-3
+    arrival can create new duplicated runs inside batch-1 documents —
+    no per-batch emission can be both incremental and correct. What
+    IS incremental (the expensive part) is the text scan + hashing;
+    the refresh runs the text-free half (one count-over-hash shuffle
+    + per-doc islands) over the compact index. Replay-idempotent: a
+    replayed batch recomputes byte-identical window rows under its
+    batch_id and the reader collapses duplicates."""
+    from p4_mapreduce_spark.operators.dedup import _span_windows
+
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _span_windows(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def span_cutlist_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Derive the maximal-duplicated-run cut list from the accumulated
+    window index alone — no access to the raw corpus. Matches
+    dedup_span_cutlist column-for-column (the test pins equality):
+    the runs pipeline is the SAME _runs_from_windows kernel the batch
+    query runs. Replay-safe: duplicated (batch_id, doc_id, pos) rows
+    from a crash-replayed batch collapse with first() before the
+    corpus-wide occurrence count."""
+    from p4_mapreduce_spark.operators.dedup import _runs_from_windows
+
+    state = spark.read.parquet(state_dir)
+    once = state.groupBy("batch_id", "doc_id", "pos").agg(
+        F.first("wh").alias("wh")
+    )
+    return _runs_from_windows(once.select("doc_id", "pos", "wh"))

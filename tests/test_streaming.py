@@ -1301,3 +1301,54 @@ def test_streaming_mixture_manifest_matches_batch(spark, sf_dir, tmp_path):
         state
     )
     assert as_map(mixture_manifest_from_state(spark, state)) == want
+
+
+def test_streaming_span_cutlist_matches_batch(spark, sf_dir, tmp_path):
+    """r9 twin: streaming the corpus in 4 micro-batches, keeping only
+    the per-batch window hashes as state, and deriving the cut list
+    from the accumulated index equals the batch dedup_span_cutlist
+    exactly. The reader recomputes duplicated-membership corpus-wide,
+    so cross-batch duplicates (a quote arriving batches apart) are
+    found — per-batch emission could not do that (non-monotone
+    semantics, see the twin's docstring)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        span_cutlist_from_state,
+        streaming_span_cutlist,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    load(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_span_cutlist(spark, docs_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    st = spark.read.parquet(state)
+    batch_ids = {r.batch_id for r in st.select("batch_id").distinct().collect()}
+    assert len(batch_ids) >= 2, batch_ids
+
+    def as_set(df):
+        return {
+            (r.doc_id, r.run_start, r.run_end, r.run_len, r.n_windows)
+            for r in df.collect()
+        }
+
+    want = as_set(load_all()["dedup_span_cutlist"].fn(spark, sf_dir))
+    got = as_set(span_cutlist_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's window rows under
+    # the same batch_id; the derived cut list must not change
+    some_batch = min(batch_ids)
+    st.where(F.col("batch_id") == some_batch).write.mode("append").parquet(
+        state
+    )
+    assert as_set(span_cutlist_from_state(spark, state)) == want
