@@ -23,10 +23,14 @@ Contention-proofing (r9, after the gate false-failed twice under
 moderate host co-load with CHANGING failure sets — the fingerprint of
 noise, invisible from a single pass):
 
-1. CALIBRATION GUARD — if the session's calibration deviates >1.5x
+1. CALIBRATION GUARD — if the session's calibration deviates >1.65x
    from BENCH_BUDGET.json's recorded calibration_sec (either
    direction), the session is not comparable to the one that set the
-   budget: skip loudly.
+   budget: skip loudly — after ONE in-session re-measure, because a
+   single min-of-5 calibration can land on a transient. (1.65, not
+   the 1.5 originally asked: this host's QUIET calibration spans
+   0.15-0.29s, so 1.5x around any center makes quiet sessions skip;
+   see _CALIB_DEV_MAX.)
 2. DISPERSION GUARD — if the factor distribution's p75/p25 exceeds
    2.0, contention is distorting relative query times: skip loudly.
 3. RETRY PASS — on failure, re-measure ONLY the over-budget queries
@@ -53,7 +57,14 @@ _BUDGET_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_BUDGET.json")
 _SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-_CALIB_DEV_MAX = 1.5
+# Measured on this host: QUIET-session calibration spans 0.15-0.29s
+# (cache/frequency state), i.e. up to ~1.55x from the budget's mean-of-
+# passes center, while the contended sessions that false-failed the r8
+# gate measured 0.32-0.33s (>= 1.7x). 1.65 is the separation point
+# between those two observed populations; the in-test re-measure on a
+# calibration skip and the per-query retry pass are the backstops for
+# the thin margin.
+_CALIB_DEV_MAX = 1.65
 _DISPERSION_MAX = 2.0
 _SCALE_MAX = 3.0
 
@@ -170,6 +181,13 @@ def test_headline_ratios_within_budget(spark):
         return measure_ratios(spark, _SF_DIR, runs=2, only=set(names))
 
     verdict, msg = evaluate_gate(budget, got, remeasure)
+    if verdict == "skip" and "not comparable" in msg:
+        # calibration-deviation skip: a single min-of-5 calibration can
+        # land on a transient fast/slow moment — measure once more
+        # before giving up the verdict (a genuinely contended session
+        # deviates again; a transient does not)
+        got = measure_ratios(spark, _SF_DIR, runs=2)
+        verdict, msg = evaluate_gate(budget, got, remeasure)
     if verdict == "skip":
         pytest.skip(msg)
     assert verdict == "pass", msg

@@ -94,7 +94,17 @@ if __name__ == "__main__":
     p1 = measure_ratios(spark, sf_dir)
     p2 = measure_ratios(spark, sf_dir)
     out = {
-        "calibration_sec": min(p1["calibration_sec"], p2["calibration_sec"]),
+        # MEAN of the two passes, not min: the gate's contention guard
+        # compares raw session calibration against this value with a
+        # 1.5x band, and this host's quiet-session calibration spans
+        # ~0.15-0.29s — recording the fast tail (a min) mis-centers the
+        # band and makes perfectly quiet gate sessions skip (measured:
+        # budget 0.154s, quiet gate session 0.284s = 1.84x). Ratios
+        # still use each pass's own calibration, so this choice only
+        # affects the guard's center.
+        "calibration_sec": round(
+            (p1["calibration_sec"] + p2["calibration_sec"]) / 2, 4
+        ),
         "ratios": {
             n: min(p1["ratios"][n], p2["ratios"][n]) for n in p1["ratios"]
         },
@@ -105,7 +115,7 @@ if __name__ == "__main__":
         "count+sum calibration scan; the gate median-rescales measured "
         "ratios by budget and allows max(1.5x, +1.0) per query; "
         "contention-proofing: SKIP when session calibration deviates "
-        ">1.5x from calibration_sec here or factor p75/p25 > 2.0, and "
+        ">1.65x from calibration_sec here or factor p75/p25 > 2.0, and "
         "on first-pass failure re-measure ONLY the over-budget queries "
         "(fresh calibration, min with original) before the verdict "
         "(see tests/test_bench_budget.py)"
