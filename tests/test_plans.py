@@ -49,11 +49,15 @@ def test_q3_broadcasts_dim(spark, sf_dir):
 
 def test_q5_broadcasts_dims(spark, sf_dir):
     df = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
-    plan = assert_broadcast_join(df)
-    # star join with broadcast dims: the fact table shuffles at most
-    # once for the agg (plus the final sort's range partitioning) —
-    # broadcast exchanges don't count
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert_broadcast_join(df)
+    # star join with broadcast dims: every dim rides a broadcast; the
+    # only hash exchanges are the TWO sides of the fact-fact
+    # lineitem><orders join plus the aggregate, and one range exchange
+    # for the final sort. (r9: counted on the SIMPLE plan — the old
+    # formatted-mode count never matched the node text and was
+    # vacuously <= 1.)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert plan.count("Exchange rangepartitioning") <= 1, plan
 
 
@@ -479,3 +483,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     }
     assert pruned == plain
 
+
+
+def test_span_cutlist_two_exchanges(spark, sf_dir):
+    """The cut list's scale contract (r9): exactly TWO hash exchanges —
+    one keyed by the 48-bit window hash (duplicated-membership as a
+    window count; a groupBy+semi-join shape would add a third), one by
+    doc_id for the islands merge. Any extra exchange is a token-
+    proportional shuffle regression at 100 TB."""
+    df = REGISTRY["dedup_span_cutlist"].fn(spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_span_surgery_bounded_exchanges(spark, sf_dir):
+    """Surgery adds to the cut-list subtree: the doc_id content-slice
+    join, the content-hash keeper window, and the per-doc left join —
+    all key-partitioned. Pin the exchange count so a future edit that
+    re-shuffles the token arrays more than once fails here."""
+    df = REGISTRY["dedup_span_surgery"].fn(spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
+    assert_no_cartesian(df)
