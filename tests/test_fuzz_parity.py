@@ -263,3 +263,97 @@ def test_random_join_agree(fuzz_ctx, node, how):
                 {jk} orders ON o_orderkey = l_orderkey"""
         )
     compare_frames(spark_pdf, oracle_pdf, name=f"fuzz_join:{how}:{to_sql(node)}")
+
+
+# --- ExactSubstr cut-list fuzz (r9) ----------------------------------------
+#
+# Random corpora with planted shared motifs, Spark's _span_runs vs a
+# pure-python maximal-duplicated-run reference. Filler tokens are
+# globally unique per example, so ALL duplication comes from the
+# planted motifs — but the reference computes exact semantics over
+# whatever the generator emits (motifs shorter than L, adjacent
+# motifs that merge into one island, within-doc repeats, empty docs),
+# so every generated corner is checked, not just the intended ones.
+
+_CUT_L = 30
+
+
+def _ref_cutlist(docs: dict[int, list[str]], L: int = _CUT_L) -> set:
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - L + 1):
+            cnt[tuple(toks[i : i + L])] += 1
+    runs = set()
+    for d, toks in docs.items():
+        hit = [
+            i + 1
+            for i in range(len(toks) - L + 1)
+            if cnt[tuple(toks[i : i + L])] >= 2
+        ]
+        start = prev = None
+        n = 0
+        for p in hit:
+            if prev is not None and p - prev > L:
+                runs.add((d, start, prev + L - 1, prev + L - start, n))
+                start, n = p, 0
+            if prev is None:
+                start = p
+            n += 1
+            prev = p
+        if prev is not None:
+            runs.add((d, start, prev + L - 1, prev + L - start, n))
+    return runs
+
+
+@st.composite
+def _motif_corpus(draw):
+    n_motifs = draw(st.integers(min_value=1, max_value=2))
+    motifs = [
+        [f"m{m}_{j}" for j in range(draw(st.integers(20, 60)))]
+        for m in range(n_motifs)
+    ]
+    uniq = iter(range(10**9))
+    docs = {}
+    for d in range(draw(st.integers(min_value=2, max_value=5))):
+        segs = draw(
+            st.lists(
+                st.one_of(
+                    st.tuples(st.just("fill"), st.integers(0, 40)),
+                    st.tuples(
+                        st.just("motif"), st.integers(0, n_motifs - 1)
+                    ),
+                ),
+                min_size=1,
+                max_size=4,
+            )
+        )
+        toks: list[str] = []
+        for kind, v in segs:
+            if kind == "fill":
+                toks.extend(f"f{next(uniq)}" for _ in range(v))
+            else:
+                toks.extend(motifs[v])
+        docs[d] = toks
+    return docs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_motif_corpus())
+def test_fuzz_span_cutlist_matches_reference(spark, corpus):
+    from p4_mapreduce_spark.operators.dedup import _span_runs
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.run_start, r.run_end, r.run_len, r.n_windows)
+        for r in _span_runs(docs).collect()
+    }
+    assert got == _ref_cutlist(corpus)
