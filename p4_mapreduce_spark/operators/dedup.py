@@ -1951,31 +1951,48 @@ def _runs_from_windows(w: DataFrame) -> DataFrame:
     "its first occurrence. Maximal runs are disjoint by construction "
     "(islands merge overlapping coverage), so removed-token sums never "
     "double-count. Scale shape: the cut-list subtree (two "
-    "key-partitioned shuffles, see dedup_span_cutlist) + one "
-    "doc_id-partitioned join to slice run contents (token arrays move "
-    "once, cut-list-proportional) + one content-hash window "
-    "(cut-list-sized, tiny) + one per-doc left join. Output: one row "
-    "per document — the post-surgery corpus card.",
+    "key-partitioned shuffles, see dedup_span_cutlist) + ONE "
+    "doc_id-partitioned LEFT join carrying every doc past its runs "
+    "(token arrays move once and are dropped map-side after the "
+    "content hash — TWO corpus scans total, not three) + one "
+    "content-hash keeper window (runless docs ride synthetic unique "
+    "keys, so no NULL-key skew partition) + one per-doc aggregation. "
+    "Output: one row per document — the post-surgery corpus card.",
     tags=("dedup", "pipeline", "text"),
 )
 def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     runs = _span_runs(docs)
-    rc = runs.join(toks, "doc_id").select(
+    # ONE corpus-side pass: a single LEFT join carries every doc (with
+    # its token array) past its runs, the content hash + token count
+    # are computed map-side, and the arrays are DROPPED before any
+    # further shuffle — the original shape joined toks twice (content
+    # slice + final per-doc join), i.e. a third full corpus scan that
+    # this projection eliminates. Runless docs get a synthetic unique
+    # ch ("doc:<id>", can never collide with a 32-hex md5), so the
+    # keeper window sees singleton partitions instead of one giant
+    # NULL-key partition (the skew funnel the plan tests hunt).
+    joined = toks.join(runs, "doc_id", "left").select(
         "doc_id",
+        F.size("t").cast("bigint").alias("nt"),
         "run_start",
         "run_len",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    "t",
-                    F.col("run_start").cast("int"),
-                    F.col("run_len").cast("int"),
-                ),
-            )
-        ).alias("ch"),
+        F.when(
+            F.col("run_start").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "t",
+                        F.col("run_start").cast("int"),
+                        F.col("run_len").cast("int"),
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+        .alias("ch"),
     )
     keeper = (
         F.row_number().over(
@@ -1984,31 +2001,28 @@ def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 1
     )
     zero = F.lit(0).cast("bigint")
-    per_doc = (
-        rc.withColumn("keeper", keeper)
+    is_cut = F.col("run_start").isNotNull() & ~F.col("keeper")
+    agg = (
+        joined.withColumn("keeper", keeper)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_runs"),
-            F.sum(F.when(F.col("keeper"), 0).otherwise(1)).alias(
-                "n_runs_cut"
-            ),
-            F.sum(
-                F.when(F.col("keeper"), zero).otherwise(F.col("run_len"))
-            ).alias("tokens_removed"),
+            F.first("nt").alias("n_tokens"),
+            F.count("run_start").cast("bigint").alias("n_runs"),
+            F.sum(F.when(is_cut, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_runs_cut"),
+            F.sum(F.when(is_cut, F.col("run_len")).otherwise(zero))
+            .cast("bigint")
+            .alias("tokens_removed"),
         )
     )
-    nt = F.size("t").cast("bigint")
-    return toks.join(per_doc, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
-        nt.alias("n_tokens"),
-        F.coalesce(F.col("n_runs"), zero).cast("bigint").alias("n_runs"),
-        F.coalesce(F.col("n_runs_cut"), zero)
-        .cast("bigint")
-        .alias("n_runs_cut"),
-        F.coalesce(F.col("tokens_removed"), zero)
-        .cast("bigint")
-        .alias("tokens_removed"),
-        (nt - F.coalesce(F.col("tokens_removed"), zero))
+        "n_tokens",
+        "n_runs",
+        "n_runs_cut",
+        "tokens_removed",
+        (F.col("n_tokens") - F.col("tokens_removed"))
         .cast("bigint")
         .alias("tokens_kept"),
     )
