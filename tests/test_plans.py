@@ -333,12 +333,31 @@ def test_all_plans_healthy(spark, sf_dir):
     """Whole-registry plan audit: no cartesian products, no
     row-at-a-time Python UDFs, no unexpected nested-loop joins, no
     runaway shuffle counts, no global Sort/Window funneled through an
-    Exchange SinglePartition — the 'is this still Spark-shaped' gate."""
+    Exchange SinglePartition, and no query scanning a BIG table three
+    or more times (two is legitimate for self-join semantics; three
+    means a subtree that should be shared — dedup_span_surgery shipped
+    with exactly that shape in r9 and folding it to two scans bought
+    ~30% at x60) — the 'is this still Spark-shaped' gate."""
+    import re
+    from collections import Counter
+
     from p4_mapreduce_spark.registry import load_all
 
+    big_tables = {"documents", "lineitem", "orders", "events", "embeddings"}
     problems = []
     for name, spec in sorted(load_all().items()):
         plan = plan_string(spec.fn(spark, sf_dir), mode="simple")
+        scans = Counter(
+            re.findall(
+                r"Location: InMemoryFileIndex \[[^\]]*?/(\w+)\.parquet",
+                plan,
+            )
+        )
+        rescans = {
+            t: c for t, c in scans.items() if c >= 3 and t in big_tables
+        }
+        if rescans:
+            problems.append((name, f"big table scanned 3+ times: {rescans}"))
         if "CartesianProduct" in plan:
             problems.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
