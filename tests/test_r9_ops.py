@@ -86,6 +86,10 @@ def test_span_cutlist_planted_quote(spark, sf_dir, tmp_path):
              + [f"f{i}" for i in range(6)]),
         # doc 4: all-unique control, must emit nothing
         _doc(4, [f"u{i}" for i in range(80)]),
+        # docs 5/6: EXACT duplicates — the whole doc is one maximal
+        # run; surgery keeps doc 5 intact and empties doc 6
+        _doc(5, [f"x{i}" for i in range(45)]),
+        _doc(6, [f"x{i}" for i in range(45)]),
     ]
     planted = _planted_sf_dir(sf_dir, tmp_path, rows)
     registry = load_all()
@@ -112,6 +116,9 @@ def test_span_cutlist_planted_quote(spark, sf_dir, tmp_path):
     # = 6 windows each), never merged across the 24-token gap
     assert runs[3] == [(1, 35, 35, 6), (60, 94, 35, 6)]
     assert 4 not in runs
+    # exact duplicates: the run IS the whole document
+    assert runs[5] == [(1, 45, 45, 16)]
+    assert runs[6] == [(1, 45, 45, 16)]
 
     # the surgery consumer on the same planted corpus: the canonical
     # keeper is the minimal (doc_id, run_start) occurrence of each run
@@ -130,6 +137,8 @@ def test_span_cutlist_planted_quote(spark, sf_dir, tmp_path):
     assert srows[2] == (105, 1, 1, 60, 45)   # quote cut
     assert srows[3] == (100, 2, 1, 35, 65)   # second occurrence cut
     assert srows[4] == (80, 0, 0, 0, 80)     # untouched control
+    assert srows[5] == (45, 1, 0, 0, 45)     # exact-dup keeper intact
+    assert srows[6] == (45, 1, 1, 45, 0)     # exact-dup loser emptied
 
 
 # ---------------------------------------------------------------------
