@@ -268,6 +268,25 @@ def test_gate_fails_reproducing_regression():
     assert verdict == "fail" and "q7" in msg and "retry" in msg
 
 
+def test_gate_retry_mixed_outcome_fails_only_reproducer():
+    # two queries over budget; the retry clears one (transient) and
+    # confirms the other -> FAIL naming only the reproducing query
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q2"] = 10.0   # transient
+    ratios["q9"] = 11.0   # real
+    got = {"calibration_sec": 0.2, "ratios": ratios}
+
+    def remeasure(names):
+        assert sorted(names) == ["q2", "q9"]
+        return {
+            "calibration_sec": 0.2,
+            "ratios": {"q2": 4.1, "q9": 10.7},
+        }
+
+    verdict, msg = evaluate_gate(_budget(), got, remeasure)
+    assert verdict == "fail" and "q9" in msg and "q2" not in msg
+
+
 def test_gate_fails_fleet_wide_slowdown():
     # everything 3.2x slower with a matching calibration: the median
     # rescale would absorb it; the scale bound must fail loudly
