@@ -1961,7 +1961,13 @@ def _runs_from_windows(w: DataFrame) -> DataFrame:
     tags=("dedup", "pipeline", "text"),
 )
 def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return _surgery_frame(load(spark, sf_dir, "documents"))
+
+
+def _surgery_frame(docs: DataFrame) -> DataFrame:
+    """dedup_span_surgery over an arbitrary documents frame — the one
+    body shared by the registered query and the hypothesis fuzz (which
+    pins it against a pure-python keeper reference)."""
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     runs = _span_runs(docs)
     # ONE corpus-side pass: a single LEFT join carries every doc (with

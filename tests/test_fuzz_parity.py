@@ -357,3 +357,56 @@ def test_fuzz_span_cutlist_matches_reference(spark, corpus):
         for r in _span_runs(docs).collect()
     }
     assert got == _ref_cutlist(corpus)
+
+
+def _ref_surgery(docs: dict[int, list[str]], L: int = _CUT_L) -> set:
+    """Pure-python keeper semantics over _ref_cutlist's runs: group
+    exact-equal run contents, keep the minimal (doc_id, run_start)
+    occurrence, aggregate per doc (runless docs included)."""
+    runs = sorted(_ref_cutlist(docs, L))
+    groups: dict[tuple, list] = {}
+    for d, s, e, ln, _n in runs:
+        groups.setdefault(tuple(docs[d][s - 1 : e]), []).append((d, s, ln))
+    cut = set()
+    for occ in groups.values():
+        for d, s, ln in sorted(occ)[1:]:
+            cut.add((d, s))
+    out = set()
+    for d, toks in docs.items():
+        mine = [(s, ln) for (dd, s, _e, ln, _n) in runs if dd == d]
+        removed = sum(ln for s, ln in mine if (d, s) in cut)
+        out.add(
+            (
+                d,
+                len(toks),
+                len(mine),
+                sum(1 for s, _ in mine if (d, s) in cut),
+                removed,
+                len(toks) - removed,
+            )
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_motif_corpus())
+def test_fuzz_span_surgery_matches_reference(spark, corpus):
+    from p4_mapreduce_spark.operators.dedup import _surgery_frame
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n_tokens, r.n_runs, r.n_runs_cut, r.tokens_removed,
+         r.tokens_kept)
+        for r in _surgery_frame(docs).collect()
+    }
+    # split(" ") of the joined text is how the engine tokenizes; an
+    # empty doc becomes [''] (one token), so mirror that here
+    ref_docs = {d: " ".join(t).split(" ") for d, t in corpus.items()}
+    assert got == _ref_surgery(ref_docs)
