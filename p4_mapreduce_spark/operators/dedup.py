@@ -153,6 +153,19 @@ def _persist_sigs_bounded(spark: SparkSession, sf_dir: str, sigs: "DataFrame") -
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SIGS_CACHE.get(key)
     if cached is not None:
+        # Re-persist on hit if something (catalog.clearCache, a cache
+        # eviction elsewhere) un-persisted the frame: otherwise the
+        # returned object silently loses the persistence this cache
+        # exists for, AND its plan flips from InMemoryRelation to raw
+        # FileScans — which made the rescan audit's scan counts
+        # depend on test order (r10).
+        try:
+            from pyspark import StorageLevel as _SL
+
+            if cached.storageLevel == _SL.NONE:
+                cached.persist(_SL.MEMORY_AND_DISK)
+        except Exception:
+            pass
         return cached
     for old_key, old_df in list(_SIGS_CACHE.items()):
         try:
@@ -1735,11 +1748,24 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumes. The paper builds a corpus suffix array — inherently
 # single-node; the distributed analog is stride-1 L-token WINDOW
 # hashes: a window occurring >= 2 times anywhere in the corpus is
-# duplicated, and the union of a doc's overlapping duplicated windows
-# is exactly the set of maximal duplicated runs (every length->=L
-# duplicated substring contains at least one fully-inside duplicated
-# L-window, and every duplicated L-window sits inside a duplicated
-# run, so merged window coverage == maximal runs).
+# duplicated, and a doc's "runs" are its MERGED DUPLICATED-WINDOW
+# COVERAGE — the islands merge joins hit positions whose gap is <= L,
+# which unions overlapping windows AND absorbs (a) adjacent
+# non-overlapping windows at gap == L and (b) any non-duplicated
+# tokens bridging a gap <= L. So an emitted run is a superset-union of
+# duplicated material, not itself guaranteed to occur twice verbatim:
+# completeness holds (every duplicated substring of length >= L
+# contains a fully-inside duplicated window, so it is covered), but a
+# run's full span may be unique to its doc. That is the CUT-LIST
+# contract (what surgery may excise), matching Lee et al.'s
+# remove-the-covered-spans usage; it is NOT a maximal-duplicated-
+# substring extractor. The impl, the SQL oracle, and the fuzz
+# reference all share this construction, and the surgery keeper
+# hashes the merged-span content — exact-equal merged spans share a
+# keeper; a merged span equal to nothing else keeps itself (and its
+# genuinely-duplicated sub-spans ride along uncut). Tighten the
+# island condition to gap <= L-1 if true run semantics are ever
+# needed.
 #
 # The paper's L is 50 tokens; this corpus averages ~55 tokens/doc, so
 # the in-tree constant is 30 to exercise sub-document runs (a 50 here
@@ -1748,11 +1774,17 @@ def decontaminate_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUTLIST_L = 30
 
 # Shared oracle CTE chain ending in `runs` (doc_id, run_start, run_end,
-# run_len, n_windows) — the cut list both SQL oracles consume, so the
-# cut-list emitter and the surgery consumer can never disagree on what
-# a maximal run is.
-_CUTLIST_RUNS_CTES = f"""toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+# run_len, n_windows) — the cut list every span-family SQL oracle
+# consumes, so the cut-list emitter, the surgery consumer, the apply
+# step, and the surgical pipeline can never disagree on what a maximal
+# run is. ``src`` parameterizes the corpus relation (the surgical
+# pipeline runs the chain over its `survivors` CTE instead of the raw
+# documents table).
+
+
+def _cutlist_runs_ctes(src: str = "documents") -> str:
+    return f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM {src}
     ),
     w AS (
         SELECT doc_id, s AS pos,
@@ -1796,6 +1828,9 @@ _CUTLIST_RUNS_CTES = f"""toks AS (
     )"""
 
 
+_CUTLIST_RUNS_CTES = _cutlist_runs_ctes()
+
+
 @register(
     "dedup_span_cutlist",
     oracle=f"""
@@ -1810,20 +1845,26 @@ _CUTLIST_RUNS_CTES = f"""toks AS (
     "(doc_id, run_start, run_end, run_len, n_windows). The paper's "
     "suffix array is single-node; the distributed analog is stride-1 "
     f"{_CUTLIST_L}-token window hashes (48-bit md5-prefix integers, "
-    "exact in both engines) + a gaps-and-islands merge: duplicated = "
-    "count over (partition by window-hash) >= 2 — ONE corpus shuffle "
-    "keyed by the 8-byte hash, replacing the groupBy+semi-join shape "
-    "(two shuffles) the 13-gram decontamination uses, because here "
-    "the position rows themselves must survive to be merged; then "
-    "per-doc lag/sum windows (partitioned by doc_id — never global) "
-    "merge windows whose coverage overlaps (gap > L starts a new "
-    "island) into maximal runs. Scale shape: the window-hash table is "
-    "token-proportional (the honest ExactSubstr cost), both shuffles "
-    "are key-partitioned with no driver materialization, and the "
-    "emitted cut list is output-proportional. A planted-duplication "
-    "fixture (tests/test_r9_ops.py) pins that an embedded 60-token "
-    "quote shared by two docs yields EXACTLY one maximal run per doc "
-    "with exact offsets.",
+    "exact in both engines) + a gaps-and-islands merge. Duplicated-"
+    "window membership (r10, skew-safe): the window index is "
+    "materialized once (lazy localCheckpoint — the published "
+    "pipeline's own materialization point), the duplicated-hash set "
+    "is a map-side partial-aggregated groupBy, and the left-semi "
+    "join back is AQE-skew-splittable, so a boilerplate block "
+    "appearing in millions of docs cannot funnel one partition (the "
+    "r9 count-over-Window shape straggled occurrence-proportionally; "
+    "tools/skew_probe_span.py + SCALE.md r10 have the planted-probe "
+    "numbers). Then per-doc lag/sum windows (partitioned by doc_id — "
+    "never global) merge windows whose coverage overlaps (gap > L "
+    "starts a new island) into maximal runs. Scale shape: the window "
+    "index is token-proportional in ROWS (hashing CPU is token x L — "
+    "each position md5s an L-token slice; see SCALE.md r10 for the "
+    "measured constant), every stage is key-partitioned with no "
+    "driver materialization, and the emitted cut list is output-"
+    "proportional. A planted-duplication fixture (tests/"
+    "test_r9_ops.py) pins that an embedded 60-token quote shared by "
+    "two docs yields EXACTLY one maximal run per doc with exact "
+    "offsets.",
     tags=("dedup", "pipeline", "text"),
     headline=True,
 )
@@ -1831,11 +1872,11 @@ def dedup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_runs(load(spark, sf_dir, "documents"))
 
 
-def _span_runs(docs: DataFrame) -> DataFrame:
+def _span_runs(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
     """The cut list as a frame: (doc_id, run_start, run_end, run_len,
     n_windows) — shared by the emitter query and the surgery consumer
     (mirrors the shared _CUTLIST_RUNS_CTES on the oracle side)."""
-    return _runs_from_windows(_span_windows(docs))
+    return _runs_from_windows(_span_windows(docs), skew_safe=skew_safe)
 
 
 def _span_windows(docs: DataFrame) -> DataFrame:
@@ -1864,20 +1905,55 @@ def _span_windows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _runs_from_windows(w: DataFrame) -> DataFrame:
+def _runs_from_windows(
+    w: DataFrame, skew_safe: bool = True, materialize: bool = False
+) -> DataFrame:
     """Window-hash rows -> maximal duplicated runs (text-free half of
-    the cut list, also fed by the streaming twin's state reader)."""
+    the cut list, also fed by the streaming twin's state reader).
+
+    Duplicated-window membership (``skew_safe=True``, the default
+    since r10): ``groupBy(wh).count() >= 2`` + a left-semi join back.
+    The r9 ``count over Window.partitionBy(wh)`` shape shuffles once
+    but funnels EVERY occurrence of a hot window hash into one
+    partition that AQE cannot split (skew-join splitting covers only
+    joins), and the ExactSubstr input is boilerplate-heavy by
+    definition: a 30-token license block in 1% of 1e9 docs is 1e7
+    position rows in ONE window partition (tools/skew_probe_span.py
+    plants exactly that corpus; SCALE.md r10 has the straggle
+    numbers). In the skew-safe shape every stage is bounded: the
+    count is map-side partial-aggregated (a hot key leaves each input
+    partition as ONE row, so the aggregation cannot straggle) and the
+    semi join back is AQE-skew-splittable. Cost: the two consumers of
+    ``w`` re-run its scan+explode+md5 map work (their column pruning
+    diverges, so Spark's exchange reuse cannot unify them) — that is
+    embarrassingly-parallel map time, bounded at 2x, measured cheaper
+    than EITHER the window funnel on a planted corpus or the
+    ``materialize=True`` arm (a lazy localCheckpoint of the
+    token-proportional index: the deserialized block write costs more
+    than recomputing the map). ``skew_safe=False`` keeps the r9 shape
+    for the probe's A/B."""
     L = _CUTLIST_L
-    # duplicated-window membership as ONE window count over wh (the
-    # position rows must survive for the merge, so a groupBy+join
-    # would shuffle w twice; this shuffles it once)
-    hits = (
-        w.withColumn(
-            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    if skew_safe:
+        # materialize=True swaps recompute for a token-proportional
+        # localCheckpoint of the index — measured SLOWER locally (the
+        # deserialized block write outweighs re-running the map work)
+        # and kept only as the probe's comparison arm
+        src = w.localCheckpoint(eager=False) if materialize else w
+        dup = (
+            src.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .where(F.col("n_occ") >= 2)
+            .select("wh")
         )
-        .where(F.col("n_occ") >= 2)
-        .select("doc_id", "pos")
-    )
+        hits = src.join(dup, "wh", "leftsemi").select("doc_id", "pos")
+    else:
+        hits = (
+            w.withColumn(
+                "n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+            )
+            .where(F.col("n_occ") >= 2)
+            .select("doc_id", "pos")
+        )
     seq = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         hits.withColumn(
@@ -1950,26 +2026,99 @@ def _runs_from_windows(w: DataFrame) -> DataFrame:
     "docs survives in the lower doc_id and a within-doc repeat keeps "
     "its first occurrence. Maximal runs are disjoint by construction "
     "(islands merge overlapping coverage), so removed-token sums never "
-    "double-count. Scale shape: the cut-list subtree (two "
-    "key-partitioned shuffles, see dedup_span_cutlist) + ONE "
-    "doc_id-partitioned LEFT join carrying every doc past its runs "
-    "(token arrays move once and are dropped map-side after the "
-    "content hash — TWO corpus scans total, not three) + one "
-    "content-hash keeper window (runless docs ride synthetic unique "
-    "keys, so no NULL-key skew partition) + one per-doc aggregation. "
-    "Output: one row per document — the post-surgery corpus card.",
+    "double-count. Scale shape (r10, skew-safe): the cut-list subtree "
+    "(see dedup_span_cutlist) + ONE doc_id-partitioned LEFT join "
+    "carrying every doc past its runs (token arrays move once and are "
+    "dropped map-side after the content hash) + the per-run card "
+    "materialized once (lazy localCheckpoint, OUTPUT-proportional) so "
+    "the keeper selection — a map-side partial-aggregated min(struct) "
+    "per content hash + an AQE-skew-splittable join back — cannot "
+    "funnel a popular run content into one partition the way the r9 "
+    "row_number-over-Window shape did (runless docs ride synthetic "
+    "unique keys either way, so no NULL-key skew partition) + one "
+    "per-doc aggregation. Output: one row per document — the "
+    "post-surgery corpus card.",
     tags=("dedup", "pipeline", "text"),
+    headline=True,
 )
 def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _surgery_frame(load(spark, sf_dir, "documents"))
 
 
-def _surgery_frame(docs: DataFrame) -> DataFrame:
+def _surgery_frame(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
     """dedup_span_surgery over an arbitrary documents frame — the one
     body shared by the registered query and the hypothesis fuzz (which
-    pins it against a pure-python keeper reference)."""
+    pins it against a pure-python keeper reference).
+
+    Keeper selection (``skew_safe=True``, default since r10):
+    materialize the per-run card (doc_id, nt, run_start, run_len, ch)
+    once — lazy ``localCheckpoint``, OUTPUT-proportional (one row per
+    run + one per runless doc; never token-proportional) — then the
+    per-content winner via ``groupBy(ch).agg(min(struct(doc_id,
+    run_start)))`` (map-side partial-aggregated, so a hot content
+    leaves each partition as one row) and an equi-join back
+    (AQE-skew-splittable). The r9 ``row_number over
+    Window.partitionBy(ch)`` funnels every candidate of a popular run
+    content (the planted-boilerplate case — one license block
+    appearing as THE run of millions of docs) into one un-splittable
+    window partition; a join-back WITHOUT the checkpoint would
+    instead recompute the whole cutlist+content subtree per branch
+    (measured 2.8x at 30k docs). The min-of-struct is exactly
+    row_number()==1 under (doc_id, run_start) ordering because struct
+    comparison is lexicographic."""
+    return _surgery_card(_marked_runs(docs, skew_safe=skew_safe))
+
+
+def _surgery_card(marked: DataFrame) -> DataFrame:
+    """Per-run keeper card -> per-doc surgery card (the text-free half
+    of dedup_span_surgery, shared with the streaming state reader)."""
+    zero = F.lit(0).cast("bigint")
+    is_cut = F.col("run_start").isNotNull() & ~F.col("keeper")
+    agg = (
+        marked
+        .groupBy("doc_id")
+        .agg(
+            F.first("nt").alias("n_tokens"),
+            F.count("run_start").cast("bigint").alias("n_runs"),
+            F.sum(F.when(is_cut, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_runs_cut"),
+            F.sum(F.when(is_cut, F.col("run_len")).otherwise(zero))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_runs",
+        "n_runs_cut",
+        "tokens_removed",
+        (F.col("n_tokens") - F.col("tokens_removed"))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
+def _marked_runs(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+    """Per-run keeper card: (doc_id, nt, run_start, run_len, ch,
+    keeper) — one row per maximal run plus one synthetic row per
+    runless doc. Shared by the surgery card (aggregates it) and the
+    apply step (uses the non-keeper rows as the cut set)."""
+    return _mark_keepers_from(
+        docs, _span_runs(docs, skew_safe=skew_safe), skew_safe=skew_safe
+    )
+
+
+def _mark_keepers_from(
+    docs: DataFrame, runs: DataFrame, skew_safe: bool = True
+) -> DataFrame:
+    """Keeper selection given an already-built cut list — the seam the
+    streaming twin reuses: its runs come from the accumulated window
+    index (text never re-hashed stride-1), its docs from the per-doc
+    state card, and the content-hash + keeper semantics here stay
+    byte-identical to the batch query's."""
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
-    runs = _span_runs(docs)
     # ONE corpus-side pass: a single LEFT join carries every doc (with
     # its token array) past its runs, the content hash + token count
     # are computed map-side, and the arrays are DROPPED before any
@@ -2000,35 +2149,151 @@ def _surgery_frame(docs: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
         .alias("ch"),
     )
-    keeper = (
-        F.row_number().over(
-            Window.partitionBy("ch").orderBy("doc_id", "run_start")
+    if skew_safe:
+        rc = joined.localCheckpoint(eager=False)
+        winners = rc.groupBy("ch").agg(
+            F.min(F.struct("doc_id", "run_start")).alias("k")
         )
-        == 1
+        marked = rc.join(winners, "ch").withColumn(
+            "keeper",
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & F.col("run_start").eqNullSafe(F.col("k.run_start")),
+        )
+    else:
+        marked = joined.withColumn(
+            "keeper",
+            F.row_number().over(
+                Window.partitionBy("ch").orderBy("doc_id", "run_start")
+            )
+            == 1,
+        )
+    return marked.select(
+        "doc_id", "nt", "run_start", "run_len", "ch", "keeper"
     )
-    zero = F.lit(0).cast("bigint")
-    is_cut = F.col("run_start").isNotNull() & ~F.col("keeper")
-    agg = (
-        joined.withColumn("keeper", keeper)
+
+
+def _apply_clean_ctes() -> str:
+    """Oracle CTE chain (prefix it with ``_cutlist_runs_ctes(src)``,
+    whose ``toks``/``runs`` it references — the corpus choice lives
+    there) ending in ``appagg`` (doc_id, clean_text, n_tokens_kept) — the
+    rewritten corpus. Shared by dedup_span_apply's own oracle and the
+    surgical training-shards pipeline's composed oracle (which runs it
+    over its `survivors` CTE), so the two can never disagree on what
+    the post-surgery corpus is."""
+    return """rc AS (
+        SELECT r.doc_id, r.run_start, r.run_len,
+               md5(array_to_string(t[r.run_start : r.run_end], ' '))
+                   AS ch
+        FROM runs r JOIN toks USING (doc_id)
+    ),
+    keep AS (
+        SELECT doc_id, run_start, run_len,
+               row_number() OVER (
+                   PARTITION BY ch ORDER BY doc_id, run_start
+               ) = 1 AS keeper
+        FROM rc
+    ),
+    cuts AS (
+        SELECT doc_id, run_start,
+               run_start + run_len - 1 AS cut_end
+        FROM keep WHERE NOT keeper
+    ),
+    pos AS (
+        SELECT doc_id, g.s AS p, t[g.s] AS tok
+        FROM toks, unnest(generate_series(1, len(t))) AS g(s)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.p, p.tok
+        FROM pos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cuts c
+            WHERE c.doc_id = p.doc_id
+              AND p.p BETWEEN c.run_start AND c.cut_end
+        )
+    ),
+    appagg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_tokens_kept
+        FROM kept GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_span_apply",
+    oracle=f"""
+    WITH {_CUTLIST_RUNS_CTES},
+    {_apply_clean_ctes()}
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT)
+               AS n_tokens_kept
+    FROM toks t LEFT JOIN appagg a USING (doc_id)
+    """,
+    doc="ExactSubstr APPLY — the post-surgery corpus (r9 verdict ask "
+    "#2, the capstone of the Lee et al. 2021 arc: cut list -> surgery "
+    "card -> REWRITTEN corpus): every document with its non-keeper "
+    "duplicated runs excised, as (doc_id, clean_text, "
+    "n_tokens_kept). The cut set is the surgery card's non-keeper "
+    "rows collected per doc (maximal runs are disjoint by "
+    "construction, so splicing is well-defined and bounded: <= "
+    f"n_tokens/{_CUTLIST_L} cut spans per doc); the rebuild is a "
+    "JVM-side higher-order filter (F.filter with index + F.exists "
+    "over the doc's cut spans — no Python UDF, no token explode on "
+    "the rebuild side). Scale shape: the marked-runs subtree (see "
+    "dedup_span_surgery) + ONE doc_id-keyed aggregation of cut spans "
+    "(bounded per doc) + ONE doc_id-keyed left join back to the "
+    "corpus — rebuild work is O(n_tokens x cut_spans) per doc, "
+    "map-side, skew-free. A planted fixture (tests/test_r10_ops.py) "
+    "asserts the exact cleaned strings: the lower-doc_id copy of a "
+    "planted quote survives verbatim, every other copy is excised.",
+    tags=("dedup", "pipeline", "text"),
+    headline=True,
+)
+def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_frame(load(spark, sf_dir, "documents"))
+
+
+def _apply_frame(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+    """dedup_span_apply over an arbitrary documents frame (shared with
+    the planted fixture and the hypothesis fuzz)."""
+    return _apply_from_marked(
+        _marked_runs(docs, skew_safe=skew_safe),
+        docs.select("doc_id", F.split("text", " ", -1).alias("t")),
+    )
+
+
+def _apply_from_marked(marked: DataFrame, toks: DataFrame) -> DataFrame:
+    """Cut-span excision given the keeper card and a (doc_id, t)
+    token-array frame — shared by the batch query and the streaming
+    state reader (whose toks come from the per-doc state card)."""
+    cuts = (
+        marked.where(F.col("run_start").isNotNull() & ~F.col("keeper"))
         .groupBy("doc_id")
         .agg(
-            F.first("nt").alias("n_tokens"),
-            F.count("run_start").cast("bigint").alias("n_runs"),
-            F.sum(F.when(is_cut, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_runs_cut"),
-            F.sum(F.when(is_cut, F.col("run_len")).otherwise(zero))
-            .cast("bigint")
-            .alias("tokens_removed"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("run_start").alias("s"),
+                        (F.col("run_start") + F.col("run_len") - 1).alias(
+                            "e"
+                        ),
+                    )
+                )
+            ).alias("cuts")
         )
     )
-    return agg.select(
+    joined = toks.join(cuts, "doc_id", "left")
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("cuts"),
+            lambda c: ((i + 1) >= c["s"]) & ((i + 1) <= c["e"]),
+        ),
+    )
+    clean = F.when(F.col("cuts").isNull(), F.col("t")).otherwise(kept)
+    return joined.select(
         "doc_id",
-        "n_tokens",
-        "n_runs",
-        "n_runs_cut",
-        "tokens_removed",
-        (F.col("n_tokens") - F.col("tokens_removed"))
-        .cast("bigint")
-        .alias("tokens_kept"),
+        F.concat_ws(" ", clean).alias("clean_text"),
+        F.size(clean).cast("bigint").alias("n_tokens_kept"),
     )

@@ -48,12 +48,19 @@ def connected_components(
     fastest, but lineage is truncated, so on a real cluster losing any
     executor mid-convergence kills the job unrecoverably. With
     ``reliable=True`` every checkpoint goes through
-    ``DataFrame.checkpoint`` to the SparkContext's checkpoint dir
-    (set it to an HDFS/S3 path on a cluster; a local temp dir is
-    auto-set here if unset), surviving executor loss at the price of
-    a filesystem write per round. Both paths produce identical labels
-    (pinned by test); pick reliable for 100 TB runs, local for
-    single-node.
+    ``DataFrame.checkpoint`` to the SparkContext's checkpoint dir,
+    surviving executor loss at the price of a filesystem write per
+    round. The caller must have configured
+    ``sc.setCheckpointDir(...)`` (HDFS/S3 on a cluster) — this
+    function raises instead of silently installing a temp-dir default
+    (r9 ADVICE: an auto-mkdtemp mutated global SparkContext state and
+    leaked one checkpoint per round per call, unbounded disk residue
+    across a session). Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at
+    session build to have checkpoint files GC'd with their RDDs; the
+    directory itself stays caller-owned either way. Both paths produce
+    identical labels (pinned by test); pick reliable for 100 TB runs,
+    local for single-node.
 
     Per-round fixed cost is the number that matters (r7 verdict ask
     #3: the crossmodal consumer paid an 18.3s floor on 500 docs), so
@@ -80,11 +87,18 @@ def connected_components(
     if reliable:
         sc = edges.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            import tempfile
-
-            sc.setCheckpointDir(
-                tempfile.mkdtemp(prefix="cc_ckpt_")
-            )  # cluster runs should point this at HDFS/S3 instead
+            raise RuntimeError(
+                "connected_components(reliable=True) needs a "
+                "checkpoint directory: call "
+                "spark.sparkContext.setCheckpointDir(<HDFS/S3 path on "
+                "a cluster, or a directory you own and clean up "
+                "locally>) first. Refusing to install a temp-dir "
+                "default: that would mutate global SparkContext state "
+                "as a side effect and leak one checkpoint per round "
+                "per call. Consider also setting "
+                "spark.cleaner.referenceTracking.cleanCheckpoints=true "
+                "so checkpoint files are GC'd with their RDDs."
+            )
 
     def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         return df.checkpoint(eager) if reliable else df.localCheckpoint(

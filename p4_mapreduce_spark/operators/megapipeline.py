@@ -61,7 +61,7 @@ def _hex_word_col(x: F.Column, n: int = 8) -> F.Column:
     return F.conv(F.substring(F.md5(x), 1, n), 16, 10).cast("bigint")
 
 
-def _shards_oracle() -> str:
+def _shards_oracle(surgical: bool = False) -> str:
     from p4_mapreduce_spark.operators.dedup import MINHASH_BANDS
 
     bandcand = " UNION ".join(
@@ -77,6 +77,27 @@ def _shards_oracle() -> str:
     shard_key = (
         "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)"
     )
+    # The surgical variant (r10) splices the ExactSubstr APPLY between
+    # decontamination and chunking: the shared cut-list + clean-corpus
+    # CTE chains run over `survivors`, and chunking reads the
+    # rewritten corpus (fully-excised docs dropped) instead.
+    surgical_ctes, chunk_src = "", "survivors"
+    if surgical:
+        from p4_mapreduce_spark.operators.dedup import (
+            _apply_clean_ctes,
+            _cutlist_runs_ctes,
+        )
+
+        surgical_ctes = f"""
+    {_cutlist_runs_ctes("survivors")},
+    {_apply_clean_ctes()},
+    clean AS (
+        SELECT t.doc_id,
+               a.clean_text AS text
+        FROM toks t JOIN appagg a USING (doc_id)
+        WHERE a.n_tokens_kept > 0
+    ),"""
+        chunk_src = "clean"
     return f"""
     WITH {_MINHASH_CTES},
     rep AS ({_REG["quality_repetition_screen"].oracle}),
@@ -115,7 +136,7 @@ def _shards_oracle() -> str:
         LEFT JOIN nearc nc ON nc.doc_id = k.doc_id
         LEFT JOIN exactc ec ON ec.doc_id = k.doc_id
         WHERE nc.doc_id IS NULL AND ec.doc_id IS NULL
-    ),
+    ),{surgical_ctes}
     chunks AS (
         SELECT doc_id,
                CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
@@ -123,7 +144,8 @@ def _shards_oracle() -> str:
                    AS chunk_text,
                CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INTEGER)
                    AS n_tokens
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM survivors),
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM {chunk_src}),
              unnest(generate_series(1, greatest(len(t), 1),
                                     {CHUNK_STRIDE})) AS g(s)
         WHERE len(t) >= s
@@ -175,6 +197,48 @@ def _shards_oracle() -> str:
     tags=("pipeline", "dedup", "quality", "text"),
 )
 def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _manifest_from_docs(_survivors_frame(spark, sf_dir))
+
+
+@register(
+    "training_shards_surgical",
+    oracle=_shards_oracle(surgical=True),
+    doc="training_shards_pipeline with the ExactSubstr stage the span "
+    "family was built for spliced in (r9 verdict ask #2, the capstone: "
+    "the cut list finally feeds the query a training run executes): "
+    "exact dedup -> quality funnel -> benchmark decontamination -> "
+    "SPAN SURGERY APPLY (dedup_span_apply over the surviving corpus — "
+    "every non-keeper maximal duplicated run excised, fully-excised "
+    "docs dropped) -> context-window chunking -> shard manifest, so "
+    "the per-shard token counts and integrity checksums reflect "
+    "span-level dedup, not just document-level. The composed DuckDB "
+    "oracle embeds the SAME registered CTE chains (MinHash, screens, "
+    "cut-list runs via _cutlist_runs_ctes('survivors'), clean corpus "
+    "via _apply_clean_ctes) into one statement, so the composition "
+    "can never drift from the components. Spark plan: the survivor "
+    "corpus is materialized once (lazy localCheckpoint — the span "
+    "stage's membership branches would otherwise recompute the "
+    "MinHash decontamination subtree per branch), then the apply "
+    "stage's skew-safe shapes (see dedup_span_apply) and the "
+    "zero-shuffle chunking + one manifest groupBy.",
+    tags=("pipeline", "dedup", "quality", "text"),
+)
+def training_shards_surgical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.operators.dedup import _apply_frame
+
+    survivors = _survivors_frame(spark, sf_dir).localCheckpoint(eager=False)
+    cleaned = (
+        _apply_frame(survivors)
+        .where(F.col("n_tokens_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return _manifest_from_docs(cleaned)
+
+
+def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3 (exact dedup -> quality funnel -> decontamination):
+    the surviving (doc_id, text) corpus — shared by the manifest
+    pipeline and the r10 surgical variant."""
     docs = load(spark, sf_dir, "documents")
     is_test = F.col("doc_id") % 10 >= 8
 
@@ -248,13 +312,17 @@ def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = near_gh.unionByName(exact_gh).distinct()
 
     # --- survivors: keeper ∩ quality, minus contaminated texts
-    survivors = (
+    return (
         keeper.join(contaminated, "gh", "left_anti")
         .join(qual, "doc_id")
         .join(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", "text")
     )
 
+
+def _manifest_from_docs(survivors: DataFrame) -> DataFrame:
+    """Stages 4-5 (context-window chunking -> shard manifest) over an
+    arbitrary (doc_id, text) frame."""
     # --- stage 4: context-window chunking (zero shuffle)
     toks = survivors.select("doc_id", F.split("text", " ", -1).alias("t"))
     starts = F.sequence(

@@ -1868,3 +1868,100 @@ def span_cutlist_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         F.first("wh").alias("wh")
     )
     return _runs_from_windows(once.select("doc_id", "pos", "wh"))
+
+
+def streaming_span_surgery(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of the WHOLE ExactSubstr consumption arc (r10,
+    r9 verdict ask #6): per ingest micro-batch, append (a) the
+    stride-1 window index (same rows streaming_span_cutlist keeps —
+    the expensive text hashing happens exactly once, at ingest) to
+    ``state_dir``/windows and (b) one per-doc card (doc_id, n_tokens,
+    text) to ``state_dir``/docs. The doc card is what the cut list
+    alone cannot reconstruct: the surgery keeper needs each run's
+    CONTENT hash, the card needs token counts for runless and
+    short-of-L docs, and the apply step needs the tokens it splices —
+    so the state is a window index + a document store, the exact pair
+    the published surgical-dedup pipeline materializes. Derivation is
+    corpus-final via span_surgery_from_state / span_apply_from_state
+    (same non-monotone-semantics argument as the cut-list twin);
+    replay-idempotent because both tables collapse replayed batch_id
+    duplicates before use."""
+    from p4_mapreduce_spark.operators.dedup import _span_windows
+
+    docs = stream_documents(spark, docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _span_windows(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{state_dir}/windows")
+        )
+        (
+            batch_df.select(
+                "doc_id",
+                F.size(F.split("text", " ", -1))
+                .cast("bigint")
+                .alias("n_tokens"),
+                "text",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{state_dir}/docs")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _span_state_parts(spark: SparkSession, state_dir: str):
+    """(docs, runs) reconstructed from the two state tables, replayed
+    batches collapsed — the inputs the shared batch kernels consume."""
+    from p4_mapreduce_spark.operators.dedup import _runs_from_windows
+
+    w = spark.read.parquet(f"{state_dir}/windows")
+    once_w = w.groupBy("batch_id", "doc_id", "pos").agg(
+        F.first("wh").alias("wh")
+    )
+    runs = _runs_from_windows(once_w.select("doc_id", "pos", "wh"))
+    d = spark.read.parquet(f"{state_dir}/docs")
+    docs = d.groupBy("batch_id", "doc_id").agg(
+        F.first("text").alias("text")
+    ).select("doc_id", "text").distinct()
+    return docs, runs
+
+
+def span_surgery_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Derive the per-doc surgery card from the accumulated state:
+    runs from the window index (text never re-hashed stride-1), docs
+    from the per-doc cards, keeper + card through the SAME
+    _mark_keepers_from/_surgery_card kernels the batch query runs —
+    pinned == dedup_span_surgery by test."""
+    from p4_mapreduce_spark.operators.dedup import (
+        _mark_keepers_from,
+        _surgery_card,
+    )
+
+    docs, runs = _span_state_parts(spark, state_dir)
+    return _surgery_card(_mark_keepers_from(docs, runs))
+
+
+def span_apply_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Derive the REWRITTEN corpus from the accumulated state through
+    the same _apply_from_marked kernel as dedup_span_apply — pinned ==
+    batch by test."""
+    from p4_mapreduce_spark.operators.dedup import (
+        _apply_from_marked,
+        _mark_keepers_from,
+    )
+
+    docs, runs = _span_state_parts(spark, state_dir)
+    marked = _mark_keepers_from(docs, runs)
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    return _apply_from_marked(marked, toks)

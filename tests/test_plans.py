@@ -422,6 +422,13 @@ def test_all_plans_healthy(spark, sf_dir):
     total_parquet_scans = 0
     prev_meta_len = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    # Canonical cache state: some subtrees (the MinHash signature
+    # table) ride a bounded module persist-cache, and a persisted
+    # subtree prints as InMemoryRelation — hiding its FileScans — so
+    # scan counts would depend on which tests ran first. Clear the
+    # cache so every plan prints its UNCACHED (worst-case) scan count,
+    # deterministically; the pins below are measured in this state.
+    spark.catalog.clearCache()
     try:
         plans = {
             name: plan_string(spec.fn(spark, sf_dir), mode="simple")
@@ -610,25 +617,54 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
 
 
 
-def test_span_cutlist_two_exchanges(spark, sf_dir):
-    """The cut list's scale contract (r9): exactly TWO hash exchanges —
-    one keyed by the 48-bit window hash (duplicated-membership as a
-    window count; a groupBy+semi-join shape would add a third), one by
-    doc_id for the islands merge. Any extra exchange is a token-
-    proportional shuffle regression at 100 TB."""
+def test_span_cutlist_skew_safe_shape(spark, sf_dir):
+    """The cut list's scale contract (r10): duplicated-membership is a
+    map-side partial-aggregated groupBy + semi join back (AQE-skew-
+    splittable) — NOT a count over Window.partitionBy(wh), which
+    funnels a hot window hash into one un-splittable partition — and
+    the only Window nodes are the per-doc islands merge (doc_id-
+    partitioned, bounded by doc length). The two membership branches
+    each scan documents (their pruning diverges, so exchange reuse
+    can't unify them — bounded 2x map work, the price of zero
+    funnels); more than two scans means the subtree stopped being
+    shared on the reduce side."""
     df = REGISTRY["dedup_span_cutlist"].fn(spark, sf_dir)
     plan = plan_string(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    # every Window is the doc_id islands merge, never a wh funnel
+    import re
+
+    for spec in re.findall(r"Window \[[^\n]*?\], \[(\w+)#", plan):
+        assert spec == "doc_id", plan
     assert_no_cartesian(df)
 
 
-def test_span_surgery_bounded_exchanges(spark, sf_dir):
-    """Surgery adds to the cut-list subtree: the doc_id content-slice
-    join, the content-hash keeper window, and the per-doc left join —
-    all key-partitioned. Pin the exchange count so a future edit that
-    re-shuffles the token arrays more than once fails here."""
+def test_span_surgery_skew_safe_shape(spark, sf_dir):
+    """Surgery's r10 contract: the per-run card is materialized once
+    ('Scan ExistingRDD' x2 — winner aggregation + join back), the
+    keeper is a grouped min(struct) + join (no ch-partitioned Window
+    funnel anywhere in the visible plan), and the exchange count stays
+    bounded so a future edit that re-shuffles the card more than the
+    keeper join needs fails here."""
     df = REGISTRY["dedup_span_surgery"].fn(spark, sf_dir)
     plan = plan_string(df, mode="simple")
-    assert plan.count("Exchange hashpartitioning") <= 6, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Window" not in plan, plan  # keeper is grouped, not windowed
+    assert_no_cartesian(df)
+
+
+def test_span_apply_shape(spark, sf_dir):
+    """The rewritten-corpus step: cut spans aggregate per doc (bounded
+    by doc length), ONE doc_id-keyed join back to the corpus, and the
+    token rebuild is a JVM-side higher-order filter — no Python UDF,
+    no explode of the corpus on the rebuild side, no Window at all."""
+    df = REGISTRY["dedup_span_apply"].fn(spark, sf_dir)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     assert_no_cartesian(df)
