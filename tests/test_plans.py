@@ -329,6 +329,71 @@ def test_funnel_allowlist_bounds_hold(spark, sf_dir):
     assert not problems, problems
 
 
+# Window partition-key pins (r10, after the span family's hot-key
+# funnels were rewritten): every Window node's partition columns,
+# per query, as observed in the simple plan. Window partitions are
+# the one shuffle shape AQE can NEVER split, so a hot partition key
+# (a content hash, a boilerplate-popular value) is an un-splittable
+# straggler at 100 TB. Each pinned key set below was reviewed as
+# bounded: per-entity keys (doc_id/user_id/custkey/query_id — rows
+# per key bounded by the entity's own data), per-distinct-text keys
+# (gh — bounded by one doc's shingles), fixed-shard keys, time-range-
+# bounded keys (event_type over HOURLY aggregates), or rank-filter
+# windows that plan a PARTIAL WindowGroupLimit (map-side top-k, so
+# the window partition receives <= #map-partitions rows — e.g.
+# label_centroid_medoid). Adding a query with a NEW window key (or
+# changing one) must extend this dict consciously — that review is
+# the point.
+_WINDOW_KEY_PINS = {
+    "ann_bruteforce_topk": {("query_id",)},  # Partial WindowGroupLimit
+    "ann_ivf_probe": {("query_id",)},
+    "ann_lsh_bucketed": {("query_id",)},
+    "ann_lsh_recall": {("query_id",)},
+    "asof_join_clicks_purchases": {("user_id",)},
+    "asof_join_forward": {("user_id",)},
+    "attribution_last_touch": {("user_id",)},
+    "cohort_retention": {("o_custkey",)},
+    "dedup_jaccard_prefix": {("gh",)},
+    "dedup_keep_latest": {("user_id",)},
+    "dedup_span_cutlist": {("doc_id",)},
+    "event_interarrival_stats": {("user_id", "event_type")},
+    "exact_median_via_window": {("c_nationkey",)},
+    "hard_negative_mining": {("query_id", "role")},
+    "hybrid_search_rrf": {("query_id",)},
+    "inverted_index_build": {("word",)},  # <= _POSTING_SHARDS rows/word
+    "ivfadc_kmeans_search": {("query_id",)},
+    "ivfadc_multiprobe_search": {("query_id",)},
+    "ivfadc_nprobe_recall": {("query_id",)},
+    "ivfadc_recall_audit": {("query_id",)},
+    "ivfadc_search": {("query_id",)},
+    "label_centroid_medoid": {("label",)},  # Partial WindowGroupLimit
+    "lateral_topn_per_customer": {("o_custkey",)},
+    "markov_event_transitions": {("user_id",)},
+    "merge_event_intervals": {("user_id",)},
+    "mrl_truncation_recall": {("query_id",)},
+    "naive_bayes_langid": {("doc_id",)},
+    "pq_adc_topk": {("query_id",)},
+    "scd2_dimension_build": {("user_id",)},
+    "seq_pack_shards": {("source", "shard")},
+    "sessionize_events": {("user_id",)},
+    "stratified_sample_per_group": {("c_mktsegment",)},
+    "stream_session_windows": {("user_id",)},
+    "text_tfidf_top_terms": {("doc_id",)},
+    "tfidf_doc_knn": {("query_id",)},
+    "timeseries_ewma": {("user_id",)},
+    "timeseries_gapfill": {("event_type",)},  # hourly rows: time-bounded
+    "training_shards_surgical": {("doc_id",)},
+    "window_distribution": {("p_type",)},
+    "window_first_last": {("o_custkey",)},
+    "window_lag_lead": {("user_id",)},
+    "window_range_frame": {("c_nationkey",)},
+    "window_rank_family": {("p_type",)},
+    "window_running_sum": {("o_custkey",)},
+    "window_time_range_rolling": {("user_id",)},
+    "window_topk_per_group": {("o_custkey",)},
+}
+
+
 # Ratchet pins for the big-table rescan gate (measured r10, the round
 # the gate was un-blinded): per query, the max times any ONE big table
 # may appear as a FileScan in the simple plan. Each entry is a
@@ -479,6 +544,22 @@ def test_all_plans_healthy(spark, sf_dir):
         if funnels and name not in _SINGLE_PARTITION_WINDOW_ALLOWED:
             problems.append(
                 (name, f"single-partition funnel into {funnels}")
+            )
+        # Window partition-key ratchet (r10): any window over a key
+        # not pinned for this query is an unreviewed potential hot-key
+        # funnel (AQE cannot split window partitions) — review its
+        # boundedness and extend _WINDOW_KEY_PINS.
+        observed_keys = {
+            tuple(re.findall(r"(\w+)#\d+", m))
+            for m in re.findall(
+                r"Window \[[^\n]*?\], \[((?:\w+#\d+L?(?:, )?)+)\]", plan
+            )
+        }
+        unpinned = observed_keys - _WINDOW_KEY_PINS.get(name, set())
+        if unpinned:
+            problems.append(
+                (name, f"unreviewed window partition keys: "
+                       f"{sorted(unpinned)}")
             )
     # Whole-sweep blindness check: ~every registered query scans at
     # least one parquet table, so a sweep that sees almost no FileScan
