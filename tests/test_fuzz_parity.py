@@ -410,3 +410,50 @@ def test_fuzz_span_surgery_matches_reference(spark, corpus):
     # empty doc becomes [''] (one token), so mirror that here
     ref_docs = {d: " ".join(t).split(" ") for d, t in corpus.items()}
     assert got == _ref_surgery(ref_docs)
+
+
+def _ref_apply(docs: dict[int, list[str]], L: int = _CUT_L) -> set:
+    """Pure-python rewritten corpus: excise every non-keeper run's
+    token span (runs are disjoint), splice the remainder."""
+    runs = sorted(_ref_cutlist(docs, L))
+    groups: dict[tuple, list] = {}
+    for d, s, e, ln, _n in runs:
+        groups.setdefault(tuple(docs[d][s - 1 : e]), []).append((d, s, ln))
+    cut = set()
+    for occ in groups.values():
+        for d, s, ln in sorted(occ)[1:]:
+            cut.add((d, s, ln))
+    out = set()
+    for d, toks in docs.items():
+        drop = set()
+        for dd, s, ln in cut:
+            if dd == d:
+                drop.update(range(s, s + ln))  # 1-based token positions
+        kept = [t for i, t in enumerate(toks, start=1) if i not in drop]
+        out.add((d, " ".join(kept), len(kept)))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_motif_corpus())
+def test_fuzz_span_apply_matches_reference(spark, corpus):
+    """r10: the rewritten corpus (dedup_span_apply) against a
+    pure-python excise-and-splice reference over the same generated
+    corners (merging motifs, within-doc repeats, fully-cut docs,
+    empty docs)."""
+    from p4_mapreduce_spark.operators.dedup import _apply_frame
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.clean_text, r.n_tokens_kept)
+        for r in _apply_frame(docs).collect()
+    }
+    ref_docs = {d: " ".join(t).split(" ") for d, t in corpus.items()}
+    assert got == _ref_apply(ref_docs)
