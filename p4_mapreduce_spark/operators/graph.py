@@ -713,3 +713,126 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, fixed rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation in chained CTEs.
+
+    Each round is pure integer arithmetic (neighbor-label counts +
+    a deterministic argmax with min-label tie-break), so unlike
+    PageRank no quantization is needed — the rounds are exact bigint
+    in any engine and the oracle is bit-identical by construction.
+    """
+    base = """
+    WITH fwd AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + 1000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst AS node FROM edges
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = []
+    for i in range(_LPA_ROUNDS):
+        steps.append(f"""
+    c{i + 1} AS (
+        SELECT e.dst AS node, l.label, count(*) AS c
+        FROM edges e JOIN l{i} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ),
+    l{i + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i + 1}
+        ) WHERE rn = 1
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, label AS community FROM l{_LPA_ROUNDS}"""
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Community detection via synchronous label propagation "
+    "(Raghavan et al. 2007) over the customer<->supplier purchase "
+    "graph (same symmetrized edge list as graph_pagerank_purchases). "
+    f"{_LPA_ROUNDS} fixed rounds; every node starts labeled with "
+    "itself and each round adopts the most frequent NEIGHBOR label, "
+    "ties broken to the smallest label — a deterministic argmax, so "
+    "this iterative operator needs no quantization at all: every "
+    "round is exact bigint arithmetic and the unrolled-CTE oracle is "
+    "bit-identical by construction (the integer sibling of "
+    "PageRank's quantized-float recipe). Where min-label connected "
+    "components answers 'which nodes touch at all', LPA answers "
+    "'which nodes cluster densely' — communities, not components. "
+    "Scale shape: each round is two map-side-combinable aggregations "
+    "(neighbor-label counts keyed by (dst,label) — the label widens "
+    "the key, so a hot node's rows spread across its distinct "
+    "neighbor labels — then a per-node min(struct) argmax), both "
+    "plain groupBys: no Window partitions, nothing AQE cannot "
+    "re-split. Edge list localCheckpoint-ed once, per-round labels "
+    "checkpointed to truncate lineage (the connected_components "
+    "discipline).",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+                ).alias("t")
+            )
+            .select(F.col("n").alias("node"), F.col("t.lb").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
