@@ -1317,3 +1317,145 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("e") - F.min("s")).alias("covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap self-join (co-presence) via coarse-bin bucketing
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SPAN_US = 15 * 60 * 1_000_000  # each event opens a 15-minute span
+_OVERLAP_BIN_US = 15 * 60 * 1_000_000  # equi-join bucket width
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + {_OVERLAP_SPAN_US} AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s THEN 0 ELSE 1 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_island) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, island_id, min(s) AS s, max(e) AS e
+        FROM islands GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.user_id AS user_a, a.island_id AS island_a,
+               b.user_id AS user_b, b.island_id AS island_b,
+               least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+    )
+    SELECT user_a, user_b,
+           count(*) AS n_overlaps,
+           CAST(sum(overlap_us) AS BIGINT) AS total_overlap_us,
+           max(overlap_us) AS max_overlap_us
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="Interval overlap SELF-join (user co-presence): per-user "
+    "sessions (15-minute event spans merged into islands — the "
+    "merge_event_intervals kernel) joined against every OTHER user's "
+    "sessions on true interval overlap (a.s < b.e AND b.s < a.e), "
+    "rolled up to per-user-pair co-presence counts and overlap time "
+    "— the abuse-ring / collusion / co-editing signal, and the "
+    "big-x-big interval join a streaming engine calls an interval "
+    "join. The scale technique is the point: Spark plans a raw "
+    "inequality-only join as BroadcastNestedLoopJoin (quadratic, "
+    "driver-bounded) — instead each session EXPLODES into the "
+    f"{_OVERLAP_BIN_US // 60_000_000}-minute epoch bins it covers "
+    "(sequence(); overlapping intervals must share a bin — the "
+    "pigeonhole argument MinHash banding makes, applied to time) and "
+    "the join becomes a bin-keyed EQUI-join (shuffled hash, "
+    "AQE-skew-splittable — a hot bin splits, unlike a Window "
+    "partition) followed by the exact overlap predicate; duplicate "
+    "bin-pair hits collapse on the pair key before the rollup. "
+    "Per-bin candidates are bounded by concurrently-active-users^2 "
+    "per bin, not corpus^2; the islands windows are busiest-user "
+    "bounded (merge_event_intervals' reviewed class). All span math "
+    "exact integer micros.",
+    tags=("events", "join", "window", "aggregation"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load(spark, sf_dir, "events")
+    spans = raw.select(
+        "user_id",
+        "event_id",
+        epoch_micros(raw).alias("s"),
+        (epoch_micros(raw) + F.lit(_OVERLAP_SPAN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        spans.select(
+            "user_id",
+            "s",
+            "e",
+            F.sum(new_island).over(w_run).cast("bigint").alias("island_id"),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    binned = sess.select(
+        "user_id",
+        "island_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_OVERLAP_BIN_US}"),
+                F.expr(f"(e - 1) div {_OVERLAP_BIN_US}"),
+            )
+        ).alias("bin"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.island_id").alias("island_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.island_id").alias("island_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return hits.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
+        F.max("overlap_us").alias("max_overlap_us"),
+    )

@@ -360,6 +360,7 @@ _WINDOW_KEY_PINS = {
     "exact_median_via_window": {("c_nationkey",)},
     "hard_negative_mining": {("query_id", "role")},
     "hybrid_search_rrf": {("query_id",)},
+    "interval_overlap_join": {("user_id",)},  # busiest-user bounded islands
     "inverted_index_build": {("word",)},  # <= _POSTING_SHARDS rows/word
     "ivfadc_kmeans_search": {("query_id",)},
     "ivfadc_multiprobe_search": {("query_id",)},
