@@ -85,3 +85,177 @@ def test_span_skew_shapes_agree(spark, sf_dir):
         window = sorted(map(tuple, fn(docs, skew_safe=False).collect()))
         assert safe == window, fn.__name__
         assert safe, fn.__name__  # non-vacuous: the corpus has rows
+
+
+# ---------------------------------------------------------------------
+# r10 new-coverage behavioral fixtures: LPA, PCA, interval overlap
+# ---------------------------------------------------------------------
+
+
+def _planted_table_dir(sf_dir, tmp_path, name, table) -> str:
+    """An sf dir whose ``name`` table is exactly ``table`` (a pyarrow
+    Table); every other table symlinks the original so run_oracle can
+    register all views."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from p4_mapreduce_spark.sources.tables import TABLES
+
+    out = tmp_path / f"sf_planted_{name}"
+    out.mkdir()
+    pq.write_table(table, out / f"{name}.parquet")
+    for other in TABLES:
+        if other != name:
+            os.symlink(
+                os.path.join(sf_dir, f"{other}.parquet"),
+                out / f"{other}.parquet",
+            )
+    return str(out)
+
+
+def _py_lpa(edges, rounds):
+    """Pure-python replica of synchronous LPA with the same rules:
+    adopt the most frequent in-neighbor label, ties to the smallest."""
+    from collections import Counter, defaultdict
+
+    nodes = sorted({n for e in edges for n in e})
+    label = {n: n for n in nodes}
+    inn = defaultdict(list)
+    for s, d in edges:
+        inn[d].append(s)
+    for _ in range(rounds):
+        label = {
+            n: min((-c, lb) for lb, c in Counter(
+                label[s] for s in inn[n]
+            ).items())[1]
+            for n in nodes
+        }
+    return label
+
+
+def test_lpa_planted_cliques_vs_python(spark):
+    """Two dense 4-cliques joined by one bridge edge: LPA must (a)
+    agree node-for-node with a pure-python replica of the same
+    synchronous rules, and (b) assign the cliques two DIFFERENT
+    communities — the density behavior that distinguishes LPA from
+    connected components (which would merge everything reachable)."""
+    from p4_mapreduce_spark.operators.graph import label_propagation
+
+    a, b = [1, 2, 3, 4], [10, 11, 12, 13]
+    und = [(x, y) for cl in (a, b) for x in cl for y in cl if x < y]
+    und.append((4, 10))  # bridge
+    edges = und + [(y, x) for x, y in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, 4).collect()
+    }
+    assert got == _py_lpa(edges, 4)
+    comm_a = {got[n] for n in a}
+    comm_b = {got[n] for n in b}
+    assert len(comm_a) == 1 and len(comm_b) == 1
+    assert comm_a != comm_b  # communities, not components
+
+
+def test_pca_planted_direction_and_label_separation(spark, sf_dir, tmp_path):
+    """PCA motivation fixture: embeddings whose variance is planted
+    along one axis, labels split by the sign of the planted coordinate.
+    The integer-exact fit must (a) recover numpy's dominant eigenvector
+    (|cos| > 0.99 — the recurrence approximates real PCA, not just
+    itself), and (b) separate the labels' mean PC1 projections by far
+    more than the within-label spread, oracle parity included."""
+    import numpy as np
+    import pyarrow as pa
+
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        fit_pca_top_component,
+    )
+    from p4_mapreduce_spark.registry import load_all
+
+    D = 64
+    rows = []
+    for k in range(40):
+        # bimodal planted coordinate: labels sit in tight clusters at
+        # -+0.42..0.52, so between-label separation >> within-label spread
+        t = (1 if k % 2 else -1) * (0.42 + (k % 20) * 0.005)
+        v = [0.01 * ((i * 7 + k) % 3 - 1) for i in range(D)]
+        v[5] += t
+        rows.append((k, [float(x) for x in v], 0 if t < 0 else 1))
+
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    _n, _mu, v = fit_pca_top_component(emb)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    xc = x - x.mean(0)
+    _w, eigvecs = np.linalg.eigh(xc.T @ xc)
+    vv = np.array(v, dtype=np.float64)
+    vv /= np.linalg.norm(vv)
+    assert abs(float(vv @ eigvecs[:, -1])) > 0.99
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    planted = _planted_table_dir(sf_dir, tmp_path, "embeddings", table)
+    spec = load_all()["embedding_pca_power_iteration"]
+    got = spec.fn(spark, planted).toPandas()
+    compare_frames(got, run_oracle(spec.oracle, planted),
+                   name="embedding_pca_power_iteration[planted]")
+    stats = {
+        int(r.label): (int(r.pc1_mean_q), int(r.pc1_max_q - r.pc1_min_q))
+        for r in got.itertuples()
+    }
+    gap = abs(stats[1][0] - stats[0][0])
+    assert gap > 2 * max(stats[0][1], stats[1][1])
+
+
+def test_interval_overlap_planted_pairs(spark, sf_dir, tmp_path):
+    """Planted co-presence: two users whose 15-min-padded sessions
+    overlap twice by exactly 5 minutes each, a third user far away.
+    Exact pair rows, plus oracle parity on the planted corpus."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from p4_mapreduce_spark.registry import load_all
+
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    mins = pd.Timedelta(minutes=1)
+    ev = [
+        # episode 1: u1 at t0, u2 at t0+10 -> sessions [0,15) & [10,25)
+        (1, base, 1),
+        (2, base + 10 * mins, 2),
+        # episode 2: same shape at t0+200min
+        (3, base + 200 * mins, 1),
+        (4, base + 210 * mins, 2),
+        # u3 disjoint
+        (5, base + 500 * mins, 3),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in ev], pa.int64()),
+            "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+            "user_id": pa.array([e[2] for e in ev], pa.int64()),
+            "event_type": pa.array(["view"] * len(ev)),
+            "value": pa.array([0.0] * len(ev), pa.float64()),
+            "props": pa.array(["{}"] * len(ev)),
+        }
+    )
+    planted = _planted_table_dir(sf_dir, tmp_path, "events", table)
+    spec = load_all()["interval_overlap_join"]
+    got = spec.fn(spark, planted).toPandas()
+    compare_frames(got, run_oracle(spec.oracle, planted),
+                   name="interval_overlap_join[planted]")
+    assert len(got) == 1
+    row = got.iloc[0]
+    five_min_us = 5 * 60 * 1_000_000
+    assert (
+        int(row.user_a), int(row.user_b), int(row.n_overlaps),
+        int(row.total_overlap_us), int(row.max_overlap_us),
+    ) == (1, 2, 2, 2 * five_min_us, five_min_us)
