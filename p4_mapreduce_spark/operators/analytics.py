@@ -1237,6 +1237,51 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-minute span
 
 
+def interval_islands(spans: DataFrame) -> DataFrame:
+    """Gaps-and-islands interval union: the shared kernel behind
+    merge_event_intervals and the streaming twin
+    (streaming/windows.streaming_interval_union).
+
+    ``spans``: DataFrame[user_id, s, e, n] — weighted spans (``n`` =
+    how many events the span already represents; raw events pass 1,
+    the streaming carry passes an open island's accumulated count).
+    Overlapping-or-touching spans per user merge into maximal islands
+    via the running-max island detector; returns one row per island:
+    (user_id, island_id 1-based per user in start order,
+    span_start_us, span_end_us, n_events = sum(n)). Island boundaries
+    and ids are independent of tie order among equal starts (a span
+    tied on ``s`` always lands in the same island), so the (s, e, n)
+    ordering is deterministic enough without a row-identity column.
+    One shuffle on user_id serves both windows and the rollup;
+    skew-bounded by the busiest user.
+    """
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        F.max("e").over(w_prev) >= F.col("s"), 0
+    ).otherwise(1)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.select(
+        "user_id",
+        "s",
+        "e",
+        "n",
+        F.sum(new_island).over(w_run).cast("bigint").alias("island_id"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+
+
 @register(
     "merge_event_intervals",
     oracle=f"""
@@ -1288,34 +1333,17 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "events")
     spans = raw.select(
         "user_id",
-        "event_id",
         epoch_micros(raw).alias("s"),
         (epoch_micros(raw) + F.lit(_SPAN_US)).alias("e"),
+        F.lit(1).cast("bigint").alias("n"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(
-        F.max("e").over(w_prev) >= F.col("s"), 0
-    ).otherwise(1)
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = spans.select(
+    return interval_islands(spans).select(
         "user_id",
-        "s",
-        "e",
-        F.sum(new_island).over(w_run).cast("bigint").alias("island_id"),
-    )
-    return islands.groupBy("user_id", "island_id").agg(
-        F.min("s").alias("span_start_us"),
-        F.max("e").alias("span_end_us"),
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("e") - F.min("s")).alias("covered_us"),
+        "island_id",
+        "span_start_us",
+        "span_end_us",
+        "n_events",
+        (F.col("span_end_us") - F.col("span_start_us")).alias("covered_us"),
     )
 
 
@@ -1395,30 +1423,15 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "events")
     spans = raw.select(
         "user_id",
-        "event_id",
         epoch_micros(raw).alias("s"),
         (epoch_micros(raw) + F.lit(_OVERLAP_SPAN_US)).alias("e"),
+        F.lit(1).cast("bigint").alias("n"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1)
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    sess = (
-        spans.select(
-            "user_id",
-            "s",
-            "e",
-            F.sum(new_island).over(w_run).cast("bigint").alias("island_id"),
-        )
-        .groupBy("user_id", "island_id")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    sess = interval_islands(spans).select(
+        "user_id",
+        "island_id",
+        F.col("span_start_us").alias("s"),
+        F.col("span_end_us").alias("e"),
     )
     binned = sess.select(
         "user_id",

@@ -1965,3 +1965,154 @@ def span_apply_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     marked = _mark_keepers_from(docs, runs)
     toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
     return _apply_from_marked(marked, toks)
+
+
+# ---------------------------------------------------------------------------
+# r10: incremental interval union (streaming twin of merge_event_intervals)
+# ---------------------------------------------------------------------------
+
+
+def streaming_interval_union(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.analytics.merge_event_intervals:
+    the per-user interval union maintained incrementally as event
+    tranches ARRIVE in time order — the billing/uptime span rollup a
+    pipeline keeps warm instead of recomputing per day.
+
+    State is the pair a resumable union needs (the packing twin's
+    open-bin discipline, applied to intervals):
+
+    - ``final``: append-only CLOSED islands. Under in-order arrival a
+      user's islands are disjoint and ordered (e_i < s_{i+1} — a later
+      island overlapping an earlier one would have merged), so every
+      merged island except the user's LAST can never merge again and
+      finalizes immediately.
+    - ``open``: one row per touched user per batch — the user's last
+      island (accumulated n_events), keyed by batch_id; the latest row
+      per user is the carry.
+
+    Per micro-batch: batch events become 30-min spans, union the
+    carried open islands (as weighted spans — n_events rides the ``n``
+    column), and the SAME interval_islands kernel as the batch query
+    merges them; all but the per-user last island append to ``final``,
+    the last re-opens. Crash-replay idempotent: the carry filters to
+    ``batch_id < current``, a replayed batch re-appends byte-identical
+    rows, and the reader collapses duplicates.
+    """
+    from p4_mapreduce_spark.operators.analytics import (
+        _SPAN_US,
+        interval_islands,
+    )
+
+    final_path = os.path.join(state_dir, "final")
+    open_path = os.path.join(state_dir, "open")
+    # directory-of-tranches reader (stream_documents' shape, events
+    # typing rules from read_events_stream): footer schema, one file
+    # per micro-batch so the in-order tranche split IS the batch split
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spans = batch_df.select(
+            "user_id",
+            epoch_micros(batch_df).alias("s"),
+            (epoch_micros(batch_df) + F.lit(_SPAN_US)).alias("e"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+        prior = _read_parquet_or_none(spark, open_path)
+        if prior is not None:
+            carry = (
+                prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+                .groupBy("user_id")
+                .agg(F.max(F.struct("batch_id", "s", "e", "n")).alias("o"))
+                .select(
+                    "user_id",
+                    F.col("o.s").alias("s"),
+                    F.col("o.e").alias("e"),
+                    F.col("o.n").alias("n"),
+                )
+                # only carries for users IN this batch participate in the
+                # merge; untouched users' open rows stay latest in state
+                .join(spans.select("user_id").distinct(), "user_id")
+            )
+            spans = spans.unionByName(carry)
+        merged = interval_islands(spans).localCheckpoint()
+        last = merged.groupBy("user_id").agg(
+            F.max("island_id").alias("island_id")
+        )
+        closed = merged.join(
+            last,
+            ["user_id", "island_id"],
+            "left_anti",
+        ).select(
+            "user_id",
+            F.col("span_start_us").alias("s"),
+            F.col("span_end_us").alias("e"),
+            F.col("n_events").alias("n"),
+        )
+        reopened = merged.join(last, ["user_id", "island_id"]).select(
+            "user_id",
+            F.col("span_start_us").alias("s"),
+            F.col("span_end_us").alias("e"),
+            F.col("n_events").alias("n"),
+        )
+        closed.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(final_path)
+        reopened.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(open_path)
+
+    return (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def interval_union_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Derive merge_event_intervals' exact output from the accumulated
+    state: closed islands (replay duplicates collapsed — island starts
+    are unique per user, so (user_id, s, e, n) is a safe distinct key)
+    plus each user's latest open island, renumbered and summed through
+    the SAME interval_islands kernel (the islands are disjoint by
+    construction, so the kernel merges nothing and only restores the
+    1-based per-user island_id and column shape)."""
+    from p4_mapreduce_spark.operators.analytics import interval_islands
+
+    closed = (
+        spark.read.parquet(os.path.join(state_dir, "final"))
+        .select("user_id", "s", "e", "n")
+        .distinct()
+    )
+    latest_open = (
+        spark.read.parquet(os.path.join(state_dir, "open"))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("batch_id", "s", "e", "n")).alias("o"))
+        .select(
+            "user_id",
+            F.col("o.s").alias("s"),
+            F.col("o.e").alias("e"),
+            F.col("o.n").alias("n"),
+        )
+    )
+    return interval_islands(closed.unionByName(latest_open)).select(
+        "user_id",
+        "island_id",
+        "span_start_us",
+        "span_end_us",
+        "n_events",
+        (F.col("span_end_us") - F.col("span_start_us")).alias("covered_us"),
+    )

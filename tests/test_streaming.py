@@ -1400,3 +1400,66 @@ def test_streaming_span_surgery_and_apply_match_batch(spark, sf_dir, tmp_path):
         ).parquet(f"{state}/{part}")
     assert rows(span_surgery_from_state(spark, state)) == want_card
     assert rows(span_apply_from_state(spark, state)) == want_clean
+
+
+def test_streaming_interval_union_matches_batch(spark, sf_dir, tmp_path):
+    """r10 twin: the per-user interval union maintained incrementally
+    across 4 time-ordered event tranches equals merge_event_intervals'
+    one-shot batch answer exactly — island ids, extents, event counts,
+    covered time (the merge itself is the shared interval_islands
+    kernel, so drift is structurally impossible; this pins the
+    open-island carry and finalization). Plus crash-replay idempotency
+    of the derived table after re-appending one batch's state rows."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        interval_union_from_state,
+        streaming_interval_union,
+    )
+
+    from p4_mapreduce_spark.functions.timeutil import epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_micros(ev)
+    ts_us = sorted(r[0] for r in ev.select(us.alias("u")).collect())
+    src = str(tmp_path / "events_tranches")
+    step = (len(ts_us) + 3) // 4
+    bounds = [ts_us[min(i * step, len(ts_us) - 1)] for i in range(1, 4)]
+    bounds = [None] + bounds + [None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(us >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(us < bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    state = str(tmp_path / "state")
+    q = streaming_interval_union(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    st = spark.read.parquet(f"{state}/open")
+    assert st.select("batch_id").distinct().count() >= 2, "need >= 2 batches"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(load_all()["merge_event_intervals"].fn(spark, sf_dir))
+    got = rows(interval_union_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+    # crash-replay idempotency: re-append one batch's rows in both
+    # state tables; the derived union must not change
+    for part in ("final", "open"):
+        stp = spark.read.parquet(f"{state}/{part}")
+        some_batch = stp.agg(F.min("batch_id")).collect()[0][0]
+        stp.where(F.col("batch_id") == some_batch).write.mode(
+            "append"
+        ).parquet(f"{state}/{part}")
+    assert rows(interval_union_from_state(spark, state)) == want
