@@ -454,11 +454,11 @@ def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUDIO_FRAME = 160
 
 
-def _audio_features_oracle() -> str:
-    """PCM16-LE parsing REPLAYED IN SQL: the payload's hex dump is
-    sliced into nibbles, little-endian sample values are reassembled
-    (two's complement via the >= 32768 branch, zero pad for an odd
-    byte count), and the energies are exact bigint sums."""
+def _pcm_smp_sql() -> str:
+    """The PCM16-LE sample list reassembled from a hex dump in pure
+    SQL (two's complement via the >= 32768 branch, zero pad for an odd
+    byte count) — over columns ``hx`` (hex string) and ``nb`` (byte
+    count). Shared by the audio feature and resample oracles."""
 
     def hv(e: str) -> str:
         return f"(strpos('0123456789ABCDEF', {e}) - 1)"
@@ -469,9 +469,17 @@ def _audio_features_oracle() -> str:
                  THEN 16 * {hv('substr(hx, 4*i-1, 1)')}
                       + {hv('substr(hx, 4*i, 1)')}
                  ELSE 0 END))"""
-    smp = f"""list_transform(
+    return f"""list_transform(
         generate_series(1, CAST(ceil(nb / 2.0) AS INTEGER)),
         i -> CASE WHEN {val} >= 32768 THEN {val} - 65536 ELSE {val} END)"""
+
+
+def _audio_features_oracle() -> str:
+    """PCM16-LE parsing REPLAYED IN SQL: the payload's hex dump is
+    sliced into nibbles, little-endian sample values are reassembled
+    (two's complement via the >= 32768 branch, zero pad for an odd
+    byte count), and the energies are exact bigint sums."""
+    smp = _pcm_smp_sql()
     w = _AUDIO_FRAME
     return f"""
     WITH b AS (
@@ -1044,3 +1052,112 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# r10: audio resample (decode -> 2x decimate -> re-encode through the codec)
+# ---------------------------------------------------------------------------
+
+
+def _audio_resample_oracle() -> str:
+    smp = _pcm_smp_sql()
+    return f"""
+    WITH b AS (
+        SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+        SELECT doc_id, CAST(ceil(nb / 2.0) AS INTEGER) AS ns, {smp} AS smp
+        FROM b
+    ),
+    d AS (
+        SELECT doc_id, ns, CAST(ceil(ns / 2.0) AS INTEGER) AS no,
+               list_transform(
+                   generate_series(1, CAST(ceil(ns / 2.0) AS INTEGER)),
+                   k -> smp[2 * k - 1]) AS dec
+        FROM s
+    )
+    SELECT doc_id,
+           ns AS n_samples_in,
+           no AS n_samples_out,
+           8000 AS sample_rate_out,
+           CAST(list_aggregate(list_transform(dec, v -> abs(v)), 'max')
+                AS INTEGER) AS peak_abs_out,
+           CAST(list_aggregate(list_transform(
+                    generate_series(1, no),
+                    k -> CAST(k AS BIGINT) * dec[k]), 'sum')
+                AS BIGINT) AS checksum,
+           TRUE AS roundtrip_exact
+    FROM d
+    """
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=_audio_resample_oracle(),
+    doc="Audio resample through the REAL codec (the transform sibling "
+    "of multimodal_image_resize): each clip's PCM16 interpretation is "
+    "decoded, 2x-decimated (16 kHz -> 8 kHz: every other sample — "
+    "exact integer decimation, no filter, so every output sample is "
+    "bit-pinnable), re-encoded as an 8 kHz WAV via the in-tree RIFF "
+    "codec, and re-decoded; the roundtrip_exact verdict pins that the "
+    "re-decoded PCM equals the decimated samples byte-for-byte (the "
+    "codec-roundtrip invariant applied to TRANSFORMED audio, not just "
+    "pass-through). The oracle reassembles the same little-endian "
+    "samples from the payload's hex dump in pure SQL and replays the "
+    "stride-2 selection: geometry, peak, and a position-weighted "
+    "bigint checksum (sum k*s_k — order-sensitive, so a shifted or "
+    "reordered sample stream cannot cancel) are integer-exact. Scale "
+    "shape: Arrow-batched mapInPandas behind spread_for_cpu, one "
+    "numpy frombuffer + stride view per clip, zero shuffle.",
+    tags=("multimodal", "pandas-udf", "audio", "codec"),
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
+
+    def resample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples_in": [],
+                "n_samples_out": [],
+                "sample_rate_out": [],
+                "peak_abs_out": [],
+                "checksum": [],
+                "roundtrip_exact": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                if len(raw) % 2:
+                    raw += b"\x00"
+                arr = np.frombuffer(raw, dtype="<i2")
+                dec = np.ascontiguousarray(arr[::2])
+                wav = wav_encode_pcm16(dec.tobytes(), sample_rate=8000, channels=1)
+                rate, _ch, _nf, pcm = wav_decode(wav)
+                ok = rate == 8000 and pcm[: 2 * len(dec)] == dec.tobytes()
+                k = np.arange(1, len(dec) + 1, dtype=np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples_in"].append(len(arr))
+                rows["n_samples_out"].append(len(dec))
+                rows["sample_rate_out"].append(8000)
+                rows["peak_abs_out"].append(
+                    int(np.abs(dec.astype(np.int64)).max())
+                )
+                rows["checksum"].append(int((k * dec.astype(np.int64)).sum()))
+                rows["roundtrip_exact"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        resample,
+        schema="doc_id bigint, n_samples_in int, n_samples_out int, "
+        "sample_rate_out int, peak_abs_out int, checksum bigint, "
+        "roundtrip_exact boolean",
+    )
