@@ -1357,6 +1357,7 @@ _OVERLAP_BIN_US = 15 * 60 * 1_000_000  # equi-join bucket width
 
 @register(
     "interval_overlap_join",
+    headline=True,
     oracle=f"""
     WITH spans AS (
         SELECT user_id, event_id,

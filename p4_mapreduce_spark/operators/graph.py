@@ -772,9 +772,49 @@ def _lpa_oracle() -> str:
     )
 
 
+def label_propagation(edges: DataFrame, n_rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation over a directed edge list.
+
+    ``edges``: DataFrame[src: long, dst: long] (pass both directions
+    for an undirected graph). Every node starts labeled with itself;
+    each round every node adopts the most frequent label among its
+    in-neighbors, ties broken to the smallest label. Deterministic —
+    pure integer counts plus a min(struct) argmax — so fixed-round
+    results are bit-identical in any engine. Returns
+    DataFrame[node, community] after exactly ``n_rounds`` rounds.
+    """
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+                ).alias("t")
+            )
+            .select(F.col("n").alias("node"), F.col("t.lb").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+
 @register(
     "graph_label_propagation",
     oracle=_lpa_oracle(),
+    headline=True,
     doc="Community detection via synchronous label propagation "
     "(Raghavan et al. 2007) over the customer<->supplier purchase "
     "graph (same symmetrized edge list as graph_pagerank_purchases). "
@@ -808,31 +848,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(_LPA_ROUNDS):
-        counts = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("n"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            counts.groupBy("n")
-            .agg(
-                F.min(
-                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
-                ).alias("t")
-            )
-            .select(F.col("n").alias("node"), F.col("t.lb").alias("label"))
-            .localCheckpoint()
-        )
-    return labels.select("node", F.col("label").alias("community"))
+    return label_propagation(edges, _LPA_ROUNDS)

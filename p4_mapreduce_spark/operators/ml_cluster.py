@@ -1189,6 +1189,7 @@ def fit_pca_top_component(
 @register(
     "embedding_pca_power_iteration",
     oracle=_pca_oracle(),
+    headline=True,
     doc="Dominant principal component of the embedding corpus via "
     f"{_PCA_ROUNDS}-round integer power iteration, reported as "
     "per-label projection statistics (count, floor-mean, min, max of "

@@ -1095,6 +1095,7 @@ def _audio_resample_oracle() -> str:
 
 @register(
     "multimodal_audio_resample",
+    headline=True,
     oracle=_audio_resample_oracle(),
     doc="Audio resample through the REAL codec (the transform sibling "
     "of multimodal_image_resize): each clip's PCM16 interpretation is "
