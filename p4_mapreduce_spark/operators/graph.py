@@ -852,3 +852,150 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(edges, _LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel, fixed rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peel in chained CTEs: each round keeps the
+    nodes whose degree WITHIN the surviving subgraph is >= k. Pure
+    integer set arithmetic — bit-identical in any engine."""
+    base = """
+    WITH fwd AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + 1000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ),
+    n0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    steps = []
+    for i in range(_KCORE_ROUNDS):
+        steps.append(f"""
+    n{i + 1} AS (
+        SELECT e.src AS node
+        FROM edges e
+        JOIN n{i} a ON e.src = a.node
+        JOIN n{i} b ON e.dst = b.node
+        GROUP BY e.src
+        HAVING count(*) >= {_KCORE_K}
+    )""")
+    last = f"n{_KCORE_ROUNDS}"
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT n.node,
+           n.node IN (SELECT node FROM {last}) AS in_core,
+           coalesce(d.deg, 0) AS core_degree
+    FROM n0 n LEFT JOIN (
+        SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM edges e
+        JOIN {last} a ON e.src = a.node
+        JOIN {last} b ON e.dst = b.node
+        GROUP BY e.src
+    ) d ON n.node = d.node"""
+    )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = _KCORE_K, n_rounds: int = _KCORE_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-core peel over a symmetrized edge list.
+
+    Each round drops every node whose degree within the SURVIVING
+    subgraph is below ``k`` (removing a node lowers its neighbors'
+    degrees, hence the iteration). Returns DataFrame[node, in_core,
+    core_degree] over the ORIGINAL node set — in_core marks survivors
+    of the ``n_rounds``-round peel (the fixpoint when the peel has
+    converged, which tests assert at test scale), core_degree the
+    node's degree within the surviving subgraph (0 for peeled nodes).
+
+    Scale shape: each round is one join of the edge list against the
+    surviving-node frame on BOTH endpoints (semi-join pruning) plus a
+    map-side-combinable degree count — all plain joins/groupBys, AQE
+    skew-splittable, no windows. The edge list is localCheckpoint-ed
+    once; per-round survivor frames are checkpointed to truncate
+    lineage (the connected_components discipline).
+    """
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    alive = nodes
+    for _ in range(n_rounds):
+        alive = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(
+                alive.select(F.col("node").alias("dst")),
+                "dst",
+                "left_semi",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= F.lit(k))
+            .select("node")
+            .localCheckpoint()
+        )
+    core_deg = (
+        edges.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        nodes.join(core_deg, "node", "left")
+        .select(
+            "node",
+            F.col("deg").isNotNull().alias("in_core"),
+            F.coalesce(F.col("deg"), F.lit(0).cast("bigint")).alias(
+                "core_degree"
+            ),
+        )
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core decomposition of the customer<->supplier "
+    "purchase graph (same symmetrized edge list as PageRank/LPA): "
+    f"{_KCORE_ROUNDS} fixed peeling rounds, each dropping nodes whose "
+    f"degree within the surviving subgraph is < {_KCORE_K} — the "
+    "dense-substructure screen (spam rings, bot farms, aggressive "
+    "co-purchase cliques) that degree thresholds alone miss, because "
+    "peeling is recursive: losing a weak neighbor can demote you. "
+    "Output per ORIGINAL node: in_core + degree within the core "
+    "subgraph. Pure integer set arithmetic, so like LPA the "
+    "unrolled-CTE oracle is bit-identical with zero quantization — "
+    "the fifth iterative operator (CC, PageRank, k-means, LPA). "
+    "Scale shape: per round one edge-vs-survivors double semi-join + "
+    "one map-side-combinable degree count; no windows, everything "
+    "AQE-splittable; lineage truncated per round.",
+    tags=("graph", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)

@@ -1177,6 +1177,18 @@ def fit_pca_top_component(
         .collect()
     )
     gmat = {r["i"]: [r[f"g{j}"] for j in range(D)] for r in g_rows}
+    # Overflow ratchet: every downstream product is bounded by
+    # 64 * (|G|/GDIV) * 2e6 (renormalized |v| < 2 * SCALE), so bigint
+    # safety needs |G| < 2^63 / (128e6 / GDIV). Raising _PCA_GDIV
+    # restores headroom at any corpus size (the recurrence is
+    # scale-free); failing loudly beats silent wraparound.
+    gmax = max(abs(v) for row in gmat.values() for v in row)
+    if gmax > (1 << 63) // (128 * _PCA_SCALE // _PCA_GDIV):
+        raise OverflowError(
+            f"PCA Gram magnitude {gmax:.2e} too close to int64 overflow "
+            "for the power-iteration products; raise _PCA_GDIV "
+            "(floor-div granularity moves, semantics don't)"
+        )
     g2 = [[gmat[i][j] // _PCA_GDIV for j in range(D)] for i in range(D)]
     v = [_PCA_SCALE] * D
     for _ in range(_PCA_ROUNDS):

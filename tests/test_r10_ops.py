@@ -259,3 +259,84 @@ def test_interval_overlap_planted_pairs(spark, sf_dir, tmp_path):
         int(row.user_a), int(row.user_b), int(row.n_overlaps),
         int(row.total_overlap_us), int(row.max_overlap_us),
     ) == (1, 2, 2, 2 * five_min_us, five_min_us)
+
+
+def _py_kcore(edges, k, rounds):
+    """Pure-python replica of the fixed-round k-core peel."""
+    from collections import defaultdict
+
+    nodes = {n for e in edges for n in e}
+    alive = set(nodes)
+    for _ in range(rounds):
+        deg = defaultdict(int)
+        for s, d in edges:
+            if s in alive and d in alive:
+                deg[s] += 1
+        alive = {n for n in alive if deg[n] >= k}
+    deg = defaultdict(int)
+    for s, d in edges:
+        if s in alive and d in alive:
+            deg[s] += 1
+    return {n: (n in alive, deg[n]) for n in sorted(nodes)}
+
+
+def test_kcore_recursive_demotion_vs_python(spark):
+    """k-core motivation fixture: a 4-clique (every node degree 3 —
+    survives the 3-core) plus a pendant chain where node 20 has THREE
+    neighbors (21, 22, 23) who are themselves weak — a plain degree
+    filter keeps 20, but peeling drops 21/22/23 in round 1 which
+    demotes 20 recursively. Pinned against a pure-python replica."""
+    from p4_mapreduce_spark.operators.graph import kcore_peel
+
+    clique = [1, 2, 3, 4]
+    und = [(x, y) for x in clique for y in clique if x < y]
+    und += [(1, 20), (20, 21), (20, 22), (20, 23)]
+    edges = und + [(y, x) for x, y in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["in_core"], r["core_degree"])
+        for r in kcore_peel(df, k=3, n_rounds=4).collect()
+    }
+    want = _py_kcore(edges, 3, 4)
+    assert got == want
+    assert all(got[n] == (True, 3) for n in clique)
+    # degree-3 node 20 demoted RECURSIVELY (a one-shot degree filter
+    # would keep it), pendant nodes peeled in round 1
+    assert got[20] == (False, 0)
+    assert all(got[n] == (False, 0) for n in (21, 22, 23))
+
+
+def test_kcore_rounds_converged_on_corpus(spark, sf_dir):
+    """The registered 6-round peel is a FIXPOINT on the real corpus:
+    one more round changes nothing (the fixed round count is a
+    convergence fact, not a truncation)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        kcore_peel,
+    )
+    from p4_mapreduce_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def as_map(df):
+        return {r["node"]: (r["in_core"], r["core_degree"]) for r in df.collect()}
+
+    a = as_map(kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS))
+    b = as_map(kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS + 1))
+    assert a == b
+    assert any(v[0] for v in a.values())  # non-vacuous: core is non-empty
