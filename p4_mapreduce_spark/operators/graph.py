@@ -999,3 +999,107 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware keeper policy over near-dup clusters (keep-longest)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from p4_mapreduce_spark.operators.dedup import (
+        _MINHASH_CTES,
+        _MINHASH_PAIRS_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION
+        SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM (
+            SELECT src, src AS dst FROM edges
+            UNION
+            SELECT src, dst FROM edges
+        )
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    ),
+    scored AS (
+        SELECT l.node, l.component, d.n_chars
+        FROM labels l JOIN documents d ON l.node = d.doc_id
+    ),
+    ranked AS (
+        SELECT node, component, n_chars,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, node ASC) AS rn
+        FROM scored
+    )
+    SELECT component,
+           min(CASE WHEN rn = 1 THEN node END) AS keeper_doc_id,
+           min(CASE WHEN rn = 1 THEN n_chars END) AS keeper_n_chars,
+           count(*) AS cluster_size,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_dropped
+    FROM ranked GROUP BY component
+    """
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=_keep_best_oracle(),
+    doc="Quality-aware keeper policy over the MinHash near-dup "
+    "clusters: instead of dedup_cluster_components' min-doc_id "
+    "canonical keeper, each cluster keeps its LONGEST member "
+    "(n_chars, ties to the smallest doc_id) — the keep-best rule "
+    "production dedup actually runs (near-dup clusters usually hold "
+    "a full document plus truncated/boilerplate-trimmed variants; "
+    "min-id keeps an arbitrary one, keep-longest keeps the most "
+    "complete). Emits per cluster the keeper, its length, the "
+    "cluster size, and the character mass dropped — the corpus-loss "
+    "accounting a curation report needs. The keeper argmax is a "
+    "min(struct(-n_chars, node)) aggregation on the component frame "
+    "(map-side-combinable, no window over components); the component "
+    "labels come from the shared connected_components kernel, the "
+    "oracle from the shared minhash CTEs + recursive closure, so "
+    "policy is the ONLY thing this query adds over the components "
+    "query — which is the point: keeper policy composes orthogonally "
+    "to cluster resolution.",
+    tags=("graph", "dedup", "pipeline"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    scored = comp.join(docs, "node")
+    agg = scored.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg"), F.col("node").alias("nd")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    return agg.select(
+        "component",
+        F.col("best.nd").alias("keeper_doc_id"),
+        (-F.col("best.neg")).alias("keeper_n_chars"),
+        "cluster_size",
+        (F.col("chars_total") + F.col("best.neg")).cast("bigint").alias(
+            "chars_dropped"
+        ),
+    )
