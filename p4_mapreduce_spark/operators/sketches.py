@@ -391,3 +391,82 @@ def countmin_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: native Spark 4 approx_top_k audited against the exact arm
+# ---------------------------------------------------------------------------
+
+_ATK_K = 8  # exact side: safely inside any count-tie boundary
+_ATK_SKETCH_K = 20  # sketch side: super-set so boundary ties can't matter
+
+
+@register(
+    "approx_topk_words_audit",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+        FROM w WHERE word <> '' GROUP BY word
+    ),
+    top8 AS (
+        SELECT word, exact_count FROM c
+        ORDER BY exact_count DESC, word LIMIT {_ATK_K}
+    )
+    SELECT word, exact_count,
+           exact_count AS sketch_count,
+           TRUE AS in_sketch,
+           TRUE AS counts_match
+    FROM top8
+    """,
+    doc="The native Spark 4 approx_top_k sketch audited against the "
+    "exact arm (the Misra-Gries/HLL/CMS audit recipe applied to the "
+    f"built-in): the exact top-{_ATK_K} words (deterministic count-"
+    "desc, word-asc order — chosen INSIDE any count-tie boundary, "
+    f"because the corpus ties exactly at rank 10/11) look themselves "
+    f"up in the sketch's top-{_ATK_SKETCH_K} superset and report "
+    "membership + count-equality verdicts. The corpus vocabulary is "
+    "far below the sketch's maxItemsTracked, so the sketch's counts "
+    "are structurally exact and the oracle pins both verdicts TRUE "
+    "with sketch_count == exact_count — any future sketch deviation "
+    "hash-mismatches. Never trusts the sketch's own boundary "
+    "ordering (ties there are engine-internal). Scale shape: the "
+    "sketch arm is ONE mergeable aggregation (the 100 TB path); the "
+    "exact arm exists only to score it; the lookup join broadcasts "
+    f"{_ATK_SKETCH_K} rows.",
+    tags=("sketch", "aggregation", "audit"),
+)
+def approx_topk_words_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " ", -1), lambda x: x != "")
+        ).alias("word")
+    )
+    exact_top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("word"))
+        .limit(_ATK_K)
+    )
+    sk = (
+        words.agg(
+            F.expr(f"approx_top_k(word, {_ATK_SKETCH_K})").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("word"),
+            F.col("e.count").cast("bigint").alias("sketch_count"),
+        )
+    )
+    return exact_top.join(F.broadcast(sk), "word", "left").select(
+        "word",
+        "exact_count",
+        F.coalesce(F.col("sketch_count"), F.lit(-1).cast("bigint")).alias(
+            "sketch_count"
+        ),
+        F.col("sketch_count").isNotNull().alias("in_sketch"),
+        (F.col("sketch_count") == F.col("exact_count")).alias("counts_match"),
+    )
