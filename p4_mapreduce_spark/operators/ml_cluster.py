@@ -1075,6 +1075,7 @@ def _pca_oracle() -> str:
     s_cols = ", ".join(
         f"CAST(sum(marr[{i}]) AS BIGINT) AS s{i}" for i in range(1, D + 1)
     )
+    s_arr = ", ".join(f"s{i}" for i in range(1, D + 1))
     mu_items = ", ".join(_pca_fdiv_sql(f"s{i}", "n") for i in range(1, D + 1))
     c_items = ", ".join(f"marr[{i}] - muarr[{i}]" for i in range(1, D + 1))
     rounds = []
@@ -1096,15 +1097,24 @@ def _pca_oracle() -> str:
         SELECT vec_id, label, [{m_items}] AS marr FROM embeddings
     ),
     tot AS (SELECT count(*) AS n, {s_cols} FROM m),
-    mu AS (SELECT [{mu_items}] AS muarr FROM tot),
+    mu AS (SELECT n, [{s_arr}] AS sarr, [{mu_items}] AS muarr FROM tot),
     c AS MATERIALIZED (
         SELECT vec_id, label, [{c_items}] AS carr FROM m, mu
     ),
-    gram AS (
+    gram_u AS (
         SELECT ti.i AS i, tj.j AS j,
-               CAST(sum(carr[ti.i] * carr[tj.j]) AS BIGINT) AS g
-        FROM c, range(1, {D + 1}) ti(i), range(1, {D + 1}) tj(j)
+               CAST(sum(marr[ti.i] * marr[tj.j]) AS BIGINT) AS g
+        FROM m, range(1, {D + 1}) ti(i), range(1, {D + 1}) tj(j)
         GROUP BY ti.i, tj.j
+    ),
+    gram AS (
+        -- centered Gram from uncentered cross sums, EXACT over ints:
+        -- sum((m_i-mu_i)(m_j-mu_j)) = sum(m_i m_j) - mu_i s_j
+        --                             - mu_j s_i + n mu_i mu_j
+        SELECT u.i, u.j,
+               u.g - muarr[u.i] * sarr[u.j] - muarr[u.j] * sarr[u.i]
+                   + n * muarr[u.i] * muarr[u.j] AS g
+        FROM gram_u u, mu
     ),
     g2 AS MATERIALIZED (
         SELECT i, j, {_pca_fdiv_sql("g", str(_PCA_GDIV))} AS g FROM gram
@@ -1131,16 +1141,18 @@ def fit_pca_top_component(
     arithmetic; returns ``(n, mu, v)`` (micro-quantized means and the
     ~1e6-scaled component).
 
-    Two bounded Spark jobs, both map-side-combined aggregations whose
-    results are plan-build constants (the kmeans/PQ-codebook
-    precedent — never data):
-
-    1. count + 64 per-dimension micro sums (1 row);
-    2. the 64x64 centered Gram matrix, computed by exploding each
-       vector to 64 (i, c_i, carr) rows and summing c_i * carr[j] —
-       map-side partials reduce every partition to 64 rows before the
-       one shuffle, so the aggregate is corpus-size-independent in
-       shuffle volume.
+    ONE bounded Spark job (the kmeans/PQ-codebook precedent — plan-
+    build constants, never data): each vector explodes to 64
+    (i, m_i, marr) rows and a single map-side-combined aggregation
+    per i returns the count, the per-dimension sum, and the 64
+    UNCENTERED cross sums — map-side partials reduce every partition
+    to 64 rows before the one shuffle, so shuffle volume is
+    corpus-size-independent and the corpus is scanned ONCE for the
+    fit (r10 fold: the separate means pass was a second full scan).
+    The centered Gram then derives exactly in driver ints:
+    sum((m_i-mu_i)(m_j-mu_j)) = sum(m_i m_j) - mu_i s_j - mu_j s_i
+    + n mu_i mu_j — integer algebra, no approximation, and the
+    oracle replays the same identity.
 
     Power iteration then runs driver-side over the 64x64 integer
     matrix (exactly what a cluster deployment would do — the matrix
@@ -1160,23 +1172,34 @@ def fit_pca_top_component(
         .alias(f"m{i}")
         for i in range(D)
     ]
-    mdf = emb.select(*m_cols)
-    row = mdf.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"m{i}").alias(f"s{i}") for i in range(D)],
-    ).collect()[0]
-    n = row["n"]
-    mu = [row[f"s{i}"] // n for i in range(D)]  # python // == floor
-    cent = mdf.select(
-        F.array(*[(F.col(f"m{i}") - F.lit(mu[i])) for i in range(D)]).alias("c")
+    mdf = emb.select(
+        F.array(*m_cols).alias("marr")
     )
     g_rows = (
-        cent.select("c", F.posexplode("c").alias("i", "ci"))
+        mdf.select("marr", F.posexplode("marr").alias("i", "mi"))
         .groupBy("i")
-        .agg(*[F.sum(F.col("ci") * F.col("c")[j]).alias(f"g{j}") for j in range(D)])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mi").alias("s"),
+            *[
+                F.sum(F.col("mi") * F.col("marr")[j]).alias(f"g{j}")
+                for j in range(D)
+            ],
+        )
         .collect()
     )
-    gmat = {r["i"]: [r[f"g{j}"] for j in range(D)] for r in g_rows}
+    by_i = {r["i"]: r for r in g_rows}
+    n = by_i[0]["n"]
+    s = [by_i[i]["s"] for i in range(D)]
+    mu = [s[i] // n for i in range(D)]  # python // == floor
+    # centered Gram from the uncentered cross sums — exact int algebra
+    gmat = {
+        i: [
+            by_i[i][f"g{j}"] - mu[i] * s[j] - mu[j] * s[i] + n * mu[i] * mu[j]
+            for j in range(D)
+        ]
+        for i in range(D)
+    }
     # Overflow ratchet: every downstream product is bounded by
     # 64 * (|G|/GDIV) * 2e6 (renormalized |v| < 2 * SCALE), so bigint
     # safety needs |G| < 2^63 / (128e6 / GDIV). Raising _PCA_GDIV
