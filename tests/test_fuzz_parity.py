@@ -457,3 +457,114 @@ def test_fuzz_span_apply_matches_reference(spark, corpus):
     }
     ref_docs = {d: " ".join(t).split(" ") for d, t in corpus.items()}
     assert got == _ref_apply(ref_docs)
+
+
+# --- r10: interval_islands kernel vs a pure-python interval union ----------
+
+
+def _py_interval_union(spans):
+    """Reference merge: per user, sort by (s, e, n), running-max island
+    split (touching merges), islands numbered 1-based in start order."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, s, e, n in spans:
+        by_user[u].append((s, e, n))
+    out = {}
+    for u, sp in by_user.items():
+        sp.sort()
+        islands = []
+        cur_s, cur_e, cur_n = sp[0]
+        for s, e, n in sp[1:]:
+            if s <= cur_e:  # overlap or touch: merge
+                cur_e = max(cur_e, e)
+                cur_n += n
+            else:
+                islands.append((cur_s, cur_e, cur_n))
+                cur_s, cur_e, cur_n = s, e, n
+        islands.append((cur_s, cur_e, cur_n))
+        for idx, (s, e, n) in enumerate(islands, start=1):
+            out[(u, idx)] = (s, e, n)
+    return out
+
+
+@st.composite
+def span_corpus(draw):
+    n_users = draw(st.integers(min_value=1, max_value=3))
+    spans = []
+    for u in range(n_users):
+        k = draw(st.integers(min_value=1, max_value=8))
+        for _ in range(k):
+            s = draw(st.integers(min_value=0, max_value=40))
+            length = draw(st.integers(min_value=1, max_value=12))
+            n = draw(st.integers(min_value=1, max_value=3))
+            spans.append((u, s, s + length, n))
+    return spans
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(span_corpus())
+def test_fuzz_interval_islands_vs_python(spark, spans):
+    """The shared interval-union kernel (backs merge_event_intervals,
+    interval_overlap_join, and the streaming twin's per-batch merge)
+    against a pure-python reference: island boundaries, 1-based ids,
+    and weighted event counts must agree on arbitrary overlapping /
+    nested / touching / duplicated spans."""
+    from p4_mapreduce_spark.operators.analytics import interval_islands
+
+    df = spark.createDataFrame(
+        spans, "user_id long, s long, e long, n long"
+    )
+    got = {
+        (r["user_id"], r["island_id"]): (
+            r["span_start_us"],
+            r["span_end_us"],
+            r["n_events"],
+        )
+        for r in interval_islands(df).collect()
+    }
+    assert got == _py_interval_union(spans)
+
+
+@st.composite
+def random_graph(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=6))
+    n_edges = draw(st.integers(min_value=1, max_value=10))
+    und = set()
+    for _ in range(n_edges):
+        a = draw(st.integers(min_value=0, max_value=n_nodes - 1))
+        b = draw(st.integers(min_value=0, max_value=n_nodes - 1))
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    assume(und)
+    edges = sorted(und) + [(y, x) for x, y in sorted(und)]
+    rounds = draw(st.integers(min_value=1, max_value=4))
+    return edges, rounds
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(random_graph())
+def test_fuzz_label_propagation_vs_python(spark, case):
+    """Synchronous LPA on arbitrary small symmetrized graphs must agree
+    node-for-node with the pure-python replica for any round count —
+    the most-frequent-neighbor-label argmax and min-label tie-break
+    have no float or ordering slack to hide in."""
+    from p4_mapreduce_spark.operators.graph import label_propagation
+
+    edges, rounds = case
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds).collect()
+    }
+    from tests.test_r10_ops import _py_lpa
+
+    assert got == _py_lpa(edges, rounds)
