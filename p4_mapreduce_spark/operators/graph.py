@@ -1103,3 +1103,157 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_dropped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-set expansion)
+# ---------------------------------------------------------------------------
+
+_PPR_ITER = 8
+_PPR_DAMPING = 0.85
+_PPR_DECIMALS = 6
+_PPR_SEEDS = 5
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank: PageRank's quantized-float
+    recipe with the restart mass concentrated on a deterministic seed
+    set instead of spread uniformly."""
+    base = f"""
+    WITH fwd AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + 1000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM fwd
+    ),
+    edges_deg AS (
+        SELECT e.src, e.dst, d.out_degree
+        FROM edges e JOIN (
+            SELECT src, count(*) AS out_degree FROM edges GROUP BY src
+        ) d ON e.src = d.src
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION
+        SELECT DISTINCT dst AS node FROM edges
+    ),
+    seeds AS (
+        SELECT node FROM nodes WHERE node < 1000000000
+        ORDER BY node LIMIT {_PPR_SEEDS}
+    ),
+    base AS (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS sv
+        FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ),
+    r0 AS (SELECT node, sv AS rank FROM base)"""
+    steps = []
+    for i in range(_PPR_ITER):
+        rank_expr = (
+            f"{1.0 - _PPR_DAMPING} * b.sv + {_PPR_DAMPING} * "
+            "coalesce(m.mass, 0.0)"
+        )
+        quantized = (
+            f"floor(({rank_expr}) * 1e{_PPR_DECIMALS} + 0.5) / "
+            f"1e{_PPR_DECIMALS}"
+        )
+        steps.append(f"""
+    r{i + 1} AS (
+        SELECT b.node, {quantized} AS rank
+        FROM base b LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / e.out_degree) AS mass
+            FROM edges_deg e JOIN r{i} r ON e.src = r.node
+            GROUP BY e.dst
+        ) m ON b.node = m.node
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, rank FROM r{_PPR_ITER} WHERE rank > 0.0"""
+    )
+
+
+@register(
+    "graph_ppr_seed_expansion",
+    oracle=_ppr_oracle(),
+    doc="Personalized PageRank from a deterministic seed set (the "
+    f"{_PPR_SEEDS} smallest customer nodes) over the purchase graph: "
+    "restart mass returns to the SEEDS each round instead of "
+    "spreading uniformly, so rank measures proximity to the trusted "
+    "set — the seed-expansion primitive behind 'find more data like "
+    "this curated set' (and trust/fraud propagation). "
+    f"{_PPR_ITER} rounds, damping {_PPR_DAMPING}, per-round ranks "
+    f"floor-normalized at {_PPR_DECIMALS} decimals in both engines "
+    "(PageRank's quantized-float recipe, so this sixth iterative "
+    "operator carries a full unrolled-CTE oracle); zero-rank nodes "
+    "(untouched by the expansion frontier) are filtered so the "
+    "result is the reachable-and-scored neighborhood. Scale shape "
+    "inherits pagerank's: one shuffle per round (join ranks to "
+    "pre-checkpointed degree-annotated edges, aggregate on dst), "
+    "lineage truncated per round.",
+    tags=("graph", "iterative"),
+)
+def graph_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_deg = edges.join(out_deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        nodes.where(F.col("node") < F.lit(1_000_000_000))
+        .orderBy("node")
+        .limit(_PPR_SEEDS)
+        .withColumn("sv", F.lit(1.0))
+    )
+    base = (
+        nodes.join(seeds, "node", "left")
+        .select("node", F.coalesce(F.col("sv"), F.lit(0.0)).alias("sv"))
+        .localCheckpoint()
+    )
+    ranks = base.select("node", F.col("sv").alias("rank"))
+    for _ in range(_PPR_ITER):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        new_rank = fix(
+            F.lit(1.0 - _PPR_DAMPING) * F.col("sv")
+            + F.lit(_PPR_DAMPING)
+            * F.coalesce(F.col("mass"), F.lit(0.0)),
+            _PPR_DECIMALS,
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks.where(F.col("rank") > 0.0).select("node", "rank")
