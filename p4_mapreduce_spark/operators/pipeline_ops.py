@@ -1641,3 +1641,53 @@ def manifest_from_units(
             "sampled_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: k-anonymity release audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BAND = 100  # n_chars bucketing width for the quasi-identifier
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {_KANON_BAND} AS BIGINT) AS len_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) >= {_KANON_K} AS meets_k
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    doc=f"k-anonymity audit (k={_KANON_K}) over the release "
+    "quasi-identifier tuple (lang, source, "
+    f"{_KANON_BAND}-char length band): every combination that could "
+    "re-identify a contributor is counted, and groups below k are "
+    "flagged — the pre-release check a dataset publisher runs next "
+    "to DP noising (dp_noisy_lang_counts is the mechanism, this is "
+    "the audit that says whether suppression/generalization is "
+    "needed at all). One map-side-combined aggregation onto a "
+    "(langs x sources x bands)-bounded frame; pure integer, "
+    "exact oracle. The true 100 TB posture: quasi-identifier "
+    "cardinality, not corpus size, bounds the result.",
+    tags=("pipeline", "privacy", "aggregation"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {_KANON_BAND}").alias("len_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "lang",
+            "source",
+            "len_band",
+            "n_docs",
+            (F.col("n_docs") >= F.lit(_KANON_K)).alias("meets_k"),
+        )
+    )

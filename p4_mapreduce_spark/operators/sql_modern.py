@@ -523,3 +523,35 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity >= 10
         GROUP BY l_returnflag
     """)
+
+
+# ---------------------------------------------------------------------------
+# r10: GROUP BY ALL / ORDER BY ALL (modern-SQL shorthand surface)
+# ---------------------------------------------------------------------------
+
+_GROUP_BY_ALL_SQL = f"""
+SELECT l_returnflag, l_linestatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {fsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "group_by_all_sql",
+    oracle=_GROUP_BY_ALL_SQL,
+    doc="GROUP BY ALL + ORDER BY ALL (the modern-SQL shorthand that "
+    "infers grouping keys from the non-aggregate select items): the "
+    "IDENTICAL SQL text runs in Spark 4 and DuckDB, so — like "
+    "lateral_topn_per_customer — the oracle IS the query and parity "
+    "proves both engines resolve the shorthand to the same grouping. "
+    "Catalyst expands it to a plain partial+final hash aggregate over "
+    "the join (verified by the registry plan audit), so the sugar "
+    "costs nothing at any scale.",
+    tags=("sql", "aggregation"),
+)
+def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
