@@ -1463,3 +1463,83 @@ def test_streaming_interval_union_matches_batch(spark, sf_dir, tmp_path):
             "append"
         ).parquet(f"{state}/{part}")
     assert rows(interval_union_from_state(spark, state)) == want
+
+
+def test_streaming_interval_union_planted_finalization(spark, tmp_path):
+    """Planted finalization semantics: user 1 appears in tranches 1 and
+    3 (carry must survive the untouched middle batch), the tranche-3
+    event is far from their open island (it must CLOSE and a new one
+    open), while user 2's tranche-2 event touches their open island
+    (it must MERGE, never close). Exact expected islands, plus the
+    state split: exactly one closed island (user 1's first), latest
+    open rows for both users."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.analytics import _SPAN_US
+    from p4_mapreduce_spark.streaming.windows import (
+        interval_union_from_state,
+        streaming_interval_union,
+    )
+
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    mins = pd.Timedelta(minutes=1)
+    tranches = [
+        [(1, base, 1), (2, base + 5 * mins, 2)],
+        [(3, base + 20 * mins, 2)],  # touches user 2's open island
+        [(4, base + 300 * mins, 1)],  # far from user 1's open island
+    ]
+    src = str(tmp_path / "events_tranches")
+    for ev in tranches:
+        table = pa.table(
+            {
+                "event_id": pa.array([e[0] for e in ev], pa.int64()),
+                "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+                "user_id": pa.array([e[2] for e in ev], pa.int64()),
+                "event_type": pa.array(["view"] * len(ev)),
+                "value": pa.array([0.0] * len(ev), pa.float64()),
+                "props": pa.array(["{}"] * len(ev)),
+            }
+        )
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        pq.write_table(table, f"{src}/t{len(os.listdir(src))}.parquet")
+        _time.sleep(1.1)
+
+    state = str(tmp_path / "state")
+    q = streaming_interval_union(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    us = lambda td: int(td.value // 1000)  # noqa: E731
+    t0 = us(base - pd.Timestamp(0))
+    got = {
+        (r.user_id, r.island_id): (
+            r.span_start_us, r.span_end_us, r.n_events, r.covered_us
+        )
+        for r in interval_union_from_state(spark, state).collect()
+    }
+    m = 60 * 1_000_000
+    assert got == {
+        # user 1: island 1 = the tranche-1 event alone (closed when the
+        # far tranche-3 event arrived); island 2 = the new open one
+        (1, 1): (t0, t0 + _SPAN_US, 1, _SPAN_US),
+        (1, 2): (t0 + 300 * m, t0 + 300 * m + _SPAN_US, 1, _SPAN_US),
+        # user 2: both events merged into one island (15-min gap < span)
+        (2, 1): (t0 + 5 * m, t0 + 20 * m + _SPAN_US, 2, 15 * m + _SPAN_US),
+    }
+    closed = spark.read.parquet(f"{state}/final").select(
+        "user_id", "s", "e", "n"
+    ).distinct().collect()
+    assert [(r.user_id, r.s, r.e, r.n) for r in closed] == [
+        (1, t0, t0 + _SPAN_US, 1)
+    ]
+    latest_open = {
+        r.user_id
+        for r in spark.read.parquet(f"{state}/open").collect()
+    }
+    assert latest_open == {1, 2}
