@@ -1480,3 +1480,82 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap_us").cast("bigint").alias("total_overlap_us"),
         F.max("overlap_us").alias("max_overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: funnel conversion-latency percentiles per cohort week
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "funnel_latency_quantiles",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT epoch_us(t_view) // {_WEEK_US} AS cohort_week,
+               (epoch_us(t_purchase) - epoch_us(t_view)) // 1000000
+                   AS latency_s
+        FROM per_user
+        WHERE t_view IS NOT NULL AND t_purchase >= t_view
+    )
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converting,
+           {{p50}} AS p50_latency_s,
+           {{p90}} AS p90_latency_s,
+           max(latency_s) AS max_latency_s
+    FROM conv GROUP BY cohort_week
+    """.format(
+        p50="floor((quantile_cont(latency_s, 0.50)) * 10.0 + 0.5) / 10.0",
+        p90="floor((quantile_cont(latency_s, 0.90)) * 10.0 + 0.5) / 10.0",
+    ),
+    doc="Conversion-latency distribution per first-view cohort week: "
+    "each user's first view paired with their first purchase at or "
+    "after it (funnel_conversion's ordering convention), latency in "
+    "whole seconds, rolled to per-cohort count / exact interpolated "
+    "p50 + p90 / max — the time-to-convert panel product analytics "
+    "reads next to the funnel counts. Determinism: latencies are "
+    "exact integer seconds (micros subtraction + floor-div), and at "
+    "p in {0.5, 0.9} the interpolated true value over integers is an "
+    "exact multiple of 0.1 — so floor-normalizing at d=1 absorbs the "
+    "engines' interpolation-formula difference with ~12 orders of "
+    "margin (the grouped_exact_percentiles recipe on integer data). "
+    "Scale shape: one user_id-keyed aggregation reduces the corpus "
+    "to a user-sized frame; the exact percentile sorts only the "
+    "converting-user frame per cohort (bounded groups); at 100 TB "
+    "swap percentile() for approx_percentile, same columns.",
+    tags=("events", "aggregation", "stats"),
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = epoch_micros(ev)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    conv = per_user.where(
+        F.col("v").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(
+        F.expr(f"v div {_WEEK_US}").alias("cohort_week"),
+        F.expr("(p - v) div 1000000").alias("latency_s"),
+    )
+
+    def q(p: float, alias: str):
+        return (
+            F.floor(F.percentile("latency_s", F.lit(p)) * 10.0 + F.lit(0.5))
+            / 10.0
+        ).alias(alias)
+
+    return conv.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converting"),
+        q(0.50, "p50_latency_s"),
+        q(0.90, "p90_latency_s"),
+        F.max("latency_s").alias("max_latency_s"),
+    )
