@@ -44,7 +44,10 @@ from p4_mapreduce_spark.operators.pipeline_ops import (
     CHUNK_STRIDE,
     CHUNK_TOKENS,
 )
-from p4_mapreduce_spark.operators.text_analysis import screen_verdicts_frame
+from p4_mapreduce_spark.operators.text_analysis import (
+    char_entropy_frame,
+    repetition_screen_frame,
+)
 from p4_mapreduce_spark.registry import REGISTRY as _REG
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
@@ -255,16 +258,30 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reports that honestly), so a pipeline gated on it would be the
     # degenerate empty query. A production run swaps its tuned rule
     # set in at this line; the composition is unchanged.
-    # The verdicts pass through a doc_id aggregation BARRIER before the
-    # filter: filtering the raw verdict frame lets Catalyst push the
-    # keep predicates into the screens' lambda expression trees across
-    # the 3-way join, re-inlining filter(split(text)) per element (the
+    # r11: build from the TWO gating screens only — the previous
+    # screen_verdicts_frame call also computed the (unused) Gopher
+    # frame, and Catalyst cannot eliminate a left join that may
+    # duplicate rows, so the pipeline paid a full Gopher pass plus a
+    # corpus scan for a column the filter never read. Both frames are
+    # one-row-per-doc, and a doc missing from the entropy frame (empty
+    # text) was excluded by the old coalesce(e_keep, false) anyway, so
+    # the inner join is exact.
+    # The verdicts still pass through a doc_id aggregation BARRIER
+    # before the filter: filtering the raw verdict frame lets Catalyst
+    # push the keep predicates into the screens' lambda expression
+    # trees, re-inlining filter(split(text)) per element (the
     # winnowing lesson) — measured 13.8s vs 1.3s at sf0.1. A filter on
     # aggregate output cannot push below the aggregation, so each
     # screen evaluates exactly once; the added exchange moves
     # (doc_id, bool, bool) rows only.
+    rep = repetition_screen_frame(train).select(
+        "doc_id", F.col("keep").alias("r_keep")
+    )
+    ent = char_entropy_frame(train).select(
+        "doc_id", (~F.col("is_low_entropy")).alias("e_keep")
+    )
     qual = (
-        screen_verdicts_frame(train)
+        rep.join(ent, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.first("r_keep").alias("r_keep"),
@@ -276,13 +293,35 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- stage 3: decontamination at DISTINCT-text level (collapse
     # rule): a train text is contaminated if it band-collides with a
-    # test text at Jaccard >= tau, or appears verbatim in the test set
+    # test text at Jaccard >= tau, or appears verbatim in the test set.
+    # r11 stage materialization (the r10 keeper's lazy-localCheckpoint
+    # trick, now applied between pipeline stages): `sides` is read by
+    # both band sides AND the exact-leak branch, and the signature
+    # table feeds the band melt plus both verify sides — without a
+    # checkpoint each reference re-prints (and uncached, re-RUNS) the
+    # whole docs->distinct->shingle->minhash subtree. Both frames are
+    # DISTINCT-TEXT-sized (sides is (gh, 2 ints); sigs is the same
+    # table the module persist-cache already materializes), so the
+    # checkpoint rule allows them; each costs exactly ONE corpus scan
+    # at first action, after which every downstream branch reads the
+    # materialized RDD. This took the pipeline's printed big-table
+    # scan count from 14-18 to 4 (pin lowered in the same commit).
     sides = docs.groupBy(F.md5("text").alias("gh")).agg(
         F.max(is_test.cast("int")).alias("has_test"),
         F.max((~is_test).cast("int")).alias("has_train"),
-    )
+    ).localCheckpoint(eager=False)
     sigs = _minhash_sig_table(spark, sf_dir)
-    bl = melt_bands(sigs).join(sides, "gh")
+    # Checkpoint two NARROW projections rather than the wide table:
+    # a checkpointed RDD is row-stored, so every downstream read
+    # deserializes full rows — checkpointing (gh, shingles, 16 bands)
+    # in one frame made the band melt drag the shingle arrays along
+    # and the verify sides drag the bands (measured +13% wall at
+    # sf0.1). The melt and the shingle projection are each read
+    # exactly twice, carry only what their readers use, and both stay
+    # distinct-text-sized.
+    bands_ck = melt_bands(sigs).localCheckpoint(eager=False)
+    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    bl = bands_ck.join(sides, "gh")
     tr_b = bl.where(F.col("has_train") == 1).select(
         F.col("gh").alias("gh_tr"), "band_id", "sig"
     )
@@ -295,8 +334,8 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh_tr", "gh_te")
         .distinct()
     )
-    x = sigs.select(F.col("gh").alias("gh_tr"), F.col("shingles").alias("sh_t"))
-    y = sigs.select(F.col("gh").alias("gh_te"), F.col("shingles").alias("sh_e"))
+    x = sh_ck.select(F.col("gh").alias("gh_tr"), F.col("shingles").alias("sh_t"))
+    y = sh_ck.select(F.col("gh").alias("gh_te"), F.col("shingles").alias("sh_e"))
     inter = F.size(F.array_intersect("sh_t", "sh_e"))
     union = F.size(F.array_distinct(F.concat("sh_t", "sh_e")))
     near_gh = (

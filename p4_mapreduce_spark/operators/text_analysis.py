@@ -1225,7 +1225,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(" "),
     )
-    vocab = wc.select("cnt", padded0.alias("padded"))
+    # r11: each round is lazily localCheckpoint-ed. Without the
+    # truncation, round r's lineage references round r-1 TWICE (the
+    # pair-count argmax and the rewrite input), so the printed plan —
+    # and the uncached execution — doubles per round: 4 rounds printed
+    # 15 corpus scans and re-ran the word count once per lineage copy.
+    # The checkpoints make the chain linear and make the docstring's
+    # "corpus touched ONCE" claim physically true: one scan into the
+    # word count, then every round materializes only the bounded
+    # distinct-word vocabulary (and a 1-row argmax). Pin 15 -> 0
+    # printed (tests/test_plans.py lowered in the same commit).
+    vocab = wc.select("cnt", padded0.alias("padded")).localCheckpoint(
+        eager=False
+    )
     bests = []
     for r in range(_BPE_ROUNDS):
         toks = F.filter(F.split("padded", " ", -1), lambda x: x != "")
@@ -1250,7 +1262,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "pair")
             .limit(1)
-        )
+        ).localCheckpoint(eager=False)
         bests.append(
             best.select(
                 F.lit(r).alias("round"),
@@ -1269,10 +1281,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("pair"), F.lit(" "), F.lit("")),
             F.lit(" "),
         )
-        vocab = (
-            vocab.crossJoin(F.broadcast(best.select("pair")))
-            .select("cnt", F.replace(F.col("padded"), pattern, repl).alias("padded"))
-        )
+        if r < _BPE_ROUNDS - 1:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("pair")))
+                .select(
+                    "cnt",
+                    F.replace(F.col("padded"), pattern, repl).alias("padded"),
+                )
+                .localCheckpoint(eager=False)
+            )
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -1519,7 +1536,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(" "),
     )
-    vocab = wc.select("word", "cnt", padded0.alias("padded"))
+    # r11: per-round lazy localCheckpoints, same reason as
+    # bpe_train_merges — the doubled-per-round lineage printed 17
+    # corpus scans; now the corpus is physically touched exactly
+    # twice (word count + per-(doc,word) occurrences) and each round
+    # materializes only the bounded vocabulary.
+    vocab = wc.select(
+        "word", "cnt", padded0.alias("padded")
+    ).localCheckpoint(eager=False)
     for _ in range(_BPE_ROUNDS):
         pairs = vocab.select(
             "cnt",
@@ -1543,7 +1567,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("pair_count").desc(), "pair")
             .limit(1)
             .select("pair")
-        )
+        ).localCheckpoint(eager=False)
         pattern = F.concat(
             F.lit(" "),
             F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
@@ -1554,10 +1578,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("pair"), F.lit(" "), F.lit("")),
             F.lit(" "),
         )
-        vocab = vocab.crossJoin(F.broadcast(best)).select(
-            "word",
-            "cnt",
-            F.replace(F.col("padded"), pattern, repl).alias("padded"),
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "cnt",
+                F.replace(F.col("padded"), pattern, repl).alias("padded"),
+            )
+            .localCheckpoint(eager=False)
         )
     vsym = vocab.select(
         "word",

@@ -405,15 +405,26 @@ _WINDOW_KEY_PINS = {
 _BIG_TABLE_SCAN_BOUNDS = {
     "ann_lsh_recall": 11,
     "bm25_search_topk": 5,
-    "bpe_encode_corpus": 17,
-    "bpe_train_merges": 15,
+    # r11: bpe_* rounds are localCheckpoint-ed (the doubled-per-round
+    # lineage printed 17/15 corpus scans; now the corpus is touched
+    # once (train) / twice (encode) and each round materializes only
+    # the bounded vocabulary) — bounds dropped to the default 2.
     "ccnet_buckets_approx": 10,
     "ccnet_perplexity_buckets": 10,
     "data_mixture_manifest": 3,
     "data_quality_audit": 3,
     "decontaminate_test_split": 10,
     "dedup_jaccard_prefix": 4,
-    "dedup_minhash_incremental": 15,
+    # r11: dedup_minhash_incremental's side flags / band melt /
+    # shingle projection are localCheckpoint-ed (15 -> 6). The 6: two
+    # member-expansion md5 projections, plus up to four scans inside
+    # runtime bloom_filter_agg subqueries Catalyst injects to prune
+    # the band join once the sig-table persist is marked (call-order
+    # dependent: a cold first build prints 2) — those are selective
+    # pruning builds, the opposite of the rescan smell this gate
+    # hunts, so they ride inside the pin rather than being regex-ed
+    # away.
+    "dedup_minhash_incremental": 6,
     "dedup_minhash_lsh": 14,
     "dedup_ngram_jaccard": 4,
     "frequent_itemsets_pairs": 4,
@@ -443,7 +454,13 @@ _BIG_TABLE_SCAN_BOUNDS = {
     "subquery_scalar": 4,
     "text_tfidf_top_terms": 3,
     "tfidf_doc_knn": 12,
-    "training_shards_pipeline": 18,
+    # r11: stage-materialized (narrow lazy localCheckpoints of the
+    # band melt, the shingle projection, and the side flags; qual from
+    # the two gating screens only) — 18 -> 5. The checkpointed
+    # subtrees add ONE physical corpus scan each at materialization;
+    # printed + checkpoint scans together are still < half the r10
+    # shape's, and input bytes measured -57% at sf0.1.
+    "training_shards_pipeline": 5,
 }
 
 
