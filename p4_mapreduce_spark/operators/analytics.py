@@ -1354,6 +1354,24 @@ def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_SPAN_US = 15 * 60 * 1_000_000  # each event opens a 15-minute span
 _OVERLAP_BIN_US = 15 * 60 * 1_000_000  # equi-join bucket width
 
+# Hot-bin pair-space salting (r11, the verdict's probe-then-cap ask).
+# The bin equi-join's skew is OUTPUT-explosive: a globally-hot 15-min
+# bin (a launch, an outage) holds k co-active sessions whose TRUE
+# answer is ~k^2/2 pairs — the join partition's INPUT is k narrow rows,
+# so AQE's input-size-based skew split never fires, and one task emits
+# the entire k^2 pair stream (measured: see SCALE.md r11 hot-bin
+# probe). Bins whose session count exceeds _HOT_BIN_CAP therefore get
+# their PAIR SPACE partitioned: side A keeps salt sa=hash(island)%S
+# replicated over all sb, side B keeps sb=hash(island)%S replicated
+# over all sa, and (bin, sa, sb) joins — every pair still meets
+# EXACTLY once (at (h(a), h(b))), so the result and the oracle are
+# bit-identical, but a hot bin's output now spreads across S^2
+# independent tasks. Cold bins pay nothing (salts pinned to 0, no
+# replication); the hot-bin list is a map-side-combined count +
+# broadcast, bounded above by total_bin_rows / _HOT_BIN_CAP keys.
+_HOT_BIN_CAP = 2048
+_HOT_BIN_SALTS = 8
+
 
 @register(
     "interval_overlap_join",
@@ -1410,12 +1428,25 @@ _OVERLAP_BIN_US = 15 * 60 * 1_000_000  # equi-join bucket width
     f"{_OVERLAP_BIN_US // 60_000_000}-minute epoch bins it covers "
     "(sequence(); overlapping intervals must share a bin — the "
     "pigeonhole argument MinHash banding makes, applied to time) and "
-    "the join becomes a bin-keyed EQUI-join (shuffled hash, "
-    "AQE-skew-splittable — a hot bin splits, unlike a Window "
-    "partition) followed by the exact overlap predicate; duplicate "
-    "bin-pair hits collapse on the pair key before the rollup. "
-    "Per-bin candidates are bounded by concurrently-active-users^2 "
-    "per bin, not corpus^2; the islands windows are busiest-user "
+    "the join becomes a bin-keyed EQUI-join followed by the exact "
+    "overlap predicate, with every pair hit unique by the first-"
+    "shared-bin rule. Per-bin candidates are bounded by concurrently-"
+    "active-users^2 per bin, not corpus^2 — and that residual "
+    "quadratic is OUTPUT, not waste: k co-active sessions genuinely "
+    "have ~k^2/2 overlapping pairs. r11 (the verdict's hot-bin "
+    "probe): because the hot bin's join-partition INPUT is only k "
+    "narrow rows, AQE's input-size-based skew split never fires and "
+    "one task emitted the whole k^2 pair stream (planted probe, "
+    "tools/skew_probe_overlap.py, broadcast off = the at-scale plan: "
+    "one bin shared by 20% of 90k users -> 162M true pairs, the "
+    "plain join's single hot task ran 164s against a 0.33s median; "
+    "salted: 31s wall, 24s max task — 5.5x). Bins "
+    f"over {_HOT_BIN_CAP} sessions now get PAIR-SPACE salting — "
+    f"(bin, hash(a)%{_HOT_BIN_SALTS}, hash(b)%{_HOT_BIN_SALTS}) join "
+    "keys, each side replicated only on hot bins — so every pair "
+    "still meets exactly once (result and oracle bit-identical) but "
+    f"a hot bin's output spreads across {_HOT_BIN_SALTS}^2 tasks; "
+    "cold bins pay nothing. The islands windows are busiest-user "
     "bounded (merge_event_intervals' reviewed class). All span math "
     "exact integer micros.",
     tags=("events", "join", "window", "aggregation"),
@@ -1434,6 +1465,15 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start_us").alias("s"),
         F.col("span_end_us").alias("e"),
     )
+    return overlap_pairs_rollup(sess)
+
+
+
+
+def overlap_pairs_rollup(sess: DataFrame, skew_safe: bool = True) -> DataFrame:
+    """Per-user-pair co-presence rollup over a session frame
+    ``(user_id, island_id, s, e)`` — the kernel shared by the batch
+    interval_overlap_join and the streaming-state twin."""
     binned = sess.select(
         "user_id",
         "island_id",
@@ -1446,8 +1486,44 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
-    a = binned.alias("a")
-    b = binned.alias("b")
+    # One lazy localCheckpoint feeds all three readers (hot-bin sizes
+    # + both join sides): the frame is SESSION-OUTPUT-proportional
+    # (islands after merging, not raw events), and without the
+    # truncation even the pre-r11 self-join computed the islands
+    # windows twice — the salting's size pre-agg would have made it
+    # three times (measured +21% wall at sf0.1; the checkpoint claws
+    # that back to +10% over the r10 shape — the residual is the
+    # priced cost of the skew insurance, see SCALE.md r11).
+    binned = binned.localCheckpoint(eager=False)
+    if skew_safe:
+        sizes = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
+        hot = sizes.where(F.col("nb") > _HOT_BIN_CAP).select(
+            "bin", F.lit(True).alias("_hot")
+        )
+        bh = binned.join(F.broadcast(hot), "bin", "left")
+        slt = F.when(
+            F.col("_hot"),
+            F.pmod(F.hash("user_id", "island_id"), F.lit(_HOT_BIN_SALTS)),
+        ).otherwise(F.lit(0))
+        rep = F.when(
+            F.col("_hot"),
+            F.sequence(F.lit(0), F.lit(_HOT_BIN_SALTS - 1)),
+        ).otherwise(F.array(F.lit(0)))
+        cols = ["user_id", "island_id", "s", "e", "bin"]
+        a = bh.select(
+            *cols, slt.alias("sa"), F.explode(rep).alias("sb")
+        ).alias("a")
+        b = bh.select(
+            *cols, F.explode(rep).alias("sa"), slt.alias("sb")
+        ).alias("b")
+        salt_keys = [
+            F.col("a.sa") == F.col("b.sa"),
+            F.col("a.sb") == F.col("b.sb"),
+        ]
+    else:
+        a = binned.alias("a")
+        b = binned.alias("b")
+        salt_keys = []
     # First-shared-bin rule (r10 perf fix): an overlapping pair shares
     # every bin its intersection covers, so the raw equi-join finds it
     # k times and a 3M-row distinct() paid for the dedup. The
@@ -1457,8 +1533,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONSTRUCTION and deletes the dedup shuffle outright (measured
     # in-session A/B at sf0.1, min-of-2 after warmup: 5.03s -> 2.32s,
     # -54%).
-    hits = a.join(
-        b,
+    cond = (
         (F.col("a.bin") == F.col("b.bin"))
         & (F.col("a.user_id") < F.col("b.user_id"))
         & (F.col("a.s") < F.col("b.e"))
@@ -1466,8 +1541,11 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (
             F.col("a.bin")
             == F.expr(f"greatest(a.s, b.s) div {_OVERLAP_BIN_US}")
-        ),
-    ).select(
+        )
+    )
+    for k in salt_keys:
+        cond = cond & k
+    hits = a.join(b, cond).select(
         F.col("a.user_id").alias("user_a"),
         F.col("b.user_id").alias("user_b"),
         (

