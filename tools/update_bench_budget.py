@@ -120,6 +120,17 @@ if __name__ == "__main__":
         "(fresh calibration, min with original) before the verdict "
         "(see tests/test_bench_budget.py)"
     )
+    out["rebaseline_policy"] = (
+        "re-run tools/update_bench_budget.py ALONE only after an "
+        "intentional perf change to a headliner (the JSON diff is the "
+        "reviewable perf change), when adding/removing a headliner, or "
+        "when the gate's calibration-drift SKIP fires across >= 3 "
+        "sessions sustained (calibration deviating >1.65x from "
+        "calibration_sec is a HOST-state shift, not a regression) — "
+        "never to paper over a single-session failure, and never from "
+        "an unusually fast or co-loaded host window (r10 lesson: a "
+        "fast-window baseline made quiet-host sessions skip)"
+    )
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_BUDGET.json")
     with open(path, "w") as f:
