@@ -329,7 +329,15 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _minhash_sig_table(spark, sf_dir)
-    bands_long = melt_bands(sigs)
+    # r11 scan fold: the signature table feeds five branches (both
+    # band-join sides, both verify sides, the exact-copy semi-join) —
+    # each uncheckpointed reference re-printed the whole shingle+
+    # minhash subtree (14 corpus scans). Narrow lazy localCheckpoints
+    # of the band melt and the shingle projection (both DISTINCT-TEXT-
+    # sized; the wide-table lesson from the pipeline fold applies) cut
+    # it to the member expansion's md5 projections only.
+    bands_long = melt_bands(sigs).localCheckpoint(eager=False)
+    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
     left = bands_long.select(F.col("gh").alias("gh_a"), "band_id", "sig")
     right = bands_long.select(F.col("gh").alias("gh_b"), "band_id", "sig")
     cand = (
@@ -339,8 +347,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # 2. verify with true jaccard on the shingle sets (array ops)
-    x = sigs.select(F.col("gh").alias("gh_a"), F.col("shingles").alias("sh_a"))
-    y = sigs.select(F.col("gh").alias("gh_b"), F.col("shingles").alias("sh_b"))
+    x = sh_ck.select(F.col("gh").alias("gh_a"), F.col("shingles").alias("sh_a"))
+    y = sh_ck.select(F.col("gh").alias("gh_b"), F.col("shingles").alias("sh_b"))
     joined = cand.join(x, "gh_a").join(y, "gh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
@@ -372,7 +380,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra = (
         m1.join(m2, "gh")
         .where(F.col("doc_id_a") < F.col("doc_id_b"))
-        .join(sigs.select("gh"), "gh", "left_semi")
+        .join(sh_ck.select("gh"), "gh", "left_semi")
         .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
     )
     return inter_pairs.unionByName(intra)
@@ -1551,10 +1559,16 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sig_table(spark, sf_dir)
     members = docs.select(F.md5("text").alias("gh"), "doc_id")
     is_test = F.col("doc_id") % 10 >= 8
+    # r11 scan fold (the dedup_minhash_incremental treatment): sides,
+    # the band melt, and the shingle projection are each read by two
+    # downstream branches — lazy localCheckpoints of the three
+    # DISTINCT-TEXT-sized frames cut the printed corpus scans 10 -> 4
+    # (the corpus-sized members frame stays checkpoint-free by the
+    # bounded-frame rule; its md5 projections still print).
     sides = members.groupBy("gh").agg(
         F.max(is_test.cast("int")).alias("has_test"),
         F.max((~is_test).cast("int")).alias("has_train"),
-    )
+    ).localCheckpoint(eager=False)
     sided = sigs.join(sides, "gh")
     bands_long = sided.select(
         "gh",
@@ -1563,7 +1577,7 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
         ).alias("band_id", "sig"),
-    )
+    ).localCheckpoint(eager=False)
     left = bands_long.where(F.col("has_test") == 1).select(
         F.col("gh").alias("gh_t"), "band_id", "sig"
     )
@@ -1576,8 +1590,9 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh_t", "gh_r")
         .distinct()
     )
-    x = sigs.select(F.col("gh").alias("gh_t"), F.col("shingles").alias("sh_t"))
-    y = sigs.select(F.col("gh").alias("gh_r"), F.col("shingles").alias("sh_r"))
+    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    x = sh_ck.select(F.col("gh").alias("gh_t"), F.col("shingles").alias("sh_t"))
+    y = sh_ck.select(F.col("gh").alias("gh_r"), F.col("shingles").alias("sh_r"))
     inter = F.size(F.array_intersect("sh_t", "sh_r"))
     union = F.size(F.array_distinct(F.concat("sh_t", "sh_r")))
     jaccard = inter / F.greatest(union, F.lit(1))
@@ -1589,7 +1604,7 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     same = (
         sides.where((F.col("has_test") == 1) & (F.col("has_train") == 1))
-        .join(sigs.select("gh"), "gh", "left_semi")
+        .join(sh_ck.select("gh"), "gh", "left_semi")
         .select(
             F.col("gh").alias("gh_t"),
             F.col("gh").alias("gh_r"),
@@ -2309,4 +2324,109 @@ def _apply_from_marked(marked: DataFrame, toks: DataFrame) -> DataFrame:
         "doc_id",
         F.concat_ws(" ", clean).alias("clean_text"),
         F.size(clean).cast("bigint").alias("n_tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: cross-source near-duplication matrix (crawl provenance map)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_source_matrix",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    lab AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON p.doc_id_a = da.doc_id
+        JOIN documents db ON p.doc_id_b = db.doc_id
+    ),
+    cnt AS (
+        SELECT source_a, source_b, count(*) AS n_pairs
+        FROM lab GROUP BY 1, 2
+    ),
+    sz AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT c.source_a, c.source_b,
+           CAST(c.n_pairs AS BIGINT) AS n_pairs,
+           CAST((c.n_pairs * 1000000)
+                // CASE WHEN c.source_a = c.source_b
+                        THEN (sa.n_docs * (sa.n_docs - 1)) // 2
+                        ELSE sa.n_docs * sb.n_docs END
+                AS BIGINT) AS rate_ppm
+    FROM cnt c
+    JOIN sz sa ON c.source_a = sa.source
+    JOIN sz sb ON c.source_b = sb.source
+    """,
+    doc="Cross-source near-duplication matrix — the crawl PROVENANCE "
+    "map: every MinHash near-dup pair (dedup_minhash_lsh's exact "
+    "output, composed — the pair frame cannot drift from the dedup "
+    "operator because it IS the dedup operator) labeled with its two "
+    "documents' sources and rolled up to per-source-pair counts plus "
+    "a rate normalized by the possible cross pairs (n_a*n_b, or "
+    "n*(n-1)/2 on the diagonal) in exact integer ppm. Off-diagonal "
+    "mass is the curation signal: which sources mirror/scrape each "
+    "other (dedup one of them wholesale, or down-weight the pair in "
+    "the mixture); a hot diagonal says a source self-duplicates "
+    "(boilerplate templates). Scale shape: the audited banded-LSH "
+    "pair plan, then the OUTPUT-proportional pair frame is lazily "
+    "localCheckpoint-ed and joined twice against a (doc_id, source) "
+    "projection — pair-bounded shuffles, a source^2-bounded rollup, "
+    "and a broadcast size table. All-integer output (counts + "
+    "truncating ppm division, positive operands — identical in both "
+    "engines).",
+    tags=("dedup", "lsh", "stats", "pipeline"),
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("source").alias("sa")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("source").alias("sb")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    cnt = lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    sz = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n_docs").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n_docs").alias("nb"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("(na * (na - 1)) div 2"),
+    ).otherwise(F.col("na") * F.col("nb"))
+    return (
+        cnt.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_pairs") * F.lit(1000000))
+            .cast("bigint")
+            .alias("_num"),
+            denom.cast("bigint").alias("_den"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("_num div _den").cast("bigint").alias("rate_ppm"),
+        )
     )

@@ -790,11 +790,15 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     bucket = hexpos(1) * 16 + hexpos(2)
+    # r11 scan fold: hist is (lang x 256)-bounded and feeds both the
+    # rate-fitting chain (whose w/m/r stages each fan out twice) and
+    # the final keep rollup — uncheckpointed, the plan re-printed the
+    # corpus scan 9 times; one lazy localCheckpoint makes it single.
     hist = (
         docs.select("lang", bucket.alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+    ).localCheckpoint(eager=False)
     src = hist.groupBy("lang").agg(F.sum("n").alias("n_total"))
     tot = src.agg(F.sum("n_total").alias("n_corpus"))
     w = src.crossJoin(F.broadcast(tot)).select(
@@ -1690,4 +1694,132 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             (F.col("n_docs") >= F.lit(_KANON_K)).alias("meets_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: deterministic stratified split assignment (train/val/test)
+# ---------------------------------------------------------------------------
+
+# ppt-of-1000 hash-bucket cuts: bucket < 900 -> train, < 950 -> val.
+_SPLIT_CUTS = (("train", 0, 900), ("val", 900, 950), ("test", 950, 1000))
+_SPLIT_TOL_PPM = 20_000  # |realized - target| tolerance floor (2%)
+
+
+@register(
+    "stratified_split_assign",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, source,
+               CAST(CAST(CONCAT('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 1000 AS BIGINT) AS bucket
+        FROM documents
+    ),
+    assigned AS (
+        SELECT lang, source,
+               CASE {" ".join(
+                   f"WHEN bucket < {hi} THEN '{name}'"
+                   for name, lo, hi in _SPLIT_CUTS)}
+               END AS split
+        FROM b
+    ),
+    cnt AS (
+        SELECT lang, source, split, count(*) AS n_docs
+        FROM assigned GROUP BY 1, 2, 3
+    ),
+    strata AS (
+        SELECT lang, source, count(*) AS n_stratum FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.lang, s.source, s.n_stratum, t.split, t.target_ppm
+        FROM strata s
+        CROSS JOIN (VALUES {", ".join(
+            f"('{name}', {(hi - lo) * 1000})"
+            for name, lo, hi in _SPLIT_CUTS)}) AS t(split, target_ppm)
+    )
+    SELECT g.lang, g.source, g.split,
+           CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST((coalesce(c.n_docs, 0) * 1000000) // g.n_stratum
+                AS BIGINT) AS realized_ppm,
+           CAST(g.target_ppm AS BIGINT) AS target_ppm,
+           abs((coalesce(c.n_docs, 0) * 1000000) // g.n_stratum
+               - g.target_ppm)
+               <= greatest({_SPLIT_TOL_PPM}, 3000000 // g.n_stratum)
+               AS within_tol
+    FROM grid g
+    LEFT JOIN cnt c ON g.lang = c.lang AND g.source = c.source
+                   AND g.split = c.split
+    """,
+    doc="Deterministic stratified train/val/test ASSIGNMENT plus its "
+    "own audit — the split step a training-data pipeline runs before "
+    "anything else (split_balance_audit audits a GIVEN doc_id%10 "
+    "split; this one produces the split): every document hashes into "
+    "a 1000-bucket lottery (md5 of the doc id — stable under corpus "
+    "growth and reshuffling, the property %-of-row-number splits do "
+    "not have) cut 900/50/50, and the report grids EVERY "
+    "(lang, source) stratum x split — including empty cells, which "
+    "are exactly the audit's point (a stratum too small to land a "
+    "val doc shows 0 against its 5% target instead of vanishing) — "
+    "with exact-integer realized-vs-target ppm and a tolerance "
+    "verdict at max(2%, 3 docs). Scale shape: one corpus scan into a "
+    "map-side-combined (stratum, split) count plus a stratum count; "
+    "the 3-row split spec rides an explode/VALUES literal; everything "
+    "after runs on strata-bounded frames. All-integer arithmetic "
+    "(truncating ppm division on positive operands — identical in "
+    "both engines), no floats anywhere.",
+    tags=("pipeline", "quality", "aggregation"),
+)
+def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    b = docs.select("lang", "source", bucket.alias("bucket"))
+    split = F.when(F.lit(False), F.lit(""))
+    for name, _lo, hi in _SPLIT_CUTS:
+        split = split.when(F.col("bucket") < hi, name)
+    cnt = (
+        b.select("lang", "source", split.alias("split"))
+        .groupBy("lang", "source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    strata = b.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_stratum")
+    )
+    spec = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("split"),
+                F.lit((hi - lo) * 1000).cast("bigint").alias("target_ppm"),
+            )
+            for name, lo, hi in _SPLIT_CUTS
+        ]
+    )
+    grid = strata.select(
+        "lang", "source", "n_stratum", F.explode(spec).alias("t")
+    ).select("lang", "source", "n_stratum", "t.split", "t.target_ppm")
+    joined = grid.join(cnt, ["lang", "source", "split"], "left").select(
+        "lang",
+        "source",
+        "split",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        "n_stratum",
+        "target_ppm",
+    )
+    realized = F.expr("(n_docs * 1000000) div n_stratum").cast("bigint")
+    tol = F.greatest(
+        F.lit(_SPLIT_TOL_PPM).cast("bigint"),
+        F.expr("3000000 div n_stratum").cast("bigint"),
+    )
+    return joined.select(
+        "lang",
+        "source",
+        "split",
+        "n_docs",
+        realized.alias("realized_ppm"),
+        F.col("target_ppm").cast("bigint").alias("target_ppm"),
+        (F.abs(realized - F.col("target_ppm")) <= tol).alias("within_tol"),
     )

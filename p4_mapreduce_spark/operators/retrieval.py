@@ -187,14 +187,22 @@ def tfidf_doc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_u = F.col("tf") * F.floor(
         F.log(F.col("n") / F.col("df").cast("double")) * 10000.0 + 0.5
     ).cast("bigint")
+    # r11 scan fold: the weighted posting table feeds FOUR branches
+    # (query side, corpus join side, and both norm lookups via nrm) —
+    # uncheckpointed, each branch re-printed (and cache-cold re-ran)
+    # the tf + df + count subtree: 12 printed corpus scans. One lazy
+    # localCheckpoint of the narrow (doc, word, w_u) table and one of
+    # the doc-sized norm table make it a single physical pass
+    # (pin 12 -> default 2 in tests/test_plans.py, same commit).
     wt = (
         tf.join(dfq, "word")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "word", w_u.alias("w_u"))
+        .localCheckpoint(eager=False)
     )
     nrm = wt.groupBy("doc_id").agg(
         F.sum(F.col("w_u") * F.col("w_u")).cast("bigint").alias("norm_u")
-    )
+    ).localCheckpoint(eager=False)
     qw = wt.where(F.col("doc_id").isin(*_KNN_QUERY_DOCS)).select(
         F.col("doc_id").alias("query_id"), "word", F.col("w_u").alias("qw_u")
     )

@@ -1663,11 +1663,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # r11 scan fold: the doc-sized scored frame feeds the tercile
+    # aggregation AND the bucket join — uncheckpointed, each branch
+    # re-printed the whole unigram scoring chain (10 corpus scans).
     scored = (
         quality_unigram_logppl(spark, sf_dir)
         .join(docs, "doc_id")
         .select("doc_id", "lang", F.col("avg_neg_logp").alias("ppl"))
-    )
+    ).localCheckpoint(eager=False)
     bounds = scored.groupBy("lang").agg(
         F.percentile("ppl", F.lit(1.0) / 3).alias("q1"),
         F.percentile("ppl", F.lit(2.0) / 3).alias("q2"),
@@ -1740,11 +1743,14 @@ _CCNET_BUCKETS = ("head", "middle", "tail")
 )
 def ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # r11 scan fold: the doc-sized scored frame feeds the tercile
+    # aggregation AND the bucket join — uncheckpointed, each branch
+    # re-printed the whole unigram scoring chain (10 corpus scans).
     scored = (
         quality_unigram_logppl(spark, sf_dir)
         .join(docs, "doc_id")
         .select("doc_id", "lang", F.col("avg_neg_logp").alias("ppl"))
-    )
+    ).localCheckpoint(eager=False)
     bounds = scored.groupBy("lang").agg(
         F.percentile("ppl", F.lit(1.0) / 3).alias("q1"),
         F.percentile("ppl", F.lit(2.0) / 3).alias("q2"),
@@ -1868,14 +1874,21 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " ", -1), lambda x: x != "")
         ).alias("word"),
     )
-    swc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    # r11 scan fold: swc feeds three branches (global counts, kept-
+    # vocabulary source totals, the smoothed grid) and kept three more
+    # — uncheckpointed they re-printed the corpus pass 8 times. Two
+    # lazy localCheckpoints (per-source-vocabulary-sized; share-prune-
+    # bounded <= 500 rows) make the corpus pass physically single.
+    swc = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c_sw")
+    ).localCheckpoint(eager=False)
     wc = swc.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
     tot = wc.agg(F.sum("c_w").cast("bigint").alias("n"))
     kept = (
         wc.crossJoin(F.broadcast(tot))
         .where(F.col("c_w") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
         .select("word", "c_w")
-    )
+    ).localCheckpoint(eager=False)
     ka = kept.agg(
         F.sum("c_w").cast("bigint").alias("nk"), F.count(F.lit(1)).alias("k")
     )
@@ -2230,7 +2243,15 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " ", -1), lambda x: x != "")
         ).alias("word"),
     )
-    swc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    # r11 scan fold: swc feeds the global word counts AND the presence
+    # join, and pres feeds three branches (sizes + both self-join
+    # sides) — uncheckpointed, the plan printed 12 corpus scans. Two
+    # lazy localCheckpoints (swc is per-source-vocabulary-sized, pres
+    # is share-prune-bounded at |sources| x 500 rows) make the corpus
+    # pass physically single (pin 12 -> default 2, same commit).
+    swc = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     wc = swc.groupBy("word").agg(F.sum("c").cast("bigint").alias("c_w"))
     tot = wc.agg(F.sum("c_w").cast("bigint").alias("n"))
     kept = (
@@ -2238,7 +2259,12 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_w") >= F.lit(_VOCAB_MIN_SHARE) * F.col("n"))
         .select("word")
     )
-    pres = swc.join(F.broadcast(kept), "word").select("source", "word").distinct()
+    pres = (
+        swc.join(F.broadcast(kept), "word")
+        .select("source", "word")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = pres.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = pres.select(F.col("source").alias("source_a"), "word")
     b = pres.select(F.col("source").alias("source_b"), "word")

@@ -568,3 +568,102 @@ def test_fuzz_label_propagation_vs_python(spark, case):
     from tests.test_r10_ops import _py_lpa
 
     assert got == _py_lpa(edges, rounds)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(random_graph())
+def test_fuzz_lpa_semisync_vs_python(spark, case):
+    """r11: the semi-synchronous (2-colored) converged LPA on
+    arbitrary small symmetrized graphs must agree node-for-node with a
+    pure-python replica of the same half-step schedule — including the
+    early stop at stability (the replica breaks on the same
+    full-super-round fixpoint test)."""
+    from p4_mapreduce_spark.operators.graph import lpa_semisync
+    from tests.test_r11_ops import _py_lpa_semisync
+
+    edges, rounds = case
+    split = max(n for e in edges for n in e) // 2 + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_semisync(df, F.col("node") < split, rounds).collect()
+    }
+    assert got == _py_lpa_semisync(edges, split, rounds)
+
+
+def _py_overlap_rollup(sess):
+    """All-pairs reference for overlap_pairs_rollup: true interval
+    overlap between every pair of sessions of DIFFERENT users."""
+    agg = {}
+    for i, (ua, _ia, sa, ea) in enumerate(sess):
+        for ub, _ib, sb, eb in sess[i + 1:]:
+            if ua == ub:
+                continue
+            a, b = ((ua, sa, ea), (ub, sb, eb))
+            if a[0] > b[0]:
+                a, b = b, a
+            ov = min(a[2], b[2]) - max(a[1], b[1])
+            if ov <= 0:
+                continue
+            key = (a[0], b[0])
+            n, tot, mx = agg.get(key, (0, 0, 0))
+            agg[key] = (n + 1, tot + ov, max(mx, ov))
+    return agg
+
+
+@st.composite
+def session_corpus(draw):
+    n_users = draw(st.integers(min_value=2, max_value=5))
+    sess = []
+    for u in range(n_users):
+        per_user_starts = set()
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            s = draw(st.integers(min_value=0, max_value=40)) * 450_000_000
+            # per-user sessions must be disjoint (they come from the
+            # islands kernel, which merges overlaps)
+            if any(abs(s - o) < 2 * 450_000_000 for o in per_user_starts):
+                continue
+            per_user_starts.add(s)
+            length = draw(st.integers(min_value=1, max_value=4)) * 450_000_000
+            sess.append((u, len(per_user_starts), s, s + length))
+    assume(sess)
+    return sess
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(session_corpus())
+def test_fuzz_overlap_rollup_vs_python(spark, sess):
+    """r11: the hot-bin-salted co-presence kernel vs a brute-force
+    all-pairs python reference, run BOTH with the cap forced to 1 (so
+    every non-empty bin takes the salted path) and with the plain
+    shape — bins, first-shared-bin uniqueness, and salting must all be
+    invisible in the result."""
+    from p4_mapreduce_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        sess, "user_id long, island_id long, s long, e long"
+    )
+    want = _py_overlap_rollup(sess)
+    old_cap = A._HOT_BIN_CAP
+    try:
+        A._HOT_BIN_CAP = 1
+        for safe in (True, False):
+            got = {
+                (r["user_a"], r["user_b"]): (
+                    r["n_overlaps"],
+                    r["total_overlap_us"],
+                    r["max_overlap_us"],
+                )
+                for r in A.overlap_pairs_rollup(df, skew_safe=safe).collect()
+            }
+            assert got == want, f"skew_safe={safe}"
+    finally:
+        A._HOT_BIN_CAP = old_cap

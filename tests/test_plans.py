@@ -403,17 +403,26 @@ _WINDOW_KEY_PINS = {
 # subtrees by construction). Lower a pin when you fold scans; never
 # raise one without the same scrutiny as a new shuffle.
 _BIG_TABLE_SCAN_BOUNDS = {
+    # ann_lsh_recall is a MULTI-ARM audit: exact + LSH + IVF arms
+    # each rescan embeddings by design — the arms ARE the semantics
+    # (recall needs independent candidate sets), so the pin records
+    # the audited arm count rather than a foldable rescan.
     "ann_lsh_recall": 11,
     "bm25_search_topk": 5,
     # r11: bpe_* rounds are localCheckpoint-ed (the doubled-per-round
     # lineage printed 17/15 corpus scans; now the corpus is touched
     # once (train) / twice (encode) and each round materializes only
     # the bounded vocabulary) — bounds dropped to the default 2.
-    "ccnet_buckets_approx": 10,
-    "ccnet_perplexity_buckets": 10,
+    # r11: ccnet_* checkpoint the doc-sized scored frame (10 -> 0
+    # printed; bloom headroom).
+    "ccnet_buckets_approx": 4,
+    "ccnet_perplexity_buckets": 4,
     "data_mixture_manifest": 3,
     "data_quality_audit": 3,
-    "decontaminate_test_split": 10,
+    # r11: decontaminate_test_split got the dedup_minhash_incremental
+    # checkpoint treatment (10 -> 2 cold; the pin leaves the same
+    # headroom for call-order-dependent runtime bloom-filter builds).
+    "decontaminate_test_split": 6,
     "dedup_jaccard_prefix": 4,
     # r11: dedup_minhash_incremental's side flags / band melt /
     # shingle projection are localCheckpoint-ed (15 -> 6). The 6: two
@@ -425,7 +434,13 @@ _BIG_TABLE_SCAN_BOUNDS = {
     # hunts, so they ride inside the pin rather than being regex-ed
     # away.
     "dedup_minhash_incremental": 6,
-    "dedup_minhash_lsh": 14,
+    # r11: neardup_source_matrix composes dedup_minhash_lsh's pair
+    # frame (checkpointed) + two source-label projections + the size
+    # table — 4 cheap (doc_id, source) prints, no subtree rescans.
+    "neardup_source_matrix": 4,
+    # r11: dedup_minhash_lsh checkpoints the band melt + shingle
+    # projection (14 -> 4 member-expansion prints; bloom headroom).
+    "dedup_minhash_lsh": 8,
     "dedup_ngram_jaccard": 4,
     "frequent_itemsets_pairs": 4,
     "heavy_hitters_words": 3,
@@ -434,9 +449,11 @@ _BIG_TABLE_SCAN_BOUNDS = {
     "ivfadc_nprobe_recall": 7,
     "ivfadc_recall_audit": 3,
     "join_skew_split_hot_keys": 5,
-    "kl_source_drift": 8,
+    # r11: kl_source_drift checkpoints swc + kept (8 -> 0 printed).
+    "kl_source_drift": 4,
     "minhash_recall_audit": 6,
-    "mixture_temperature_resample": 9,
+    # r11: mixture checkpoints the (lang x 256) histogram (9 -> 0).
+    "mixture_temperature_resample": 4,
     "mrl_truncation_recall": 4,
     "multimodal_phash_neardup": 4,
     "mutual_information_lang_source": 4,
@@ -449,11 +466,15 @@ _BIG_TABLE_SCAN_BOUNDS = {
     "robust_outliers_mad": 4,
     "semdedup_pipeline": 3,
     "semdedup_prune": 3,
-    "source_vocab_jaccard": 12,
+    # r11: source_vocab_jaccard checkpoints swc + the pruned presence
+    # table (12 -> 0 printed; bloom headroom).
+    "source_vocab_jaccard": 4,
     "split_balance_audit": 5,
     "subquery_scalar": 4,
     "text_tfidf_top_terms": 3,
-    "tfidf_doc_knn": 12,
+    # r11: tfidf_doc_knn checkpoints the weighted posting table and
+    # the norm table (12 -> 0 printed; bloom headroom).
+    "tfidf_doc_knn": 4,
     # r11: stage-materialized (narrow lazy localCheckpoints of the
     # band melt, the shingle projection, and the side flags; qual from
     # the two gating screens only) — 18 -> 5. The checkpointed
