@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from p4_mapreduce_spark.functions.deterministic import fix_sql, fsum, fsum_sql
+from p4_mapreduce_spark.functions.deterministic import fix, fix_sql, fsum, fsum_sql
 from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
@@ -1636,4 +1636,81 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.50, "p50_latency_s"),
         q(0.90, "p90_latency_s"),
         F.max("latency_s").alias("max_latency_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: event-type Markov transition matrix (behavioral grammar)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, sum(n_transitions) AS n_from FROM t GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           {fix_sql(
+               "CAST(t.n_transitions AS DOUBLE) / CAST(tot.n_from AS DOUBLE)",
+               6)} AS prob
+    FROM t JOIN tot USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the behavioral GRAMMAR the funnel operators read one "
+    "path of: for every (from_type -> to_type) adjacency in a user's "
+    "time-ordered stream, the transition count and the row-normalized "
+    "probability P(to|from). Product reads: dead-end states (rows "
+    "whose mass self-loops or exits), the purchase path's actual "
+    "feeder states, anomalous bot loops (view->view at p~1). Scale "
+    "shape: ONE per-user lag window (partition keys are user ids — "
+    "busiest-user bounded, the sessionize class, pin-reviewed), then "
+    "a map-side-combined count over the (|event_types|^2)-bounded "
+    "transition grid and a broadcast row-total join — shuffle volume "
+    "collapses to the type-pair grid after the window. Determinism: "
+    "ties inside a user's stream order by (ts, event_id); counts are "
+    "exact integers and the single probability division is one IEEE "
+    "op on identical inputs, floor-normalized at 1e-6.",
+    tags=("events", "window", "aggregation", "stats"),
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        fix(
+            F.col("n_transitions").cast("double")
+            / F.col("n_from").cast("double"),
+            6,
+        ).alias("prob"),
     )

@@ -2360,6 +2360,7 @@ def _apply_from_marked(marked: DataFrame, toks: DataFrame) -> DataFrame:
     JOIN sz sa ON c.source_a = sa.source
     JOIN sz sb ON c.source_b = sb.source
     """,
+    headline=True,
     doc="Cross-source near-duplication matrix — the crawl PROVENANCE "
     "map: every MinHash near-dup pair (dedup_minhash_lsh's exact "
     "output, composed — the pair frame cannot drift from the dedup "

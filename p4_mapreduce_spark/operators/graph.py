@@ -935,6 +935,9 @@ def lpa_semisync(
                 )
                 .select(F.col("n").alias("node"), F.col("t.lb").alias("nl"))
             )
+            # lazy: the super-round's changed-count action (below)
+            # materializes both half-steps in one job instead of one
+            # eager checkpoint job per half-step
             labels = (
                 labels.join(argmax, "node", "left")
                 .select(
@@ -943,7 +946,7 @@ def lpa_semisync(
                     .otherwise(F.col("label"))
                     .alias("label"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         changed = (
             labels.join(
@@ -1020,6 +1023,7 @@ def _lpa_semisync_oracle() -> str:
 @register(
     "graph_lpa_semisync",
     oracle=_lpa_semisync_oracle(),
+    headline=True,
     doc="Label propagation run to CONVERGENCE (the twin the r10 "
     "verdict asked for — graph_label_propagation is fixed-4-round by "
     "contract because synchronous LPA provably oscillates on this "

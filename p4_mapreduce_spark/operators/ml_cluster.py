@@ -33,6 +33,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
 
@@ -1307,4 +1308,156 @@ def embedding_pca_power_iteration(
         ).alias("pc1_mean_q"),
         "pc1_min_q",
         "pc1_max_q",
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: embedding anisotropy audit (closed form, one scan)
+# ---------------------------------------------------------------------------
+
+_ANISO_D = 64
+
+
+def _aniso_milli_sql(s: str, div: str = "//") -> str:
+    """Sign-safe exact floor-div by 1000 (the cross-engine recipe:
+    subtract the canonical non-negative remainder first, so the
+    division is exact and engine division semantics cannot matter).
+    ``div`` is the engine's integer-division token (DuckDB ``//``,
+    Spark SQL ``div``)."""
+    return f"(({s}) - ((({s}) % 1000 + 1000) % 1000)) {div} 1000"
+
+
+def _aniso_oracle() -> str:
+    d = _ANISO_D
+    s_sums = ",\n               ".join(
+        f"CAST(sum(q[{i + 1}]) AS BIGINT) AS s{i}" for i in range(d)
+    )
+    norm2_milli = " + ".join(
+        f"({_aniso_milli_sql(f's{i}')}) * ({_aniso_milli_sql(f's{i}')})"
+        for i in range(d)
+    )
+    mean_cos = fix_sql(
+        "(CAST(norm2_milli AS DOUBLE) * 1000000.0 - CAST(sum_q2 AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 1e12)",
+        6,
+    )
+    return f"""
+    WITH xd AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label,
+               list_transform(
+                   v,
+                   x -> CAST(floor(x / sqrt(list_sum(
+                            list_transform(v, y -> y * y)))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS q
+        FROM xd
+    ),
+    g AS (
+        SELECT label,
+               count(*) AS n,
+               {s_sums},
+               CAST(sum(list_sum(list_transform(q, t -> t * t)))
+                    AS BIGINT) AS sum_q2
+        FROM q GROUP BY ROLLUP(label)
+    ),
+    m AS (
+        SELECT label, n, sum_q2,
+               CAST({norm2_milli} AS BIGINT) AS norm2_milli
+        FROM g
+    )
+    SELECT label,
+           CAST(n AS BIGINT) AS n_vectors,
+           CASE WHEN n >= 2 THEN {mean_cos} END AS mean_pairwise_cos
+    FROM m
+    """
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle=_aniso_oracle(),
+    doc="Embedding ANISOTROPY audit (Ethayarajh 2019's collapse "
+    "diagnostic): the mean pairwise cosine between all n(n-1) ordered "
+    "vector pairs, per label and corpus-wide (ROLLUP) — near 0 means "
+    "directions spread (healthy); near 1 means the space has "
+    "collapsed into a cone and similarity search/clustering are "
+    "degenerate; per-label vs global contrast reads cluster cohesion "
+    "directly. The scale story IS the operator: the naive statistic "
+    "is an O(n^2) all-pairs join, but over unit vectors the identity "
+    "sum_ij(u_i . u_j) = ||sum_i u_i||^2 collapses it to ONE "
+    "map-side-combined corpus pass (count, the 64 coordinate sums of "
+    "the micro-quantized unit vectors, and the summed self-dots), "
+    "after which the closed form runs on label-cardinality rows — "
+    "corpus-size-independent shuffle, the same fold that made the "
+    "PCA fit one-pass. Determinism: unit vectors are IEEE doubles "
+    "built by the identical expression in both engines (in-order "
+    "list fold for the norm), micro-quantized to exact bigints; "
+    "coordinate sums are exact; the milli downscale before squaring "
+    "(sign-safe exact floor-div) keeps the norm^2 inside int64 at "
+    "any corpus below ~4e7 vectors (shard above that); the single "
+    "final division is one IEEE op on identical inputs, "
+    "floor-normalized at 1e-6.",
+    tags=("ml", "embeddings", "stats", "aggregation"),
+)
+def embedding_anisotropy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    d = _ANISO_D
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            xd, F.lit(0.0), lambda a, y: a + y * y
+        )
+    )
+    q = F.transform(
+        xd,
+        lambda x: F.floor(x / nrm * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    qdf = emb.select("label", q.alias("q"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.col("q")[i]).cast("bigint").alias(f"s{i}") for i in range(d)
+    ]
+    aggs.append(
+        F.sum(
+            F.aggregate(
+                F.transform(F.col("q"), lambda t: t * t),
+                F.lit(0).cast("bigint"),
+                lambda a, t: a + t,
+            )
+        )
+        .cast("bigint")
+        .alias("sum_q2")
+    )
+    g = qdf.rollup("label").agg(*aggs)
+    norm2_milli = None
+    for i in range(d):
+        m = _aniso_milli_sql(f"s{i}", div="div")
+        sq = F.expr(f"(({m})) * (({m}))")
+        norm2_milli = sq if norm2_milli is None else norm2_milli + sq
+    mean_cos = fix(
+        (
+            F.col("norm2_milli").cast("double") * F.lit(1000000.0)
+            - F.col("sum_q2").cast("double")
+        )
+        / (
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") - F.lit(1.0))
+            * F.lit(1e12)
+        ),
+        6,
+    )
+    return (
+        g.withColumn("norm2_milli", norm2_milli.cast("bigint"))
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.when(F.col("n") >= 2, mean_cos).alias("mean_pairwise_cos"),
+        )
     )

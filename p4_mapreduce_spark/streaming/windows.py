@@ -2237,3 +2237,176 @@ def interval_overlap_from_state(
         F.col("span_end_us").alias("e"),
     )
     return overlap_pairs_rollup(sess)
+
+
+# ---------------------------------------------------------------------------
+# r11: incremental Markov transition counts (streaming twin of
+# event_markov_transitions)
+# ---------------------------------------------------------------------------
+
+
+def streaming_markov_transitions(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.analytics.event_markov_transitions:
+    the per-user-adjacency transition counts maintained incrementally
+    as event tranches ARRIVE in time order.
+
+    State:
+
+    - ``trans``: per-batch (from_type, to_type, n) counts keyed by
+      batch_id (append-only; a replayed batch re-appends identical
+      rows and the reader collapses by first-per-(batch, pair)).
+    - ``last``: one row per touched user per batch — the user's latest
+      event (the next batch's cross-boundary 'from'); latest row per
+      user is the carry, same discipline as the interval-union open
+      store.
+
+    Per micro-batch: the carried last events (batch_id < current,
+    users in this batch only) union the batch, one per-user lag window
+    orders them by (ts_us, event_id) — exactly the batch query's sort
+    key — and only transitions whose 'to' row is a REAL batch row
+    count (the carry is from-only, so the cross-boundary adjacency is
+    counted exactly once). The in-order-arrival precondition is
+    guarded like the interval union's: a batch event earlier than its
+    user's carried last event means some adjacency was already counted
+    against a different neighbor, so the sink fails loudly rather
+    than silently double-counting.
+    """
+    from pyspark.sql import Window as W
+
+    trans_path = os.path.join(state_dir, "trans")
+    last_path = os.path.join(state_dir, "last")
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "user_id",
+            epoch_micros(batch_df).alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.lit(False).alias("is_carry"),
+        )
+        prior = _read_parquet_or_none(spark, last_path)
+        if prior is not None:
+            carry = (
+                prior.where(F.col("batch_id") < F.lit(int(batch_id)))
+                .groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.struct("batch_id", "ts_us", "event_id", "event_type")
+                    ).alias("o")
+                )
+                .select(
+                    "user_id",
+                    F.col("o.ts_us").alias("ts_us"),
+                    F.col("o.event_id").alias("event_id"),
+                    F.col("o.event_type").alias("event_type"),
+                    F.lit(True).alias("is_carry"),
+                )
+                .join(rows.select("user_id").distinct(), "user_id")
+            )
+            late = (
+                rows.join(
+                    carry.select(
+                        "user_id",
+                        F.col("ts_us").alias("_c_ts"),
+                        F.col("event_id").alias("_c_eid"),
+                    ),
+                    "user_id",
+                )
+                .where(
+                    (F.col("ts_us") < F.col("_c_ts"))
+                    | (
+                        (F.col("ts_us") == F.col("_c_ts"))
+                        & (F.col("event_id") < F.col("_c_eid"))
+                    )
+                )
+                .count()
+            )
+            if late:
+                raise ValueError(
+                    f"streaming_markov_transitions: {late} event(s) in "
+                    f"batch {batch_id} precede their user's carried last "
+                    "event — tranche time-order violated; adjacencies "
+                    "already counted cannot be recounted, rebuild from "
+                    "batch instead"
+                )
+            rows = rows.unionByName(carry)
+        w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        seq = rows.select(
+            "event_type",
+            "is_carry",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        t = (
+            seq.where(F.col("prev_type").isNotNull() & ~F.col("is_carry"))
+            .groupBy(
+                F.col("prev_type").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        t.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(trans_path)
+        new_last = (
+            rows.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts_us", "event_id", "event_type")).alias("o")
+            )
+            .select(
+                "user_id",
+                F.col("o.ts_us").alias("ts_us"),
+                F.col("o.event_id").alias("event_id"),
+                F.col("o.event_type").alias("event_type"),
+            )
+        )
+        new_last.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(last_path)
+
+    return (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def markov_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Derive event_markov_transitions' exact output from the
+    accumulated state: per-batch counts collapsed replay-safe
+    (first per (batch_id, pair)), summed per pair, row-normalized
+    through the SAME column shapes as the batch query."""
+    from p4_mapreduce_spark.functions.deterministic import fix
+
+    t = (
+        spark.read.parquet(os.path.join(state_dir, "trans"))
+        .groupBy("batch_id", "from_type", "to_type")
+        .agg(F.first("n").alias("n"))
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("bigint").alias("n_transitions"))
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        fix(
+            F.col("n_transitions").cast("double")
+            / F.col("n_from").cast("double"),
+            6,
+        ).alias("prob"),
+    )

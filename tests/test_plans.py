@@ -357,6 +357,8 @@ _WINDOW_KEY_PINS = {
     "dedup_keep_latest": {("user_id",)},
     "dedup_span_cutlist": {("doc_id",)},
     "event_interarrival_stats": {("user_id", "event_type")},
+    # r11: one per-user lag window (sessionize class, busiest-user bounded)
+    "event_markov_transitions": {("user_id",)},
     "exact_median_via_window": {("c_nationkey",)},
     "hard_negative_mining": {("query_id", "role")},
     "hybrid_search_rrf": {("query_id",)},

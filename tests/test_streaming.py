@@ -1717,3 +1717,58 @@ def test_streaming_interval_overlap_matches_batch_kernel(spark, sf_dir, tmp_path
     got = rows(interval_overlap_from_state(spark, state))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_markov_matches_batch(spark, sf_dir, tmp_path):
+    """r11 twin: transition counts maintained incrementally across 3
+    time-ordered tranches equal event_markov_transitions' one-shot
+    batch answer exactly — the carried per-user last event makes every
+    cross-batch adjacency count exactly once. Plus crash-replay
+    idempotency of the derived matrix after re-appending one batch's
+    state rows."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.functions.timeutil import epoch_micros
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        markov_from_state,
+        streaming_markov_transitions,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_micros(ev)
+    ts_us = sorted(r[0] for r in ev.select(us.alias("u")).collect())
+    src = str(tmp_path / "events_tranches")
+    step = (len(ts_us) + 2) // 3
+    bounds = [None] + [ts_us[min(i * step, len(ts_us) - 1)] for i in (1, 2)] + [None]
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(us >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(us < bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    state = str(tmp_path / "state")
+    q = streaming_markov_transitions(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(load_all()["event_markov_transitions"].fn(spark, sf_dir))
+    got = rows(markov_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+    for part in ("trans", "last"):
+        stp = spark.read.parquet(f"{state}/{part}")
+        some_batch = stp.agg(F.min("batch_id")).collect()[0][0]
+        stp.where(F.col("batch_id") == some_batch).write.mode(
+            "append"
+        ).parquet(f"{state}/{part}")
+    assert rows(markov_from_state(spark, state)) == want
