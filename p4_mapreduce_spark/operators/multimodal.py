@@ -1162,3 +1162,138 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate_out int, peak_abs_out int, checksum bigint, "
         "roundtrip_exact boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: audio VAD-style energy screen (windowed energy over decoded PCM)
+# ---------------------------------------------------------------------------
+
+_VAD_WINDOW = 256  # samples per energy window (16 ms at 16 kHz)
+_VAD_MS_THRESH = 250_000  # mean-square activity threshold (rms ~500)
+
+
+def _audio_vad_oracle() -> str:
+    smp = _pcm_smp_sql()
+    return f"""
+    WITH b AS (
+        SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+        SELECT doc_id, CAST(ceil(nb / 2.0) AS INTEGER) AS ns, {smp} AS smp
+        FROM b
+    ),
+    w AS (
+        SELECT doc_id, ns,
+               CAST(ceil(ns / {_VAD_WINDOW}.0) AS INTEGER) AS n_windows,
+               list_transform(
+                   generate_series(1,
+                       CAST(ceil(ns / {_VAD_WINDOW}.0) AS INTEGER)),
+                   k -> (
+                       CAST(list_sum(list_transform(
+                           smp[(k - 1) * {_VAD_WINDOW} + 1 :
+                               least(k * {_VAD_WINDOW}, ns)],
+                           v -> CAST(v AS BIGINT) * v)) AS BIGINT),
+                       least(k * {_VAD_WINDOW}, ns)
+                           - (k - 1) * {_VAD_WINDOW}
+                   )) AS we
+        FROM s
+    ),
+    e AS (
+        SELECT doc_id, ns, n_windows,
+               len(list_filter(we,
+                   t -> t[1] >= {_VAD_MS_THRESH} * t[2])) AS n_active,
+               CAST(list_aggregate(
+                   list_transform(we, t -> t[1]), 'max') AS BIGINT)
+                   AS peak_window_energy
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_active AS BIGINT) AS n_active_windows,
+           CAST((n_active * 1000000) // n_windows AS BIGINT)
+               AS active_ppm,
+           peak_window_energy,
+           n_active > 0 AS keep
+    FROM e
+    """
+
+
+@register(
+    "multimodal_audio_vad_screen",
+    oracle=_audio_vad_oracle(),
+    doc=f"Windowed-energy voice-activity screen over decoded PCM — "
+    "the audio-side quality gate a speech-data pipeline runs before "
+    "transcription (silence/dead-air clips cost ASR compute and "
+    f"contribute nothing): each clip's PCM16 stream splits into "
+    f"{_VAD_WINDOW}-sample windows (16 ms at 16 kHz; the tail window "
+    "keeps its true length so short clips are screened, not padded "
+    "into silence), per-window ENERGY is the exact int64 sum of "
+    "squared samples (bounded by 256 * 32768^2 ~ 2.7e11 — no float, "
+    "no sqrt: activity compares energy >= threshold * window_len, "
+    "the mean-square test in cross-multiplied integer form), and the "
+    "per-clip report gives window counts, the active fraction in "
+    "exact ppm (truncating division, positive operands), the peak "
+    "window energy, and the keep verdict (any active window). The "
+    "oracle reassembles the same little-endian samples from the "
+    "payload's hex dump in pure SQL (the shared _pcm_smp_sql "
+    "recipe) and replays every window boundary and threshold "
+    "comparison in identical integer arithmetic. Scale shape: "
+    "Arrow-batched mapInPandas behind spread_for_cpu, one numpy "
+    "frombuffer + one reduceat per clip, zero shuffle — "
+    "embarrassingly parallel like every decode stage.",
+    tags=("multimodal", "pandas-udf", "audio", "quality"),
+)
+def multimodal_audio_vad_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
+
+    def screen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples": [],
+                "n_windows": [],
+                "n_active_windows": [],
+                "active_ppm": [],
+                "peak_window_energy": [],
+                "keep": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                if len(raw) % 2:
+                    raw += b"\x00"
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                ns = len(arr)
+                n_w = (ns + _VAD_WINDOW - 1) // _VAD_WINDOW
+                sq = arr * arr
+                starts = np.arange(0, ns, _VAD_WINDOW)
+                energy = np.add.reduceat(sq, starts)
+                wlen = np.minimum(starts + _VAD_WINDOW, ns) - starts
+                active = energy >= _VAD_MS_THRESH * wlen
+                n_act = int(active.sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(ns)
+                rows["n_windows"].append(n_w)
+                rows["n_active_windows"].append(n_act)
+                rows["active_ppm"].append(n_act * 1_000_000 // n_w)
+                rows["peak_window_energy"].append(int(energy.max()))
+                rows["keep"].append(n_act > 0)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        screen,
+        schema="doc_id bigint, n_samples bigint, n_windows bigint, "
+        "n_active_windows bigint, active_ppm bigint, "
+        "peak_window_energy bigint, keep boolean",
+    )
