@@ -1297,3 +1297,153 @@ def multimodal_audio_vad_screen(
         "n_active_windows bigint, active_ppm bigint, "
         "peak_window_energy bigint, keep boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: silence trim (VAD windows -> slice -> re-encode roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _audio_trim_oracle() -> str:
+    smp = _pcm_smp_sql()
+    return f"""
+    WITH b AS (
+        SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+        SELECT doc_id, CAST(ceil(nb / 2.0) AS INTEGER) AS ns, {smp} AS smp
+        FROM b
+    ),
+    act AS (
+        SELECT doc_id, ns, smp,
+               list_filter(
+                   generate_series(1,
+                       CAST(ceil(ns / {_VAD_WINDOW}.0) AS INTEGER)),
+                   k -> CAST(list_sum(list_transform(
+                            smp[(k - 1) * {_VAD_WINDOW} + 1 :
+                                least(k * {_VAD_WINDOW}, ns)],
+                            v -> CAST(v AS BIGINT) * v)) AS BIGINT)
+                        >= {_VAD_MS_THRESH}
+                           * (least(k * {_VAD_WINDOW}, ns)
+                              - (k - 1) * {_VAD_WINDOW})) AS ak
+        FROM s
+    ),
+    t AS (
+        SELECT doc_id, ns,
+               CASE WHEN len(ak) = 0 THEN 0
+                    ELSE (ak[1] - 1) * {_VAD_WINDOW} + 1 END AS st,
+               CASE WHEN len(ak) = 0 THEN 0
+                    ELSE least(ak[len(ak)] * {_VAD_WINDOW}, ns) END AS en,
+               smp
+        FROM act
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_samples_in,
+           CAST(CASE WHEN en = 0 THEN 0 ELSE en - st + 1 END AS BIGINT)
+               AS n_samples_out,
+           CAST(CASE WHEN en = 0 THEN ns ELSE st - 1 END AS BIGINT)
+               AS trimmed_head,
+           CAST(CASE WHEN en = 0 THEN 0 ELSE ns - en END AS BIGINT)
+               AS trimmed_tail,
+           CAST(CASE WHEN en = 0 THEN 0
+                ELSE list_aggregate(list_transform(
+                         generate_series(1, en - st + 1),
+                         k -> CAST(k AS BIGINT) * smp[st + k - 1]),
+                     'sum') END AS BIGINT) AS checksum,
+           TRUE AS roundtrip_exact
+    FROM t
+    """
+
+
+@register(
+    "multimodal_audio_silence_trim",
+    oracle=_audio_trim_oracle(),
+    doc="Silence TRIM through the real codec — the decode -> screen "
+    "-> transform -> re-encode arc in one operator (what a speech "
+    "pipeline runs on every kept clip: dead air at the edges costs "
+    "storage and ASR context): the VAD screen's window-energy test "
+    f"(shared {_VAD_WINDOW}-sample windows, integer mean-square "
+    "threshold) finds the first and last ACTIVE windows, the clip is "
+    "sliced to that span (window-aligned head, true-length tail; an "
+    "all-silent clip trims to empty), the trimmed PCM re-encodes "
+    "through the in-tree RIFF codec and re-decodes, and "
+    "roundtrip_exact pins the re-decoded bytes equal to the slice — "
+    "the codec-roundtrip invariant applied to VAD-gated audio. "
+    "Geometry (samples in/out, head/tail trims) and the "
+    "position-weighted bigint checksum over the TRIMMED stream are "
+    "integer-exact; the oracle reassembles the samples from the hex "
+    "dump (shared _pcm_smp_sql) and replays the window test, the "
+    "span arithmetic, and the checksum identically. Scale shape: "
+    "Arrow-batched mapInPandas behind spread_for_cpu, one "
+    "frombuffer + reduceat + slice per clip, zero shuffle.",
+    tags=("multimodal", "pandas-udf", "audio", "codec", "quality"),
+)
+def multimodal_audio_silence_trim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assets = spread_for_cpu(
+        assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    )
+
+    def trim(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_samples_in": [],
+                "n_samples_out": [],
+                "trimmed_head": [],
+                "trimmed_tail": [],
+                "checksum": [],
+                "roundtrip_exact": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                if len(raw) % 2:
+                    raw += b"\x00"
+                arr = np.frombuffer(raw, dtype="<i2")
+                a64 = arr.astype(np.int64)
+                ns = len(arr)
+                starts = np.arange(0, ns, _VAD_WINDOW)
+                energy = np.add.reduceat(a64 * a64, starts)
+                wlen = np.minimum(starts + _VAD_WINDOW, ns) - starts
+                active = np.nonzero(energy >= _VAD_MS_THRESH * wlen)[0]
+                if len(active) == 0:
+                    st, en = 0, 0  # all-silent: trims to empty
+                else:
+                    st = int(active[0]) * _VAD_WINDOW + 1
+                    en = min((int(active[-1]) + 1) * _VAD_WINDOW, ns)
+                if en == 0:
+                    out = np.empty(0, dtype="<i2")
+                    ok = True
+                else:
+                    out = np.ascontiguousarray(arr[st - 1 : en])
+                    wav = wav_encode_pcm16(
+                        out.tobytes(), sample_rate=16000, channels=1
+                    )
+                    _rate, _ch, _nf, pcm = wav_decode(wav)
+                    ok = pcm[: 2 * len(out)] == out.tobytes()
+                k = np.arange(1, len(out) + 1, dtype=np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples_in"].append(ns)
+                rows["n_samples_out"].append(len(out))
+                rows["trimmed_head"].append(ns if en == 0 else st - 1)
+                rows["trimmed_tail"].append(0 if en == 0 else ns - en)
+                rows["checksum"].append(
+                    int((k * out.astype(np.int64)).sum()) if len(out) else 0
+                )
+                rows["roundtrip_exact"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        trim,
+        schema="doc_id bigint, n_samples_in bigint, n_samples_out bigint, "
+        "trimmed_head bigint, trimmed_tail bigint, checksum bigint, "
+        "roundtrip_exact boolean",
+    )
