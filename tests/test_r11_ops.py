@@ -202,3 +202,193 @@ def test_overlap_salting_result_identical(spark, monkeypatch):
         (n_ov, tot, mx) == (1, bin_us, bin_us)
         for (_, _, n_ov, tot, mx) in salted
     )
+
+
+def _mini_sf(tmp_path, docs=None, events=None, embeddings=None):
+    """Write a minimal sf-dir with crafted tables for planted tests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    if docs is not None:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs]),
+                    "lang": pa.array([d[2] for d in docs]),
+                    "source": pa.array([d[3] for d in docs]),
+                }
+            ),
+            f"{sf}/documents.parquet",
+        )
+    if events is not None:
+        import pandas as pd
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([e[0] for e in events], pa.int64()),
+                    "ts": pa.array(
+                        [pd.Timestamp(e[1]) for e in events],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([e[2] for e in events], pa.int64()),
+                    "event_type": pa.array([e[3] for e in events]),
+                    "value": pa.array([0.0] * len(events), pa.float64()),
+                    "props": pa.array(["{}"] * len(events)),
+                }
+            ),
+            f"{sf}/events.parquet",
+        )
+    if embeddings is not None:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [v[0] for v in embeddings], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [v[1] for v in embeddings],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [v[2] for v in embeddings], pa.int32()
+                    ),
+                }
+            ),
+            f"{sf}/embeddings.parquet",
+        )
+    return sf
+
+
+def test_vad_and_trim_planted_windows(spark, tmp_path):
+    """Planted audio: 256 silent samples (value 1), 256 loud samples
+    (0x4141=16705), 256 silent — exactly 3 energy windows with only
+    the middle active. The VAD screen must report 1/3 active and the
+    trim must cut exactly one window off each edge with a
+    hand-computable checksum."""
+    from p4_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_silence_trim,
+        multimodal_audio_vad_screen,
+    )
+
+    silent = "\x01\x00" * 256  # 256 samples of value 1
+    loud = "AA" * 256  # 256 samples of 0x4141 = 16705
+    sf = _mini_sf(tmp_path, docs=[(7, silent + loud + silent, "en", "s")])
+
+    vad = multimodal_audio_vad_screen(spark, sf).collect()
+    assert len(vad) == 1
+    r = vad[0]
+    assert (
+        r.n_samples, r.n_windows, r.n_active_windows, r.keep
+    ) == (768, 3, 1, True)
+    assert r.active_ppm == 1_000_000 // 3
+    assert r.peak_window_energy == 256 * 16705 * 16705
+
+    t = multimodal_audio_silence_trim(spark, sf).collect()[0]
+    assert (
+        t.n_samples_in, t.n_samples_out, t.trimmed_head, t.trimmed_tail
+    ) == (768, 256, 256, 256)
+    # checksum = sum k*16705 for k=1..256
+    assert t.checksum == 16705 * (256 * 257 // 2)
+    assert t.roundtrip_exact
+
+    all_silent = _mini_sf(
+        tmp_path / "b", docs=[(8, silent, "en", "s")]
+    )
+    t2 = multimodal_audio_silence_trim(spark, all_silent).collect()[0]
+    assert (
+        t2.n_samples_out, t2.trimmed_head, t2.trimmed_tail, t2.checksum
+    ) == (0, 256, 0, 0)
+
+
+def test_markov_planted_transitions(spark, tmp_path):
+    """Planted event streams: user 1 view->view->purchase, user 2
+    view->purchase — hand-countable matrix with exact probabilities
+    (P(view->view)=1/3, P(view->purchase)=2/3)."""
+    from p4_mapreduce_spark.operators.analytics import (
+        event_markov_transitions,
+    )
+
+    sf = _mini_sf(
+        tmp_path,
+        events=[
+            (1, "2024-06-01 00:00:00", 1, "view"),
+            (2, "2024-06-01 00:01:00", 1, "view"),
+            (3, "2024-06-01 00:02:00", 1, "purchase"),
+            (4, "2024-06-01 00:00:30", 2, "view"),
+            (5, "2024-06-01 00:01:30", 2, "purchase"),
+        ],
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob)
+        for r in event_markov_transitions(spark, sf).collect()
+    }
+    third = 333333 / 1e6  # fix(1/3, 6): floor(x*1e6 + 0.5)/1e6
+    assert got == {
+        ("view", "view"): (1, third),
+        ("view", "purchase"): (2, 666667 / 1e6),
+    }
+
+
+def test_stratified_split_stable_under_corpus_growth(spark, tmp_path):
+    """The documented property row-number splits lack: a document's
+    split assignment depends only on its id hash, so growing the
+    corpus never reshuffles existing docs across splits."""
+    from p4_mapreduce_spark.operators.pipeline_ops import (
+        stratified_split_assign,
+    )
+
+    small = [(i, f"doc {i}", "en", "s") for i in range(40)]
+    big = small + [(i, f"doc {i}", "en", "s") for i in range(40, 200)]
+    sf_a = _mini_sf(tmp_path / "a", docs=small)
+    sf_b = _mini_sf(tmp_path / "b", docs=big)
+
+    def totals(sf):
+        rows = stratified_split_assign(spark, sf).collect()
+        return {r.split: r.n_docs for r in rows}
+
+    ta, tb = totals(sf_a), totals(sf_b)
+    # per-doc assignment is hash-stable: the big corpus's split counts
+    # restricted to the first 40 ids must equal the small corpus's.
+    # Derive the restriction by re-running on the shared prefix via
+    # the big corpus minus the added docs' known assignments.
+    sf_added = _mini_sf(
+        tmp_path / "c",
+        docs=[(i, f"doc {i}", "en", "s") for i in range(40, 200)],
+    )
+    tc = totals(sf_added)
+    for split in ("train", "val", "test"):
+        assert ta.get(split, 0) + tc.get(split, 0) == tb.get(split, 0)
+
+
+def test_anisotropy_planted_extremes(spark, tmp_path):
+    """Planted embeddings: label 0 holds two IDENTICAL vectors (mean
+    pairwise cosine exactly 1 up to the micro quantization), label 1
+    holds two ORTHOGONAL ones (exactly 0); the global rollup over all
+    four sits strictly between."""
+    from p4_mapreduce_spark.operators.ml_cluster import (
+        embedding_anisotropy_audit,
+    )
+
+    d = 64
+    e1 = [1.0] + [0.0] * (d - 1)
+    e2 = [0.0, 1.0] + [0.0] * (d - 2)
+    sf = _mini_sf(
+        tmp_path,
+        embeddings=[(0, e1, 0), (1, e1, 0), (2, e2, 1), (3, [0.0, -1.0] + [0.0] * (d - 2), 1)],
+    )
+    got = {
+        r.label: (r.n_vectors, r.mean_pairwise_cos)
+        for r in embedding_anisotropy_audit(spark, sf).collect()
+    }
+    assert got[0] == (2, 1.0)
+    assert got[1] == (2, -1.0)  # antipodal pair: cosine exactly -1
+    n, global_cos = got[None]
+    assert n == 4
+    # pairs: (e1,e1)=1, (e2,-e2)=-1, four cross pairs = 0 -> mean 0
+    assert abs(global_cos) < 1e-6
