@@ -305,7 +305,7 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint rule allows them; each costs exactly ONE corpus scan
     # at first action, after which every downstream branch reads the
     # materialized RDD. This took the pipeline's printed big-table
-    # scan count from 14-18 to 4 (pin lowered in the same commit).
+    # scan count from 14-18 to 5 (pin lowered in the same commit).
     sides = docs.groupBy(F.md5("text").alias("gh")).agg(
         F.max(is_test.cast("int")).alias("has_test"),
         F.max((~is_test).cast("int")).alias("has_train"),
