@@ -30,7 +30,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="p4-mapreduce-spark-bench")
+    # UI on for the per-query REST metrics (r12: inputBytes /
+    # shuffleWrite / max-task make drift-vs-regression adjudicable —
+    # bytes don't move with host state). The status listener that
+    # feeds the store runs regardless of this flag; the web server
+    # itself is only polled BETWEEN timed runs.
+    spark = get_spark(
+        app_name="p4-mapreduce-spark-bench",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = load_all()
@@ -68,15 +76,24 @@ def main() -> None:
     # unchanged queries drift 15-30% between bench runs an hour apart,
     # with idle-host steal time visible in /proc/stat — min-of-5 is
     # the cheapest robust estimator against that).
+    from p4_mapreduce_spark.metrics import stage_metrics_since, stage_snapshot
+
     timings: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     for name, spec in headline.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(5):
+        for i in range(5):
+            if i == 4:
+                # stage-set snapshot before the LAST timed run: its
+                # diff gives this query's own stages; polling happens
+                # only after the timer stops, so timings are unbiased
+                before = stage_snapshot(spark)
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        metrics[name] = stage_metrics_since(spark, before)
 
     print(
         json.dumps(
@@ -93,6 +110,13 @@ def main() -> None:
                 "queries_x_calibration": {
                     n: round(t / calib, 2) for n, t in timings.items()
                 },
+                "spark_metrics": metrics,
+                "spark_metrics_note": "per-query stage metrics from the "
+                "final timed run (UI REST, stage-set diff): input_bytes/"
+                "shuffle_write_bytes are plan-determined and do not drift "
+                "with host load — compare THESE across rounds to separate "
+                "contention from regression; max_task_ms vs "
+                "med_task_ms_of_max_stage is the straggler/skew signal",
             }
         )
     )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql, fsum, fsum_sql
 from p4_mapreduce_spark.functions.timeutil import epoch_micros
 from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.stagemat import stage_ck
 from p4_mapreduce_spark.sources.tables import load
 
 
@@ -1370,7 +1371,17 @@ _OVERLAP_BIN_US = 15 * 60 * 1_000_000  # equi-join bucket width
 # replication); the hot-bin list is a map-side-combined count +
 # broadcast, bounded above by total_bin_rows / _HOT_BIN_CAP keys.
 _HOT_BIN_CAP = 2048
-_HOT_BIN_SALTS = 8
+# r12 (verdict ask #3): salts scale with the MEASURED bin size instead
+# of a fixed 8. ns = ceil(nb / _HOT_BIN_CAP) makes each (sa, sb) cell
+# hold ~_HOT_BIN_CAP rows per side, i.e. ~_HOT_BIN_CAP^2 = 4.2M pairs
+# per task REGARDLESS of how hot the bin is (a fixed salt count keeps
+# pairs/task growing as nb^2/64 — stragglers return one order of
+# magnitude up; the sqrt alternative still grows them linearly as
+# nb*cap/2). Capped so a pathological bin cannot explode the
+# replication volume (each side row is replicated ns times): at the
+# cap, a bin >64*2048 = 131k sessions degrades gracefully to growing
+# cells again — raise the cap alongside executor count at that scale.
+_HOT_BIN_MAX_SALTS = 64
 
 
 @register(
@@ -1442,10 +1453,13 @@ _HOT_BIN_SALTS = 8
     "plain join's single hot task ran 164s against a 0.33s median; "
     "salted: 31s wall, 24s max task — 5.5x). Bins "
     f"over {_HOT_BIN_CAP} sessions now get PAIR-SPACE salting — "
-    f"(bin, hash(a)%{_HOT_BIN_SALTS}, hash(b)%{_HOT_BIN_SALTS}) join "
-    "keys, each side replicated only on hot bins — so every pair "
-    "still meets exactly once (result and oracle bit-identical) but "
-    f"a hot bin's output spreads across {_HOT_BIN_SALTS}^2 tasks; "
+    "(bin, hash(a)%ns, hash(b)%ns) join keys with ns sized to the "
+    f"MEASURED bin (ceil(nb/{_HOT_BIN_CAP}), capped "
+    f"{_HOT_BIN_MAX_SALTS}; r12 — a fixed salt count lets pairs/task "
+    "grow quadratically again one order of magnitude up), each side "
+    "replicated only on hot bins — so every pair still meets exactly "
+    "once (result and oracle bit-identical) but a hot bin's output "
+    f"spreads across ns^2 tasks of ~{_HOT_BIN_CAP}^2 pairs each; "
     "cold bins pay nothing. The islands windows are busiest-user "
     "bounded (merge_event_intervals' reviewed class). All span math "
     "exact integer micros.",
@@ -1494,36 +1508,66 @@ def overlap_pairs_rollup(sess: DataFrame, skew_safe: bool = True) -> DataFrame:
     # three times (measured +21% wall at sf0.1; the checkpoint claws
     # that back to +10% over the r10 shape — the residual is the
     # priced cost of the skew insurance, see SCALE.md r11).
-    binned = binned.localCheckpoint(eager=False)
+    binned = stage_ck(binned)
+    salt_keys = []
     if skew_safe:
         sizes = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
+        # per-bin salt count, size-adaptive (see _HOT_BIN_MAX_SALTS
+        # note); cold bins miss the broadcast join -> ns = 1, where
+        # pmod(h, 1) = 0 and sequence(0, 0) = [0] reproduce the
+        # unsalted keys with NO replication — one code path, no
+        # when/otherwise forks
         hot = sizes.where(F.col("nb") > _HOT_BIN_CAP).select(
-            "bin", F.lit(True).alias("_hot")
+            "bin",
+            F.least(
+                F.ceil(F.col("nb") / F.lit(_HOT_BIN_CAP)),
+                F.lit(_HOT_BIN_MAX_SALTS),
+            ).cast("int").alias("_ns"),
         )
-        bh = binned.join(F.broadcast(hot), "bin", "left")
-        slt = F.when(
-            F.col("_hot"),
-            F.pmod(F.hash("user_id", "island_id"), F.lit(_HOT_BIN_SALTS)),
-        ).otherwise(F.lit(0))
-        rep = F.when(
-            F.col("_hot"),
-            F.sequence(F.lit(0), F.lit(_HOT_BIN_SALTS - 1)),
-        ).otherwise(F.array(F.lit(0)))
-        cols = ["user_id", "island_id", "s", "e", "bin"]
-        a = bh.select(
-            *cols, slt.alias("sa"), F.explode(rep).alias("sb")
-        ).alias("a")
-        b = bh.select(
-            *cols, F.explode(rep).alias("sa"), slt.alias("sb")
-        ).alias("b")
-        salt_keys = [
-            F.col("a.sa") == F.col("b.sa"),
-            F.col("a.sb") == F.col("b.sb"),
-        ]
+        # r12 (the 2-plant-rate probe's lesson): salting alone does NOT
+        # flatten max-task — the pair join's INPUT is tiny, so AQE's
+        # input-size-based coalescing fused the ns^2 salt cells back
+        # into ~a dozen fat tasks (measured: 20% plant 25.6s max task,
+        # 40% plant 100.2s — quadratic again, one layer up). The fix
+        # needs the join's PHYSICAL partition count pinned, which
+        # requires knowing the cell count driver-side: collect the hot
+        # list (the SAME bounded frame the broadcast join ships to
+        # every executor anyway — rows/cap entries max), size
+        # P ~ total cells, and user-repartition BOTH sides by the join
+        # keys — user-specified counts are exempt from AQE coalescing.
+        # No hot bins (the common case) -> plain AQE join, zero
+        # scaffolding; the collect doubles as the lazy checkpoint's
+        # materialization so later readers reuse it either way.
+        hot_rows = hot.collect()
+        if hot_rows:
+            total_cells = sum(int(r["_ns"]) ** 2 for r in hot_rows)
+            # 2x the cell count: with P == cells, balls-in-bins hash
+            # collisions stack 2-4 cells on one partition (measured
+            # 16.6s max vs 1.5s med at the 40% plant); doubling P
+            # halves the expected max multiplicity for pennies (empty
+            # tasks are ~ms)
+            pair_parts = int(min(max(2 * total_cells, 64), 8192))
+            bh = binned.join(F.broadcast(hot), "bin", "left")
+            ns = F.coalesce(F.col("_ns"), F.lit(1))
+            slt = F.pmod(F.hash("user_id", "island_id"), ns)
+            rep = F.sequence(F.lit(0), ns - F.lit(1))
+            cols = ["user_id", "island_id", "s", "e", "bin"]
+            a = bh.select(
+                *cols, slt.alias("sa"), F.explode(rep).alias("sb")
+            ).repartition(pair_parts, "bin", "sa", "sb").alias("a")
+            b = bh.select(
+                *cols, F.explode(rep).alias("sa"), slt.alias("sb")
+            ).repartition(pair_parts, "bin", "sa", "sb").alias("b")
+            salt_keys = [
+                F.col("a.sa") == F.col("b.sa"),
+                F.col("a.sb") == F.col("b.sb"),
+            ]
+        else:
+            a = binned.alias("a")
+            b = binned.alias("b")
     else:
         a = binned.alias("a")
         b = binned.alias("b")
-        salt_keys = []
     # First-shared-bin rule (r10 perf fix): an overlapping pair shares
     # every bin its intersection covers, so the raw equi-join finds it
     # k times and a 3M-row distinct() paid for the dedup. The

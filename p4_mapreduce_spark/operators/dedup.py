@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.stagemat import stage_ck, table_bytes
 from p4_mapreduce_spark.sources.tables import load
 
 MINHASH_PERMS = 16
@@ -329,6 +330,7 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _minhash_sig_table(spark, sf_dir)
+    _db = table_bytes(sf_dir)  # r12 corpus-size gate, see stagemat
     # r11 scan fold: the signature table feeds five branches (both
     # band-join sides, both verify sides, the exact-copy semi-join) —
     # each uncheckpointed reference re-printed the whole shingle+
@@ -336,8 +338,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the band melt and the shingle projection (both DISTINCT-TEXT-
     # sized; the wide-table lesson from the pipeline fold applies) cut
     # it to the member expansion's md5 projections only.
-    bands_long = melt_bands(sigs).localCheckpoint(eager=False)
-    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    bands_long = stage_ck(melt_bands(sigs), src_bytes=_db)
+    sh_ck = stage_ck(sigs.select("gh", "shingles"), src_bytes=_db)
     left = bands_long.select(F.col("gh").alias("gh_a"), "band_id", "sig")
     right = bands_long.select(F.col("gh").alias("gh_b"), "band_id", "sig")
     cand = (
@@ -696,6 +698,7 @@ WHERE len(list_intersect(x.shingles, y.shingles))
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _minhash_sig_table(spark, sf_dir)
+    _db = table_bytes(sf_dir)  # r12 corpus-size gate, see stagemat
     members = docs.select(F.md5("text").alias("gh"), "doc_id")
     is_new = F.col("doc_id") % 3 == 0
     # one row per distinct text: does it have batch members, corpus members?
@@ -708,19 +711,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already materializes), so the bounded-frame rule allows lazy
     # localCheckpoints; the corpus-sized members frame stays
     # checkpoint-free per the same rule (see the honest cost note).
-    sides = members.groupBy("gh").agg(
+    sides = stage_ck(members.groupBy("gh").agg(
         F.max(is_new.cast("int")).alias("has_new"),
         F.max((~is_new).cast("int")).alias("has_ex"),
-    ).localCheckpoint(eager=False)
+    ), src_bytes=_db)
     sided = sigs.join(sides, "gh")
-    bands_long = sided.select(
+    bands_long = stage_ck(sided.select(
         "gh",
         "has_new",
         "has_ex",
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
         ).alias("band_id", "sig"),
-    ).localCheckpoint(eager=False)
+    ), src_bytes=_db)
     left = bands_long.where(F.col("has_new") == 1).select(
         F.col("gh").alias("gh_n"), "band_id", "sig"
     )
@@ -733,7 +736,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh_n", "gh_e")
         .distinct()
     )
-    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    sh_ck = stage_ck(sigs.select("gh", "shingles"), src_bytes=_db)
     x = sh_ck.select(F.col("gh").alias("gh_n"), F.col("shingles").alias("sh_n"))
     y = sh_ck.select(F.col("gh").alias("gh_e"), F.col("shingles").alias("sh_e"))
     inter = F.size(F.array_intersect("sh_n", "sh_e"))
@@ -1557,6 +1560,7 @@ _DECON_CAND = " UNION ".join(
 def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = _minhash_sig_table(spark, sf_dir)
+    _db = table_bytes(sf_dir)  # r12 corpus-size gate, see stagemat
     members = docs.select(F.md5("text").alias("gh"), "doc_id")
     is_test = F.col("doc_id") % 10 >= 8
     # r11 scan fold (the dedup_minhash_incremental treatment): sides,
@@ -1565,19 +1569,19 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT-TEXT-sized frames cut the printed corpus scans 10 -> 4
     # (the corpus-sized members frame stays checkpoint-free by the
     # bounded-frame rule; its md5 projections still print).
-    sides = members.groupBy("gh").agg(
+    sides = stage_ck(members.groupBy("gh").agg(
         F.max(is_test.cast("int")).alias("has_test"),
         F.max((~is_test).cast("int")).alias("has_train"),
-    ).localCheckpoint(eager=False)
+    ), src_bytes=_db)
     sided = sigs.join(sides, "gh")
-    bands_long = sided.select(
+    bands_long = stage_ck(sided.select(
         "gh",
         "has_test",
         "has_train",
         F.posexplode(
             F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
         ).alias("band_id", "sig"),
-    ).localCheckpoint(eager=False)
+    ), src_bytes=_db)
     left = bands_long.where(F.col("has_test") == 1).select(
         F.col("gh").alias("gh_t"), "band_id", "sig"
     )
@@ -1590,7 +1594,7 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh_t", "gh_r")
         .distinct()
     )
-    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    sh_ck = stage_ck(sigs.select("gh", "shingles"), src_bytes=_db)
     x = sh_ck.select(F.col("gh").alias("gh_t"), F.col("shingles").alias("sh_t"))
     y = sh_ck.select(F.col("gh").alias("gh_r"), F.col("shingles").alias("sh_r"))
     inter = F.size(F.array_intersect("sh_t", "sh_r"))

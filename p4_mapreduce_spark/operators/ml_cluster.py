@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
 from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.stagemat import stage_ck, table_bytes
 from p4_mapreduce_spark.sources.tables import load
 
 _K = 4
@@ -817,15 +818,27 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     )
     uln = lambda c: F.floor(F.log(c) * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
-    cwc = toks.groupBy("word", F.col("lang").alias("lm")).agg(
+    # r12 scan fold (ratchet tail): the (word, class) count model feeds
+    # FOUR readers (class totals, vocab size, the term-score join, and
+    # through them the class frame) — uncheckpointed, each re-printed
+    # the docs->explode->count subtree (7 printed corpus scans). The
+    # model is vocabulary x classes-sized (bounded, 3 narrow columns),
+    # so the bounded-frame rule allows the lazy localCheckpoint; and
+    # the corpus total nd is the SUM of the class priors frame rather
+    # than its own docs scan. 7 -> 4 printed scans (model build, the
+    # priors' lang projection, doc lengths, the term join's token
+    # side — the latter two are corpus-token passes the semantics
+    # need; the token frame itself stays checkpoint-free by the same
+    # bounded-frame rule).
+    cwc = stage_ck(toks.groupBy("word", F.col("lang").alias("lm")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ), src_bytes=table_bytes(sf_dir))
     nc = cwc.groupBy("lm").agg(F.sum("c").alias("n_c"))
     v = cwc.agg(F.countDistinct("word").alias("vs"))
     dprior = docs.groupBy(F.col("lang").alias("lm")).agg(
         F.count(F.lit(1)).alias("nd_c")
     )
-    dtot = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dtot = dprior.agg(F.sum("nd_c").alias("nd"))
     cls = (
         dprior.join(nc, "lm")
         .crossJoin(F.broadcast(v))
@@ -1317,6 +1330,14 @@ def embedding_pca_power_iteration(
 
 _ANISO_D = 64
 
+# No-wrap guard boundary for the anisotropy audit's bigint norm^2 sum:
+# the double-space estimate of sum(milli_i^2) is compared against this
+# (int64 max minus a 1e7 margin — >>1e4x the estimator's worst-case
+# absolute error at that magnitude, see embedding_anisotropy_audit).
+# Module-level so the planted overflow test can lower it and exercise
+# the raise path without a 3e6-row collapsed corpus.
+_ANISO_NORM2_GUARD = float((1 << 63) - 1) - 1e7
+
 
 def _aniso_milli_sql(s: str, div: str = "//") -> str:
     """Sign-safe exact floor-div by 1000 (the cross-engine recipe:
@@ -1395,11 +1416,17 @@ def _aniso_oracle() -> str:
     "PCA fit one-pass. Determinism: unit vectors are IEEE doubles "
     "built by the identical expression in both engines (in-order "
     "list fold for the norm), micro-quantized to exact bigints; "
-    "coordinate sums are exact; the milli downscale before squaring "
-    "(sign-safe exact floor-div) keeps the norm^2 inside int64 at "
-    "any corpus below ~4e7 vectors (shard above that); the single "
-    "final division is one IEEE op on identical inputs, "
-    "floor-normalized at 1e-6.",
+    "coordinate sums are exact (|s_i| <= n*1e6, wraps only past "
+    "n~9e12 rows); the milli downscale before squaring (sign-safe "
+    "exact floor-div) buys 1e6x of headroom, but in the COLLAPSED "
+    "regime the audit detects, norm^2/1e6 ~ n^2*1e6 still exceeds "
+    "int64 near n~3e6 — so the no-wrap precondition is GUARDED per "
+    "group (double-space estimate of the same sum vs 2^63 with a "
+    "1e7 margin, >>1e4x the estimator's worst error), raising with "
+    "a shard/widen remediation instead of wrapping silently where "
+    "the DuckDB oracle would error loudly; the single final "
+    "division is one IEEE op on identical inputs, floor-normalized "
+    "at 1e-6.",
     tags=("ml", "embeddings", "stats", "aggregation"),
 )
 def embedding_anisotropy_audit(
@@ -1437,10 +1464,46 @@ def embedding_anisotropy_audit(
     )
     g = qdf.rollup("label").agg(*aggs)
     norm2_milli = None
+    norm2_est = None
     for i in range(d):
         m = _aniso_milli_sql(f"s{i}", div="div")
         sq = F.expr(f"(({m})) * (({m}))")
         norm2_milli = sq if norm2_milli is None else norm2_milli + sq
+        # same squares in DOUBLE space (cast BEFORE squaring — the
+        # bigint square itself wraps first): the overflow estimator
+        sqd = F.expr(m).cast("double") * F.expr(m).cast("double")
+        norm2_est = sqd if norm2_est is None else norm2_est + sqd
+    # r12 ADVICE fix (no-wrap precondition, same failure class as the
+    # PCA guard): in the COLLAPSED regime this audit exists to detect,
+    # ||sum q||^2 ~ n^2 * 1e12 so norm2_milli ~ n^2 * 1e6 exceeds
+    # int64 near n ~ 3e6 — and Spark's non-ANSI bigint arithmetic
+    # wraps silently while the DuckDB oracle errors loudly. Guard from
+    # the double-space estimate of the same sum: 64 non-negative terms
+    # give relative error < 1e-13, so a 1e7 absolute margin at the
+    # 9.22e18 boundary is orders of magnitude more than the estimator
+    # can be wrong by. Fires loudly with the remediation instead of
+    # reporting a garbage (wrapped) mean cosine.
+    overflow_guard = F.when(
+        norm2_est > F.lit(float(_ANISO_NORM2_GUARD)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding_anisotropy_audit: ||sum q||^2/1e6 would "
+                    "exceed int64 for group label="
+                ),
+                F.coalesce(F.col("label").cast("string"), F.lit("<ALL>")),
+                F.lit(" (n="),
+                F.col("n").cast("string"),
+                F.lit(
+                    ") — the collapsed-space regime wraps bigint near "
+                    "n~3e6; shard the audit by label/hash and combine "
+                    "the (n, s_i, sum_q2) partials, or widen the "
+                    "coordinate sums to decimal(38,0)"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    norm2_milli = norm2_milli + overflow_guard
     mean_cos = fix(
         (
             F.col("norm2_milli").cast("double") * F.lit(1000000.0)

@@ -1428,7 +1428,14 @@ def multimodal_audio_silence_trim(
                         out.tobytes(), sample_rate=16000, channels=1
                     )
                     _rate, _ch, _nf, pcm = wav_decode(wav)
-                    ok = pcm[: 2 * len(out)] == out.tobytes()
+                    # full-length compare (r12 ADVICE fix): a prefix
+                    # check would miss a codec regression that appends
+                    # trailing bytes to the decoded PCM
+                    ok = (
+                        _nf == len(out)
+                        and len(pcm) == 2 * len(out)
+                        and pcm == out.tobytes()
+                    )
                 k = np.arange(1, len(out) + 1, dtype=np.int64)
                 rows["doc_id"].append(doc_id)
                 rows["n_samples_in"].append(ns)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from p4_mapreduce_spark.functions.deterministic import fix, fix_sql
 from p4_mapreduce_spark.registry import register
+from p4_mapreduce_spark.stagemat import stage_ck, table_bytes
 from p4_mapreduce_spark.sources.tables import load
 
 # A BPE-ish pretokenizer: word pieces, digit runs, or single symbols.
@@ -1086,7 +1087,20 @@ def quality_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.filter(F.split("text", " ", -1), lambda x: x != "").alias("ws")
     )
     words = toks.select("doc_id", F.explode("ws").alias("word"))
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # r12 scan fold (ratchet tail): the unigram and bigram count
+    # models each feed 2-3 readers (totals, share filters, the
+    # conditional-probability join) — uncheckpointed, each reader
+    # re-printed the corpus tokenization (7 printed scans). Both
+    # models are vocabulary-/distinct-bigram-sized (narrow count
+    # frames, the band-melt class), so the bounded-frame rule allows
+    # the lazy localCheckpoints; the corpus-token frames (words,
+    # pairs) stay checkpoint-free by the same rule. 7 -> 3 printed
+    # scans (unigram build, bigram build, the final scoring pass).
+    _db = table_bytes(sf_dir)  # r12 corpus-size gate, see stagemat
+    vocab = stage_ck(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("c")),
+        src_bytes=_db,
+    )
     total = vocab.agg(F.sum("c").alias("n"))
     uni = (
         vocab.crossJoin(F.broadcast(total))
@@ -1103,7 +1117,10 @@ def quality_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bc = stage_ck(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")),
+        src_bytes=_db,
+    )
     ptotal = bc.agg(F.sum("c2").alias("np"))
     c1 = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     kept = (

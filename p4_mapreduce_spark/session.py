@@ -109,4 +109,39 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_bounded_window_warning(spark)
+    return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Demote WindowExec's blanket "No Partition Defined for Window"
+    WARN to ERROR-only (r12 verdict hygiene ask).
+
+    Every global (no-partition-key) window in the registry is over a
+    provably BOUNDED frame — a post-``limit(k)`` top-N re-rank or a
+    group-cardinality aggregate (months, batches, order dates) — where
+    funneling <=k rows through one task is the correct plan. The WARN
+    fires per plan materialization regardless of frame size, so in
+    this engine it is all noise: the REAL guard is structural and
+    in-tree — tests/test_plans.py bans single-partition funnels over
+    fact-derived frames (``single_partition_funnels`` +
+    ``_SINGLE_PARTITION_WINDOW_ALLOWED`` with executed boundedness
+    checks) and ratchets every window partition key via
+    ``_WINDOW_KEY_PINS``. A future unbounded global window fails the
+    audit loudly instead of scrolling past as a log line. (Catalyst
+    constant-folds a ``partitionBy(lit(1))`` hint away, so the log4j2
+    route is the only way to quiet the specific logger without
+    touching query semantics.)"""
+    try:
+        jvm = spark.sparkContext._jvm
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowExecBase",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                cls, level
+            )
+    except Exception:
+        pass  # non-log4j2 deployments: the warning is cosmetic

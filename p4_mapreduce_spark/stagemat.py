@@ -1,0 +1,95 @@
+"""Stage-materialization seam (r12 verdict ask #1).
+
+The r11 scan folds pinned multi-branch subtrees with lazy
+``localCheckpoint(eager=False)`` calls. Routing the fold-touched
+queries' checkpoints through :func:`stage_ck` makes the r10-shape vs
+r11-shape A/B scriptable (tools/ab_fold_shapes.py flips
+``STAGE_MAT``), so the priced checkpoint costs in SCALE.md are
+re-measurable on demand instead of arguable — and it is where the
+r12 corpus-size gate and the reliable-checkpoint deployment switch
+live (one policy point instead of 10 scattered call sites).
+
+Semantics are UNAFFECTED by the flag: a localCheckpoint truncates
+lineage and materializes, it never changes rows. Oracles pass in both
+shapes (the A/B tool asserts it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+# True  = r11 fold shape: multi-branch bounded frames materialize once.
+# False = r10 shape: every branch re-derives its subtree (more printed
+#         corpus scans, no checkpoint write). Flip ONLY for A/B probes.
+STAGE_MAT = True
+
+# False = executor-local checkpoint storage (single-node default: an
+#         executor loss re-runs the whole deterministic batch query,
+#         never wrong results — see SCALE.md's fault-tolerance note).
+# True  = reliable df.checkpoint() against the session's checkpoint
+#         directory (HDFS/object store on a cluster) — the "one-line
+#         production swap" SCALE.md documents, executed by
+#         tests/test_r12_ops.py::test_stage_ck_reliable_parity so the
+#         claim stays a tested fact rather than a comment.
+RELIABLE = False
+
+# r12 corpus-size gate (verdict ask #1's adjudicated fix): the quiet-
+# host A/B showed the checkpoints COST 1.1-1.4x at sf0.1 (0.6 MB of
+# documents — every "rescan" they prevent is served by the module
+# persist / OS page cache, so the materialization is pure overhead),
+# while the saving they buy is real only once the re-derived subtree
+# is a genuine corpus pass (cache-cold, or data past memory scale).
+# Queries pass their source-table size (driver-side FS metadata, no
+# job); below the threshold stage_ck is an identity and the plan is
+# the r10 shape. tools/ab_fold_shapes.py measured the crossover —
+# see SCALE.md r12 for the numbers behind the default.
+SIZE_GATE = True
+STAGE_MAT_MIN_BYTES = 16 * 1024 * 1024
+
+
+def table_bytes(sf_dir: str, table: str = "documents"):
+    """On-disk bytes of a source table (file or directory), driver-side
+    FS metadata only — None when unknown (unknown => materialize, the
+    safe-at-scale default)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+    except OSError:
+        pass
+    return None
+
+
+def stage_ck(df: DataFrame, src_bytes=None) -> DataFrame:
+    """Lazy localCheckpoint under the stage-materialization policy;
+    identity when the A/B seam is flipped to the r10 shape OR when the
+    corpus-size gate says the rescan is cheaper than the checkpoint;
+    reliable filesystem checkpoint when RELIABLE deployment mode is
+    on."""
+    if not STAGE_MAT:
+        return df
+    if (
+        SIZE_GATE
+        and src_bytes is not None
+        and src_bytes < STAGE_MAT_MIN_BYTES
+    ):
+        return df
+    if RELIABLE:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "stagemat.RELIABLE=True needs a checkpoint directory: "
+                "call spark.sparkContext.setCheckpointDir(<HDFS/S3 "
+                "path>) first (same refusal-over-temp-dir policy as "
+                "connected_components(reliable=True))"
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

@@ -2109,7 +2109,7 @@ def streaming_interval_union(
             "append"
         ).parquet(open_path)
         if int(batch_id) > 0 and int(batch_id) % _OPEN_COMPACT_EVERY == 0:
-            _compact_open_state(spark, open_path)
+            _compact_open_state(spark, open_path, int(batch_id))
 
     return (
         ev.writeStream.foreachBatch(sink)
@@ -2135,44 +2135,76 @@ def _recover_open_state(open_path: str) -> None:
         os.rename(old, open_path)
 
 
-def _compact_open_state(spark: SparkSession, open_path: str) -> None:
-    """Rewrite the open-state directory to latest-row-per-user.
-
-    Kept rows retain their ORIGINAL batch_id (the carry's
-    ``batch_id < current`` replay filter and max(struct) tie-break
-    behave identically before and after; a replayed older batch
-    appends rows the max(struct) carry ignores). Crash-safe without
-    atomic multi-file commits: write the compacted table aside, then
-    two directory renames — every crash point either leaves the old
-    directory in place, leaves it at ``.old`` (restored by
-    ``_recover_open_state`` on the next batch/read), or has already
-    installed the compacted one.
-    """
+def _install_compacted(df: DataFrame, path: str) -> None:
+    """Crash-safe directory replacement without atomic multi-file
+    commits: write the compacted table aside, then two directory
+    renames — every crash point either leaves the old directory in
+    place, leaves it at ``.old`` (restored by ``_recover_open_state``
+    on the next batch/read), or has already installed the compacted
+    one."""
     import shutil
 
-    cur = _read_parquet_or_none(spark, open_path)
-    if cur is None:
-        return
-    tmp, old = open_path + ".compact", open_path + ".old"
+    tmp, old = path + ".compact", path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    (
-        cur.groupBy("user_id")
-        .agg(F.max(F.struct("batch_id", "s", "e", "n")).alias("o"))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _compact_latest_store(
+    spark: SparkSession,
+    path: str,
+    value_cols: tuple,
+    current_batch_id: int,
+) -> None:
+    """Rewrite an append-only latest-row-per-user store to one row per
+    user — but ONLY over rows with ``batch_id`` strictly below the
+    in-flight batch; the current batch's rows are kept VERBATIM.
+
+    Why the split matters (r12 ADVICE fix, replay idempotency):
+    compaction runs inside the sink for batch ``b``, i.e. BEFORE the
+    streaming checkpoint commits ``b``. If compaction collapsed a
+    touched user to the single max(struct) row — which for that user
+    has ``batch_id == b`` — a crash before the commit would leave a
+    replayed batch ``b`` whose carry filter ``batch_id < b`` excludes
+    that sole survivor, while the pre-``b`` history it replaced is
+    already deleted: the carried open island silently vanishes and the
+    replayed merge diverges from the original attempt. Keeping
+    ``batch_id >= b`` rows verbatim and collapsing only the strict
+    past makes the replayed carry see EXACTLY the frame the original
+    attempt saw (per-user max over pre-``b`` rows is invariant under
+    collapsing pre-``b`` rows to that max). Kept rows retain their
+    ORIGINAL batch_id for the same reason.
+    """
+    cur = _read_parquet_or_none(spark, path)
+    if cur is None:
+        return
+    out_cols = ["user_id", *value_cols, "batch_id"]
+    older = (
+        cur.where(F.col("batch_id") < F.lit(int(current_batch_id)))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("batch_id", *value_cols)).alias("o"))
         .select(
             "user_id",
-            F.col("o.s").alias("s"),
-            F.col("o.e").alias("e"),
-            F.col("o.n").alias("n"),
+            *[F.col(f"o.{c}").alias(c) for c in value_cols],
             F.col("o.batch_id").alias("batch_id"),
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
     )
-    os.rename(open_path, old)
-    os.rename(tmp, open_path)
-    shutil.rmtree(old, ignore_errors=True)
+    verbatim = cur.where(
+        F.col("batch_id") >= F.lit(int(current_batch_id))
+    ).select(*out_cols)
+    _install_compacted(older.unionByName(verbatim), path)
+
+
+def _compact_open_state(
+    spark: SparkSession, open_path: str, current_batch_id: int
+) -> None:
+    """Latest-row-per-user rewrite of the interval union's open-island
+    store (see _compact_latest_store for the replay-safety argument
+    behind the current-batch-verbatim split)."""
+    _compact_latest_store(spark, open_path, ("s", "e", "n"), current_batch_id)
 
 
 def interval_union_from_state(
@@ -2289,6 +2321,8 @@ def streaming_markov_transitions(
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_open_state(last_path)
+        _recover_open_state(trans_path)
         rows = batch_df.select(
             "user_id",
             epoch_micros(batch_df).alias("ts_us"),
@@ -2374,6 +2408,14 @@ def streaming_markov_transitions(
         new_last.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(last_path)
+        if int(batch_id) > 0 and int(batch_id) % _OPEN_COMPACT_EVERY == 0:
+            _compact_latest_store(
+                spark,
+                last_path,
+                ("ts_us", "event_id", "event_type"),
+                int(batch_id),
+            )
+            _compact_trans_store(spark, trans_path, int(batch_id))
 
     return (
         ev.writeStream.foreachBatch(sink)
@@ -2383,6 +2425,43 @@ def streaming_markov_transitions(
     )
 
 
+def _compact_trans_store(
+    spark: SparkSession, trans_path: str, current_batch_id: int
+) -> None:
+    """Collapse the append-only per-batch transition counts (r12
+    ADVICE fix: the store otherwise grows one row per pair per batch
+    forever). Pre-current rows are first deduped exactly the way the
+    reader does — first per (batch_id, pair), so a replayed older
+    batch's duplicate appends collapse to one — then SUMMED per pair
+    into a single row with the sentinel ``batch_id = -1`` (a second
+    compaction folds the sentinel row in like any other past batch:
+    it is unique per (batch_id, pair) by construction, so first()
+    keeps it and the sum re-includes it exactly once). Rows with
+    ``batch_id >= current`` are kept verbatim so a replay of the
+    in-flight batch still dedupes against its own first attempt."""
+    cur = _read_parquet_or_none(spark, trans_path)
+    if cur is None:
+        return
+    out_cols = ["from_type", "to_type", "n", "batch_id"]
+    older = (
+        cur.where(F.col("batch_id") < F.lit(int(current_batch_id)))
+        .groupBy("batch_id", "from_type", "to_type")
+        .agg(F.first("n").alias("n"))
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast(dict(cur.dtypes)["n"]).alias("n"))
+        # sentinel typed to match the store (appends must not fork the
+        # parquet schema)
+        .withColumn(
+            "batch_id", F.lit(-1).cast(dict(cur.dtypes)["batch_id"])
+        )
+        .select(*out_cols)
+    )
+    verbatim = cur.where(
+        F.col("batch_id") >= F.lit(int(current_batch_id))
+    ).select(*out_cols)
+    _install_compacted(older.unionByName(verbatim), trans_path)
+
+
 def markov_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Derive event_markov_transitions' exact output from the
     accumulated state: per-batch counts collapsed replay-safe
@@ -2390,6 +2469,7 @@ def markov_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     through the SAME column shapes as the batch query."""
     from p4_mapreduce_spark.functions.deterministic import fix
 
+    _recover_open_state(os.path.join(state_dir, "trans"))
     t = (
         spark.read.parquet(os.path.join(state_dir, "trans"))
         .groupBy("batch_id", "from_type", "to_type")

@@ -18,7 +18,16 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="p4-mapreduce-spark-tests", shuffle_partitions=8)
+    # UI on so the bench gate can record plan-determined per-query
+    # bytes into GATE_LOG (r12): the status listener that feeds the
+    # REST store runs regardless of this flag, so test timings are
+    # unaffected — only the Jetty server starts, and it is polled only
+    # between the gate's timed runs.
+    spark = get_spark(
+        app_name="p4-mapreduce-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     yield spark
 
 

@@ -263,6 +263,10 @@ def test_headline_ratios_within_budget(spark):
         "budget_calibration_sec": budget.get("calibration_sec"),
         "session_calibration_sec": got.get("calibration_sec"),
         "ratios": got.get("ratios"),
+        # r12: plan-determined bytes + straggler signal per query —
+        # host-independent, so a post-hoc judge can separate contention
+        # (bytes unchanged) from plan regression (bytes grew)
+        "stage_metrics": got.get("metrics"),
         "retries": retries,
     }
     with open(_GATE_LOG_PATH, "a") as f:

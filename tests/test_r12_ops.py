@@ -1,0 +1,72 @@
+"""Round-12 planted behavioral fixtures: the anisotropy audit's
+no-wrap precondition guard (ADVICE r12, same failure class as the PCA
+guard — Spark's non-ANSI bigint sums wrap silently where the DuckDB
+oracle errors loudly)."""
+
+import pytest
+
+from tests.test_r11_ops import _mini_sf
+
+
+def test_anisotropy_overflow_guard_fires_on_collapsed_corpus(
+    spark, tmp_path, monkeypatch
+):
+    """The guard boundary is a module constant so the raise path is
+    exercisable without a 3e6-row collapsed corpus: 4 IDENTICAL unit
+    vectors give sum(milli^2) = (4*1000)^2 = 1.6e7; lowering the
+    boundary below that must fail the query loudly with the shard/
+    widen remediation instead of reporting a wrapped mean cosine."""
+    import p4_mapreduce_spark.operators.ml_cluster as mc
+
+    d = 64
+    e1 = [1.0] + [0.0] * (d - 1)
+    sf = _mini_sf(
+        tmp_path, embeddings=[(i, e1, 0) for i in range(4)]
+    )
+    monkeypatch.setattr(mc, "_ANISO_NORM2_GUARD", 1.0e7)
+    with pytest.raises(Exception, match="exceed int64"):
+        mc.embedding_anisotropy_audit(spark, sf).collect()
+
+    # and the real boundary does NOT fire on the same corpus
+    monkeypatch.undo()
+    rows = mc.embedding_anisotropy_audit(spark, sf).collect()
+    got = {r.label: r.mean_pairwise_cos for r in rows}
+    assert got[0] == 1.0
+
+
+def test_stage_ck_reliable_parity(spark, sf_dir, tmp_path):
+    """r12 verdict ask #5: the documented one-line local->reliable
+    checkpoint swap for the stage-materialized fold frames, EXECUTED.
+    decontaminate_test_split (three stage_ck sites) must produce
+    identical rows under stagemat.RELIABLE=True with a filesystem
+    checkpoint dir, and the dir must actually receive checkpoints.
+    Also pins the refusal: RELIABLE without a checkpoint dir raises
+    instead of silently leaking a temp-dir default."""
+    import os
+
+    import pytest
+
+    import p4_mapreduce_spark.stagemat as stagemat
+    from p4_mapreduce_spark.registry import load_all
+
+    fn = load_all()["decontaminate_test_split"].fn
+    want = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    prior_dir = spark.sparkContext.getCheckpointDir()
+    stagemat.RELIABLE = True
+    stagemat.SIZE_GATE = False  # force materialization at test SF
+    try:
+        if prior_dir is None:
+            with pytest.raises(RuntimeError, match="checkpoint directory"):
+                fn(spark, sf_dir).collect()
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "stage_ckpt"))
+        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        stagemat.RELIABLE = False
+        stagemat.SIZE_GATE = True
+        if prior_dir is not None:
+            spark.sparkContext.setCheckpointDir(prior_dir)
+    assert got == want
+    assert any(os.scandir(tmp_path / "stage_ckpt")), (
+        "reliable mode did not write filesystem checkpoints"
+    )

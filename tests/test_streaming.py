@@ -1546,8 +1546,9 @@ def test_streaming_interval_union_planted_finalization(spark, tmp_path):
 
 
 def _write_event_tranches(tmp_path, tranches):
-    """Write (user_id, ts) tranches as one parquet file each, with
-    distinct mtimes so the stream's file order is deterministic."""
+    """Write (user_id, ts[, event_type]) tranches as one parquet file
+    each, with distinct mtimes so the stream's file order is
+    deterministic."""
     import os
     import time as _time
 
@@ -1564,7 +1565,9 @@ def _write_event_tranches(tmp_path, tranches):
                 "event_id": pa.array(range(eid, eid + len(ev)), pa.int64()),
                 "ts": pa.array([e[1] for e in ev], pa.timestamp("us")),
                 "user_id": pa.array([e[0] for e in ev], pa.int64()),
-                "event_type": pa.array(["view"] * len(ev)),
+                "event_type": pa.array(
+                    [e[2] if len(e) > 2 else "view" for e in ev]
+                ),
                 "value": pa.array([0.0] * len(ev), pa.float64()),
                 "props": pa.array(["{}"] * len(ev)),
             }
@@ -1772,3 +1775,167 @@ def test_streaming_markov_matches_batch(spark, sf_dir, tmp_path):
             "append"
         ).parquet(f"{state}/{part}")
     assert rows(markov_from_state(spark, state)) == want
+
+
+def test_streaming_interval_union_replay_after_compaction(spark, tmp_path):
+    """r12 ADVICE fix (high, replay idempotency): compaction keeps the
+    in-flight batch's rows VERBATIM and collapses only the strict past,
+    so a crash AFTER compaction but BEFORE the streaming checkpoint
+    commits the batch replays against exactly the carry the original
+    attempt saw. Plant: batch 4 (the compaction batch) MERGES with
+    batch 3's open island; the crash is simulated by deleting
+    <ckpt>/commits/4 and restarting. Under a collapse-to-global-max
+    compactor (the r11 shape) the sole surviving row for the touched
+    user has batch_id == 4, the replayed carry filter batch_id < 4
+    finds nothing, and the merge is silently lost (island start moves
+    from 18h to 18h10m, n_events drops 2 -> 1)."""
+    import os
+
+    import pandas as pd
+
+    from p4_mapreduce_spark.operators.analytics import _SPAN_US
+    from p4_mapreduce_spark.streaming.windows import (
+        _OPEN_COMPACT_EVERY,
+        interval_union_from_state,
+        streaming_interval_union,
+    )
+
+    assert _OPEN_COMPACT_EVERY == 4, "plant targets the batch-4 compaction"
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    hrs = pd.Timedelta(hours=6)
+    tranches = [[(1, base + i * hrs)] for i in range(4)]
+    # batch 4: 10 minutes after batch 3's event — inside the 30-minute
+    # span, so it must MERGE with the carried open island
+    tranches.append([(1, base + 3 * hrs + pd.Timedelta(minutes=10))])
+    src = _write_event_tranches(tmp_path, tranches)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_interval_union(spark, src, state, ckpt)
+    q.awaitTermination(180)
+
+    t0 = int((base - pd.Timestamp(0)).value // 1000)
+    h = 6 * 3600 * 1_000_000
+    m10 = 10 * 60 * 1_000_000
+    want = {
+        (1, i + 1): (t0 + i * h, t0 + i * h + _SPAN_US, 1, _SPAN_US)
+        for i in range(3)
+    }
+    want[(1, 4)] = (
+        t0 + 3 * h,
+        t0 + 3 * h + m10 + _SPAN_US,
+        2,
+        m10 + _SPAN_US,
+    )
+
+    def derive():
+        return {
+            (r.user_id, r.island_id): (
+                r.span_start_us,
+                r.span_end_us,
+                r.n_events,
+                r.covered_us,
+            )
+            for r in interval_union_from_state(spark, state).collect()
+        }
+
+    assert derive() == want
+
+    # crash after batch 4's sink (which ran compaction) but before the
+    # checkpoint committed batch 4: drop the commit marker and restart
+    # — availableNow re-executes batch 4 from the recorded offsets
+    os.remove(os.path.join(ckpt, "commits", "4"))
+    # the local checkpoint FS keeps a checksum sidecar; drop it too or
+    # the replay's commit rename fails on the stale crc
+    crc = os.path.join(ckpt, "commits", ".4.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = streaming_interval_union(spark, src, state, ckpt)
+    q2.awaitTermination(180)
+    assert derive() == want, (
+        "replayed batch 4 diverged from its original attempt — the "
+        "compactor deleted pre-batch history the replay's carry needed"
+    )
+
+
+def test_streaming_markov_state_compaction_and_replay(spark, tmp_path):
+    """r12 ADVICE fix: the markov twin's `last` and `trans` stores are
+    compacted with the same replay-safe discipline as the interval
+    union's open store (strict-past collapse, current batch verbatim,
+    write-aside + rename + recovery). Five tranches, two users, batch 4
+    is both a cross-boundary transition for each user AND the
+    compaction batch; then the crash-replay of batch 4 (commit marker
+    deleted) must leave the derived transition matrix byte-identical —
+    the carried last events must survive compaction, and the replayed
+    batch's duplicate trans appends must collapse via
+    first-per-(batch_id, pair)."""
+    import os
+
+    import pandas as pd
+
+    from p4_mapreduce_spark.streaming.windows import (
+        _OPEN_COMPACT_EVERY,
+        markov_from_state,
+        streaming_markov_transitions,
+    )
+
+    assert _OPEN_COMPACT_EVERY == 4, "plant targets the batch-4 compaction"
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    hrs = pd.Timedelta(hours=1)
+    tranches = [
+        [(1, base, "A"), (2, base, "C")],
+        [(1, base + 1 * hrs, "B")],
+        [(1, base + 2 * hrs, "A"), (2, base + 2 * hrs, "B")],
+        [(1, base + 3 * hrs, "A")],
+        [(1, base + 4 * hrs, "B"), (2, base + 4 * hrs, "C")],
+    ]
+    src = _write_event_tranches(tmp_path, tranches)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_markov_transitions(spark, src, state, ckpt)
+    q.awaitTermination(180)
+
+    # u1: A,B,A,A,B -> A->B x2, B->A x1, A->A x1; u2: C,B,C -> C->B, B->C
+    want = sorted(
+        [
+            ("A", "A", 1, 0.333333),
+            ("A", "B", 2, 0.666667),
+            ("B", "A", 1, 0.5),
+            ("B", "C", 1, 0.5),
+            ("C", "B", 1, 1.0),
+        ]
+    )
+
+    def derive():
+        return sorted(map(tuple, markov_from_state(spark, state).collect()))
+
+    assert derive() == want
+
+    # growth bound: without compaction `last` holds one row per touched
+    # user per batch (8 here); with the batch-4 compaction it holds the
+    # two per-user collapsed carries + batch-4 verbatim rows only
+    last_rows = spark.read.parquet(f"{state}/last").collect()
+    assert len(last_rows) == 4, (
+        f"last store not compacted: expected 2 collapsed + 2 verbatim "
+        f"batch-4 rows, got {len(last_rows)}"
+    )
+    trans = spark.read.parquet(f"{state}/trans").collect()
+    assert any(r.batch_id == -1 for r in trans), (
+        "trans store not compacted: no sentinel summary rows"
+    )
+
+    # crash-replay of the compaction batch: drop the commit marker
+    os.remove(os.path.join(ckpt, "commits", "4"))
+    crc = os.path.join(ckpt, "commits", ".4.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = streaming_markov_transitions(spark, src, state, ckpt)
+    q2.awaitTermination(180)
+    assert derive() == want, (
+        "replayed batch 4 diverged — either the compactor deleted the "
+        "carried last events or the duplicate trans appends double-count"
+    )
+
+    # crash-recovery fallback of the rename dance for both stores
+    os.rename(f"{state}/trans", f"{state}/trans.old")
+    assert derive() == want
+    assert os.path.exists(f"{state}/trans")

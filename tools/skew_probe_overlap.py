@@ -102,7 +102,13 @@ def _task_summary(spark, since_ms: float) -> dict:
             stages = json.load(r)
     except Exception as e:
         return {"error": str(e)}
-    out = {"max_task_ms": 0.0, "med_task_ms": 0.0, "max_task_stage": ""}
+    out = {
+        "max_task_ms": 0.0,
+        "med_task_ms": 0.0,
+        "max_task_stage": "",
+        "stages_top": [],
+    }
+    per_stage = []
     for st in stages:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if not sub:
@@ -123,10 +129,18 @@ def _task_summary(spark, since_ms: float) -> dict:
         except Exception:
             continue
         dur = summ.get("duration") or [0, 0, 0]
+        per_stage.append(
+            (dur[2], dur[1], st.get("numCompleteTasks"),
+             f"{st['stageId']}:{st.get('name', '')[:48]}")
+        )
         if dur[2] > out["max_task_ms"]:
             out["max_task_ms"] = dur[2]
             out["med_task_ms"] = dur[1]
             out["max_task_stage"] = st.get("name", "")[:60]
+    out["stages_top"] = [
+        f"max={mx / 1000:.2f}s med={md / 1000:.2f}s n={n} {nm}"
+        for mx, md, n, nm in sorted(per_stage, reverse=True)[:5]
+    ]
     return out
 
 
@@ -194,9 +208,12 @@ def main() -> None:
             print(
                 f"  {shape}: wall {wall:.2f}s pairs {n_out:,} "
                 f"max-task {rows[-1]['max_task_s']}s "
-                f"med-task {rows[-1]['med_task_s']}s",
+                f"med-task {rows[-1]['med_task_s']}s "
+                f"max-stage [{rows[-1]['max_task_stage']}]",
                 file=sys.stderr, flush=True,
             )
+            for st in ts.get("stages_top", []):
+                print(f"    stage {st}", file=sys.stderr, flush=True)
         print("| shape | wall | pairs | max task | med task |")
         print("|---|---|---|---|---|")
         for r in rows:

@@ -58,8 +58,11 @@ def measure_ratios(spark, sf_dir: str, runs: int = 2, only=None) -> dict:
         calibration()
         calib = min(calib, time.perf_counter() - t0)
 
+    from p4_mapreduce_spark.metrics import stage_metrics_since, stage_snapshot
+
     registry = load_all()
     ratios: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     for name, spec in sorted(registry.items()):
         if not spec.headline:
             continue
@@ -67,12 +70,23 @@ def measure_ratios(spark, sf_dir: str, runs: int = 2, only=None) -> dict:
             continue
         noop(spec.fn(spark, sf_dir))  # codegen warmup
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs):
+            if i == runs - 1:
+                # r12: stage-set diff around the last run — the bytes
+                # are plan-determined, so GATE_LOG entries carry a
+                # host-independent signal a post-hoc judge can compare
+                # across rounds (polling happens after the timer stops)
+                before = stage_snapshot(spark)
             t0 = time.perf_counter()
             noop(spec.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         ratios[name] = round(best / calib, 2)
-    return {"calibration_sec": round(calib, 4), "ratios": ratios}
+        metrics[name] = stage_metrics_since(spark, before)
+    return {
+        "calibration_sec": round(calib, 4),
+        "ratios": ratios,
+        "metrics": metrics,
+    }
 
 
 if __name__ == "__main__":
@@ -108,6 +122,13 @@ if __name__ == "__main__":
         "ratios": {
             n: min(p1["ratios"][n], p2["ratios"][n]) for n in p1["ratios"]
         },
+        # r12: plan-determined per-query bytes from the warm second
+        # pass — informational baselines, NOT gate verdicts (cache
+        # warm-state differs between sessions, so bytes are for
+        # post-hoc drift-vs-regression adjudication in GATE_LOG, where
+        # a wall regression with UNCHANGED bytes reads as host drift
+        # and one WITH byte growth reads as a plan regression)
+        "stage_metrics": p2.get("metrics", {}),
     }
     out["sf_dir"] = sf_dir
     out["protocol"] = (

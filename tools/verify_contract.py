@@ -15,6 +15,13 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.ui.enabled", "false")
          .appName("driver-sim").getOrCreate())
 
+# Quiet WindowExec's blanket "No Partition Defined" WARN (r12 verdict
+# hygiene): every global window in the registry is a bounded top-N
+# re-rank / group-cardinality frame, reviewed and enforced by the
+# tests/test_plans.py funnel audit — see session._quiet_bounded_window_warning
+from p4_mapreduce_spark.session import _quiet_bounded_window_warning
+_quiet_bounded_window_warning(spark)
+
 import __spark_entry__ as E
 
 # 1) smoke: entry()
