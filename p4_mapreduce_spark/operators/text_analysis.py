@@ -2442,3 +2442,198 @@ def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             denom.cast("double") / F.greatest(pair_mass, F.lit(1))
         ).alias("effective_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: per-doc n-gram novelty (first-occurrence attribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+        FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+    ),
+    first AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY g),
+    per AS (
+        SELECT t.doc_id,
+               count(*) AS n_trigrams,
+               sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM tri t JOIN first f USING (g) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_trigrams AS BIGINT) AS n_trigrams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST((n_novel * 1000000) // n_trigrams AS BIGINT) AS novelty_ppm
+    FROM per
+    """,
+    doc="Per-document n-gram NOVELTY (first-occurrence attribution): "
+    "each doc's distinct word trigrams are credited to the LOWEST "
+    "doc_id that contains them, and a doc's novelty is the ppm share "
+    "of its trigrams it introduced — the marginal-content signal a "
+    "curation pipeline uses to rank near-boilerplate re-posts below "
+    "original documents (the doc-level dual of heaps_law_vocab_growth's "
+    "batch vocabulary curve, and the soft version of ExactSubstr: "
+    "instead of cutting repeated spans it SCORES repetition "
+    "ownership). Scale shape: one corpus tokenize -> per-doc DISTINCT "
+    "trigram explode (map-side combinable distinct), one "
+    "trigram-keyed min aggregation (vocabulary-sized, the same key "
+    "space as the inverted index), one equi-join back on trigram, "
+    "one per-doc rollup — no windows, no self-joins, every shuffle "
+    "key either doc_id or trigram. Determinism: counts are exact "
+    "bigints; the ppm is exact non-negative integer floor division "
+    "in both engines. Docs with fewer than 3 tokens contribute no "
+    "trigrams and no row (same empty unnest semantics both sides).",
+    headline=True,
+    tags=("text", "dedup", "quality", "aggregation"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+    n3 = F.size(ws) - F.lit(2)
+    # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty
+    # array so they drop out of the explode exactly like DuckDB's
+    # empty range() unnest
+    tri = F.when(
+        n3 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + F.lit(1)),
+                F.element_at(ws, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = docs.select("doc_id", F.explode(tri).alias("g")).distinct()
+    first = t.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    per = (
+        t.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.expr("(n_novel * 1000000) div n_trigrams")
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r12: PII regex screen (per-source governance rollup)
+# ---------------------------------------------------------------------------
+
+# Kept deliberately simple so the Java and RE2 dialects agree exactly:
+# character classes, \d, \b, explicit quantifiers — no lookaround, no
+# lazy quantifiers, no unicode classes.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_oracle() -> str:
+    cnt = {
+        "emails": _PII_EMAIL,
+        "phones": _PII_PHONE,
+        "ssns": _PII_SSN,
+        "ipv4s": _PII_IPV4,
+    }
+    cols = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS {k}"
+        for k, p in cnt.items()
+    )
+    return f"""
+    WITH per_doc AS (
+        SELECT source,
+               {cols}
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN emails + phones + ssns + ipv4s > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+           CAST(sum(emails) AS BIGINT) AS n_emails,
+           CAST(sum(phones) AS BIGINT) AS n_phones,
+           CAST(sum(ssns) AS BIGINT) AS n_ssns,
+           CAST(sum(ipv4s) AS BIGINT) AS n_ipv4s,
+           CAST((sum(CASE WHEN emails + phones + ssns + ipv4s > 0
+                          THEN 1 ELSE 0 END) * 1000000) // count(*)
+                AS BIGINT) AS flagged_ppm
+    FROM per_doc GROUP BY source
+    """
+
+
+@register(
+    "pii_regex_screen",
+    oracle=_pii_oracle(),
+    doc="PII surface screen (per-source governance rollup): regex "
+    "detectors for emails, NNN-NNN-NNNN phone shapes, SSN shapes, and "
+    "IPv4 literals counted per document (non-overlapping regexp_count "
+    "— JVM-side, no UDF) and rolled up per source with a flagged-doc "
+    "ppm rate — the first pass of every compliance pipeline, run "
+    "BEFORE redaction/DP so the risk mass per source is known (the "
+    "k-anonymity and DP-count queries are the release-side "
+    "complement). Patterns are dialect-portable by construction "
+    "(char classes + \\d + \\b + explicit quantifiers only, no "
+    "lookaround), so Java and RE2 count identically and the rollup "
+    "is pure integer arithmetic — exact ppm floor division. Scale "
+    "shape: one corpus scan, per-row regex work, one "
+    "source-cardinality aggregation; nothing else moves. The "
+    "synthetic corpus contains no PII (all-zero counts are the "
+    "honest result and still hash-checked); the planted test "
+    "injects real shapes via the crafted-corpus helper.",
+    tags=("text", "quality", "governance", "aggregation"),
+)
+def pii_regex_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cnt = {
+        "emails": _PII_EMAIL,
+        "phones": _PII_PHONE,
+        "ssns": _PII_SSN,
+        "ipv4s": _PII_IPV4,
+    }
+    per = docs.select(
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(p)).alias(k)
+            for k, p in cnt.items()
+        ],
+    )
+    any_pii = (
+        F.col("emails") + F.col("phones") + F.col("ssns") + F.col("ipv4s")
+        > 0
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(any_pii, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_flagged"),
+        F.sum("emails").cast("bigint").alias("n_emails"),
+        F.sum("phones").cast("bigint").alias("n_phones"),
+        F.sum("ssns").cast("bigint").alias("n_ssns"),
+        F.sum("ipv4s").cast("bigint").alias("n_ipv4s"),
+        F.expr(
+            "(sum(case when emails + phones + ssns + ipv4s > 0 then 1 "
+            "else 0 end) * 1000000) div count(1)"
+        )
+        .cast("bigint")
+        .alias("flagged_ppm"),
+    )

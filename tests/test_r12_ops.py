@@ -70,3 +70,62 @@ def test_stage_ck_reliable_parity(spark, sf_dir, tmp_path):
     assert any(os.scandir(tmp_path / "stage_ckpt")), (
         "reliable mode did not write filesystem checkpoints"
     )
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """Planted novelty: doc 1 introduces both its trigrams (1.0), doc
+    2 shares 'a b c' with doc 1 and introduces 'b c x' (exactly 1/2 ->
+    500000 ppm), doc 3 has fewer than 3 tokens and must emit NO row
+    (empty-unnest parity with the oracle)."""
+    from p4_mapreduce_spark.operators.text_analysis import (
+        text_ngram_novelty,
+    )
+    from tests.test_r11_ops import _mini_sf
+
+    sf = _mini_sf(
+        tmp_path,
+        docs=[
+            (1, "a b c d", "en", "s1"),
+            (2, "a b c x", "en", "s1"),
+            (3, "a b", "en", "s1"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_novel, r.novelty_ppm)
+        for r in text_ngram_novelty(spark, sf).collect()
+    }
+    assert got == {1: (2, 2, 1000000), 2: (2, 1, 500000)}
+
+
+def test_pii_screen_planted(spark, tmp_path):
+    """Planted PII shapes: two emails + one phone in one doc, an SSN
+    and an IPv4 in another, one clean doc in a second source. Counts
+    are per occurrence; flagged is per doc; ppm is exact floor."""
+    from p4_mapreduce_spark.operators.text_analysis import (
+        pii_regex_screen,
+    )
+    from tests.test_r11_ops import _mini_sf
+
+    sf = _mini_sf(
+        tmp_path,
+        docs=[
+            (1, "mail a@b.com and c.d@e.org call 555-123-4567", "en", "s1"),
+            (2, "ssn 123-45-6789 host 10.0.0.1 ok", "en", "s1"),
+            (3, "nothing sensitive here", "en", "s1"),
+            (4, "clean too", "en", "s2"),
+        ],
+    )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.n_docs_flagged,
+            r.n_emails,
+            r.n_phones,
+            r.n_ssns,
+            r.n_ipv4s,
+            r.flagged_ppm,
+        )
+        for r in pii_regex_screen(spark, sf).collect()
+    }
+    assert got["s1"] == (3, 2, 2, 1, 1, 1, 666666)
+    assert got["s2"] == (1, 0, 0, 0, 0, 0, 0)
