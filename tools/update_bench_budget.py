@@ -89,8 +89,73 @@ def measure_ratios(spark, sf_dir: str, runs: int = 2, only=None) -> dict:
     }
 
 
+def recenter(spark, sf_dir: str, probes: int = 5, gap_s: float = 20.0) -> float:
+    """Re-measure ONLY the calibration guard center: ``probes``
+    min-of-5 calibration scans spaced ``gap_s`` apart, median taken.
+
+    Why (r12): the guard compares each gate session's calibration to
+    ``calibration_sec`` with a 1.65x band, and this host's QUIET
+    calibration wanders 0.15-0.33s on the scale of minutes — a budget
+    whose two back-to-back passes landed in a fast window (measured:
+    0.159s vs the 0.30s center it replaced) re-creates the r10
+    fast-baseline trap where perfectly quiet sessions skip. Spacing
+    the probes samples the wander instead of one instant of it;
+    ratios are untouched (each pass's ratios already use its OWN
+    calibration)."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def calibration() -> None:
+        noop(
+            load(spark, sf_dir, "lineitem").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("s"),
+            )
+        )
+
+    load(spark, sf_dir, "lineitem").count()
+    vals = []
+    for i in range(probes):
+        if i:
+            _time.sleep(gap_s)
+        calibration()
+        best = float("inf")
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            calibration()
+            best = min(best, _time.perf_counter() - t0)
+        vals.append(round(best, 4))
+    vals.sort()
+    print(f"calibration probes: {vals}")
+    return vals[len(vals) // 2]
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--recenter" in sys.argv:
+        spark = get_spark(app_name="bench-budget", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_BUDGET.json")
+        with open(path) as f:
+            out = json.load(f)
+        center = recenter(spark, sf_dir)
+        out["calibration_sec"] = center
+        out["calibration_center_protocol"] = (
+            "guard center = median of 5 min-of-5 calibration probes "
+            "spaced 20s apart (tools/update_bench_budget.py --recenter); "
+            "per-query ratios keep their own measurement passes' "
+            "calibrations"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"recentered {path}: calibration_sec={center}")
+        sys.exit(0)
     # SAME session config as tests/conftest.py: the gate replays the
     # protocol in the pytest session, and ratios-to-calibration cancel
     # host speed but NOT config differences — a budget measured at 32
