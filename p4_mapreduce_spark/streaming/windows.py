@@ -2490,3 +2490,160 @@ def markov_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: incremental trigram novelty (streaming twin of text_ngram_novelty)
+# ---------------------------------------------------------------------------
+
+
+def streaming_trigram_novelty(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of operators.text_analysis.text_ngram_novelty:
+    first-occurrence trigram ownership maintained incrementally as
+    document tranches ARRIVE.
+
+    State:
+
+    - ``tri``: candidate (g, owner doc_id, batch_id) rows — per batch,
+      only trigrams that are NEW to the store or arrive with a LOWER
+      doc_id than the stored owner are appended (an anti/improve
+      join against the vocabulary-sized store, batch-proportional
+      work). The reader takes min(owner) per trigram, so ownership is
+      EXACT under any arrival order AND under crash-replay without a
+      carry protocol: min-merge is idempotent and commutative —
+      duplicate appends from a replayed batch change nothing. Every
+      _OPEN_COMPACT_EVERY batches the strict past collapses to one
+      min-owner row per trigram (current batch verbatim, the r12
+      replay-safe split, write-aside + rename + recovery).
+    - ``docs``: (doc_id, n_trigrams, batch_id) for docs with >= 1
+      trigram; replay-deduped by first() per (batch_id, doc_id).
+
+    Derivation (trigram_novelty_from_state) reproduces the batch
+    query's exact output: per-trigram final owners -> novel counts per
+    doc, joined to the per-doc distinct-trigram totals, same ppm
+    arithmetic.
+    """
+    docs = stream_documents(spark, docs_dir)
+    tri_path = os.path.join(state_dir, "tri")
+    docs_path = os.path.join(state_dir, "docs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_open_state(tri_path)
+        ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
+        n3 = F.size(ws) - F.lit(2)
+        tri = F.when(
+            n3 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i),
+                    F.element_at(ws, i + F.lit(1)),
+                    F.element_at(ws, i + F.lit(2)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        t = batch_df.select(
+            "doc_id", F.explode(tri).alias("g")
+        ).distinct().localCheckpoint()  # batch-sized; feeds two readers
+        batch_min = t.groupBy("g").agg(F.min("doc_id").alias("owner"))
+        prior = _read_parquet_or_none(spark, tri_path)
+        if prior is not None:
+            stored = (
+                prior.groupBy("g").agg(F.min("owner").alias("_cur"))
+            )
+            batch_min = (
+                batch_min.join(stored, "g", "left")
+                .where(
+                    F.col("_cur").isNull()
+                    | (F.col("owner") < F.col("_cur"))
+                )
+                .select("g", "owner")
+            )
+        batch_min.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(tri_path)
+        (
+            t.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(docs_path)
+        )
+        if int(batch_id) > 0 and int(batch_id) % _OPEN_COMPACT_EVERY == 0:
+            _compact_min_owner_store(spark, tri_path, int(batch_id))
+
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _compact_min_owner_store(
+    spark: SparkSession, tri_path: str, current_batch_id: int
+) -> None:
+    """Collapse the trigram-ownership store to one min-owner row per
+    trigram over the STRICT past; the in-flight batch's rows stay
+    verbatim (the r12 replay-safe split — here it is belt-and-braces,
+    since min-merge makes even a collapsed store replay-correct, but
+    keeping the discipline uniform costs nothing and keeps the
+    batch_id provenance of the current batch intact)."""
+    cur = _read_parquet_or_none(spark, tri_path)
+    if cur is None:
+        return
+    out_cols = ["g", "owner", "batch_id"]
+    older = (
+        cur.where(F.col("batch_id") < F.lit(int(current_batch_id)))
+        .groupBy("g")
+        .agg(F.min(F.struct("owner", "batch_id")).alias("o"))
+        .select("g", F.col("o.owner").alias("owner"),
+                F.col("o.batch_id").alias("batch_id"))
+    )
+    verbatim = cur.where(
+        F.col("batch_id") >= F.lit(int(current_batch_id))
+    ).select(*out_cols)
+    _install_compacted(older.unionByName(verbatim), tri_path)
+
+
+def trigram_novelty_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Derive text_ngram_novelty's exact output from the accumulated
+    state: final min-owner per trigram -> per-doc novel counts, joined
+    to the replay-deduped per-doc trigram totals, identical ppm
+    arithmetic and column shapes."""
+    _recover_open_state(os.path.join(state_dir, "tri"))
+    owners = (
+        spark.read.parquet(os.path.join(state_dir, "tri"))
+        .groupBy("g")
+        .agg(F.min("owner").alias("owner"))
+    )
+    novel = owners.groupBy(F.col("owner").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    totals = (
+        spark.read.parquet(os.path.join(state_dir, "docs"))
+        .groupBy("batch_id", "doc_id")
+        .agg(F.first("n_trigrams").alias("n_trigrams"))
+        .groupBy("doc_id")
+        .agg(F.max("n_trigrams").alias("n_trigrams"))
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "(coalesce(n_novel, 0) * 1000000) div n_trigrams"
+            )
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+    )

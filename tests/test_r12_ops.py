@@ -129,3 +129,24 @@ def test_pii_screen_planted(spark, tmp_path):
     }
     assert got["s1"] == (3, 2, 2, 1, 1, 1, 666666)
     assert got["s2"] == (1, 0, 0, 0, 0, 0, 0)
+
+
+def test_stage_metrics_degrade_without_ui():
+    """The REST metrics helpers must degrade to an error payload (not
+    raise) when the UI server is off — bench.py and the gate call them
+    unconditionally."""
+    class _SC:
+        uiWebUrl = None
+        applicationId = "app"
+
+    class _Spark:
+        sparkContext = _SC()
+
+    from p4_mapreduce_spark.metrics import (
+        stage_metrics_since,
+        stage_snapshot,
+    )
+
+    assert stage_snapshot(_Spark()) == set()
+    out = stage_metrics_since(_Spark(), set())
+    assert "error" in out

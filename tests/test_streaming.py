@@ -1939,3 +1939,136 @@ def test_streaming_markov_state_compaction_and_replay(spark, tmp_path):
     os.rename(f"{state}/trans", f"{state}/trans.old")
     assert derive() == want
     assert os.path.exists(f"{state}/trans")
+
+
+def _write_doc_tranches(tmp_path, tranches):
+    """Write document tranches (lists of (doc_id, text)) as one parquet
+    file each with distinct mtimes."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "doc_tranches")
+    os.makedirs(src, exist_ok=True)
+    for docs in tranches:
+        table = pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+            }
+        )
+        pq.write_table(table, f"{src}/t{len(os.listdir(src))}.parquet")
+        _time.sleep(1.1)
+    return src
+
+
+def test_streaming_trigram_novelty_matches_batch(spark, sf_dir, tmp_path):
+    """r12 twin: trigram first-occurrence ownership maintained over
+    document tranches equals text_ngram_novelty's one-shot batch
+    answer — including OUT-OF-ORDER arrival (a later tranche carrying
+    a LOWER doc_id steals ownership, because the state reader is a
+    min-merge, which is also why replay needs no carry protocol)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        streaming_trigram_novelty,
+        trigram_novelty_from_state,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    rows_all = [(r.doc_id, r.text) for r in docs.collect()]
+    rows_all.sort()
+    third = (len(rows_all) + 2) // 3
+    # middle third FIRST: ownership of shared trigrams must transfer
+    # to the lower doc_ids when tranche 2 arrives
+    tranches = [
+        rows_all[third: 2 * third],
+        rows_all[:third],
+        rows_all[2 * third:],
+    ]
+    src = _write_doc_tranches(tmp_path, tranches)
+    state = str(tmp_path / "state")
+    q = streaming_trigram_novelty(spark, src, state, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = rows(load_all()["text_ngram_novelty"].fn(spark, sf_dir))
+    got = rows(trigram_novelty_from_state(spark, state))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_trigram_novelty_compaction_and_replay(spark, tmp_path):
+    """Planted 5-tranche run over one repeated trigram: batch 4 is the
+    compaction batch; after it the tri store holds one min-owner row
+    per trigram (plus the current batch's verbatim rows), and a
+    crash-replay of batch 4 (commit marker deleted) leaves the derived
+    novelty byte-identical — min-merge idempotency, executed."""
+    import os
+
+    from p4_mapreduce_spark.streaming.windows import (
+        _OPEN_COMPACT_EVERY,
+        streaming_trigram_novelty,
+        trigram_novelty_from_state,
+    )
+
+    assert _OPEN_COMPACT_EVERY == 4
+    # every tranche shares trigram 'a b c'; owners descend so each
+    # batch IMPROVES the stored owner (worst case for store growth)
+    tranches = [
+        [(50, "a b c d")],
+        [(40, "a b c e")],
+        [(30, "a b c f")],
+        [(20, "a b c g")],
+        [(10, "a b c h")],
+    ]
+    src = _write_doc_tranches(tmp_path, tranches)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_trigram_novelty(spark, src, state, ckpt)
+    q.awaitTermination(180)
+
+    # doc 10 owns 'a b c' + its own tail trigrams; every other doc
+    # owns only its tail ('b c X' and 'a b c' lost to doc 10)
+    want = {
+        10: (2, 2, 1000000),
+        20: (2, 1, 500000),
+        30: (2, 1, 500000),
+        40: (2, 1, 500000),
+        50: (2, 1, 500000),
+    }
+
+    def derive():
+        return {
+            r.doc_id: (r.n_trigrams, r.n_novel, r.novelty_ppm)
+            for r in trigram_novelty_from_state(spark, state).collect()
+        }
+
+    assert derive() == want
+    tri_rows = spark.read.parquet(f"{state}/tri").collect()
+    # post-compaction: strict past collapsed to min-owner per trigram
+    # ('a b c' once + 4 tails) + batch 4's verbatim improvements
+    assert len(tri_rows) <= 5 + 2, len(tri_rows)
+
+    os.remove(os.path.join(ckpt, "commits", "4"))
+    crc = os.path.join(ckpt, "commits", ".4.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = streaming_trigram_novelty(spark, src, state, ckpt)
+    q2.awaitTermination(180)
+    assert derive() == want
+
+    # rename-dance recovery
+    os.rename(f"{state}/tri", f"{state}/tri.old")
+    assert derive() == want
+    assert os.path.exists(f"{state}/tri")
