@@ -2435,3 +2435,187 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_num div _den").cast("bigint").alias("rate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: LSH band-tuning audit (the S-curve, measured on the corpus)
+# ---------------------------------------------------------------------------
+
+# (bands, rows-per-band) sweeps with bands * rows == MINHASH_PERMS:
+# more rows per band -> higher precision, lower recall (the S-curve
+# steepens and shifts right). (4, 4) is the production config.
+_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _tune_oracle() -> str:
+    blocks = []
+    for nb, r in _TUNE_CONFIGS:
+        joins = " UNION ".join(
+            "SELECT a.gh AS ga, b.gh AS gb FROM mh a JOIN mh b ON "
+            + " AND ".join(
+                f"a.mh{j * r + k} = b.mh{j * r + k}" for k in range(r)
+            )
+            + " AND a.gh < b.gh"
+            for j in range(nb)
+        )
+        blocks.append(f"""
+    cand_{nb} AS MATERIALIZED (SELECT DISTINCT ga, gb FROM ({joins})),
+    ver_{nb} AS MATERIALIZED (
+        SELECT count(*) AS n FROM cand_{nb} c
+        JOIN sh x ON x.gh = c.ga JOIN sh y ON y.gh = c.gb
+        WHERE len(list_intersect(x.shingles, y.shingles))
+              / greatest(len(list_distinct(x.shingles || y.shingles)), 1)
+              >= {JACCARD_THRESHOLD}
+    )""")
+    rows = " UNION ALL ".join(
+        f"""SELECT {nb} AS n_bands, {r} AS rows_per_band,
+            (SELECT count(*) FROM cand_{nb}) AS nc,
+            (SELECT n FROM ver_{nb}) AS nv"""
+        for nb, r in _TUNE_CONFIGS
+    )
+    return f"""
+    WITH groups AS MATERIALIZED (
+        SELECT md5(text) AS gh, min(text) AS rtext
+        FROM documents GROUP BY 1
+    ),
+    g2 AS (SELECT gh, rtext AS text FROM groups),
+    shingled AS MATERIALIZED (
+        SELECT gh, {_SHINGLES_SQL} AS shingles FROM g2
+    ),
+    hashed AS MATERIALIZED (
+        SELECT gh, shingles, {_SHINGLE_HASHES_SQL} AS hh
+        FROM shingled WHERE len(shingles) > 0
+    ),
+    mh AS MATERIALIZED (
+        SELECT gh,
+               {", ".join(f"{_minhash_sql(p)} AS mh{p}"
+                          for p in range(MINHASH_PERMS))}
+        FROM hashed
+    ),
+    sh AS MATERIALIZED (SELECT gh, shingles FROM hashed),
+    {", ".join(b.strip() for b in blocks)},
+    cfg AS ({rows}),
+    ref AS (SELECT nv AS ref_nv FROM cfg WHERE n_bands = 16)
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(nc AS BIGINT) AS n_candidate_pairs,
+           CAST(nv AS BIGINT) AS n_verified_pairs,
+           CAST((nv * 1000000) // greatest(nc, 1) AS BIGINT)
+               AS precision_ppm,
+           CAST((nv * 1000000) // greatest(ref_nv, 1) AS BIGINT)
+               AS recall_ppm
+    FROM cfg CROSS JOIN ref
+    """
+
+
+@register(
+    "minhash_band_tuning_audit",
+    oracle=_tune_oracle(),
+    doc="LSH band-tuning audit — the MinHash S-curve MEASURED on the "
+    "corpus instead of assumed from theory: the same 16 permutations "
+    "re-banded as 16x1 / 8x2 / 4x4 / 2x8 (bands x rows), and per "
+    "config the DISTINCT candidate-pair count, the Jaccard-verified "
+    "pair count, precision (verified/candidates, the wasted-verify "
+    "cost), and recall vs the 16x1 reference (a single matching "
+    "minhash row is implied by ANY band match of ANY config, so 16x1 "
+    "candidates are a superset of every other config's — the "
+    "candidate-complete reference that makes recall measurable "
+    "without an all-pairs join). This is the table that justifies "
+    f"the production {MINHASH_BANDS}x{ROWS_PER_BAND} choice and the "
+    "number to re-run when the near-dup threshold moves. Scale "
+    "shape: ONE distinct-text minhash subtree (stage-materialized, "
+    "corpus-size-gated) feeds all four arms; each arm is a banded "
+    "equi-join over distinct texts — and the low-rows configs' "
+    "candidate growth IS the finding (run the audit on a sample at "
+    "production scale; its point is to price exactly that blowup "
+    "before a config ships). All counts exact bigints, ppm exact "
+    "integer floor division.",
+    tags=("dedup", "lsh", "audit", "quality"),
+)
+def minhash_band_tuning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    _db = table_bytes(sf_dir)
+    groups = docs.groupBy(F.md5("text").alias("gh")).agg(
+        F.min("text").alias("rtext")
+    )
+    toks = groups.select(
+        "gh", F.split("rtext", " ", -1).alias("toks")
+    ).where(F.size(F.split("rtext", " ", -1)) >= 3)
+    shingled = toks.select(
+        "gh", _shingles_from_tokens(F.col("toks")).alias("shingles")
+    )
+    hashed = shingled.select(
+        "gh", "shingles", _shingle_hashes_col(F.col("shingles")).alias("hh")
+    )
+    mh = stage_ck(
+        hashed.select(
+            "gh",
+            *[
+                _minhash_col(p, F.col("hh")).alias(f"mh{p}")
+                for p in range(MINHASH_PERMS)
+            ],
+        ),
+        src_bytes=_db,
+    )
+    sh = stage_ck(hashed.select("gh", "shingles"), src_bytes=_db)
+    x = sh.select(F.col("gh").alias("ga"), F.col("shingles").alias("sa"))
+    y = sh.select(F.col("gh").alias("gb"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    per_cfg = []
+    for nb, r in _TUNE_CONFIGS:
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{j * r + k}") for k in range(r)],
+                )
+                for j in range(nb)
+            ]
+        )
+        long = mh.select("gh", F.posexplode(bands).alias("band_id", "sig"))
+        cand = (
+            long.select(F.col("gh").alias("ga"), "band_id", "sig")
+            .join(
+                long.select(F.col("gh").alias("gb"), "band_id", "sig"),
+                ["band_id", "sig"],
+            )
+            .where(F.col("ga") < F.col("gb"))
+            .select("ga", "gb")
+            .distinct()
+        )
+        ver = (
+            cand.join(x, "ga")
+            .join(y, "gb")
+            .where(inter / F.greatest(union, F.lit(1)) >= JACCARD_THRESHOLD)
+        )
+        per_cfg.append(
+            cand.agg(F.count(F.lit(1)).alias("nc")).crossJoin(
+                ver.agg(F.count(F.lit(1)).alias("nv"))
+            ).select(
+                F.lit(nb).cast("bigint").alias("n_bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.col("nc").cast("bigint"),
+                F.col("nv").cast("bigint"),
+            )
+        )
+    cfg = per_cfg[0]
+    for c in per_cfg[1:]:
+        cfg = cfg.unionByName(c)
+    ref = cfg.where(F.col("n_bands") == 16).select(
+        F.col("nv").alias("ref_nv")
+    )
+    return cfg.crossJoin(F.broadcast(ref)).select(
+        "n_bands",
+        "rows_per_band",
+        F.col("nc").alias("n_candidate_pairs"),
+        F.col("nv").alias("n_verified_pairs"),
+        F.expr("(nv * 1000000) div greatest(nc, 1)")
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("(nv * 1000000) div greatest(ref_nv, 1)")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )

@@ -102,6 +102,9 @@ _BNLJ_ALLOWED = {
     "range_join_band",
     "q11_important_values",  # single-row total joined to per-part aggregate
     "q15_top_supplier",  # single-row max-revenue frame joined to revenues
+    # r12: 1-row (nc) x 1-row (nv) per-config count frames + the
+    # 1-row 16x1 reference joined to the 4-row config table
+    "minhash_band_tuning_audit",
     "q22_global_sales_opportunity",  # single-row avg-balance frame vs customer
     "doc_length_band_filter",  # single-row percentile band vs documents
     "bm25_search_topk",  # single-row avgdl frame joined to per-doc tf
@@ -153,6 +156,11 @@ _BNLJ_ALLOWED = {
 # the per-query ceiling doesn't apply.
 _SHUFFLE_CAP_EXEMPT = {
     "hybrid_search_rrf",  # bm25 arm (4) + ann arm + rank fusion
+    # r12: four banding configs x (band self-join + pair distinct +
+    # count rollups) — the arms ARE the S-curve semantics, and every
+    # exchange moves the distinct-text signature/pair frames, never
+    # the corpus
+    "minhash_band_tuning_audit",
     # Three-arm recall curve (r8: nprobe 1/2/4): each IVFADC arm
     # contributes its own hit-join + per-query rollup, but every
     # exchange moves one of the 5 x 10-row audit frames (the arms are
