@@ -48,26 +48,15 @@ def main() -> None:
     load(spark, sf_dir, "lineitem").count()
 
     # Calibration scan (r5 verdict: the filed +23% "regression" was
-    # host contention the builder can't see or rebut). A fixed
-    # count+sum full scan of lineitem, timed min-of-5 exactly like the
-    # queries, gives every BENCH file an internal yardstick: the
-    # per-query ratios-to-calibration below are comparable across
-    # rounds even when absolute wall times drift with host load.
-    import pyspark.sql.functions as F
+    # host contention the builder can't see or rebut): the SHARED
+    # protocol (p4_mapreduce_spark.metrics.calibration_scan — one
+    # implementation for bench, budget updater, gate, recenter, A/B)
+    # gives every BENCH file an internal yardstick: the per-query
+    # ratios-to-calibration below are comparable across rounds even
+    # when absolute wall times drift with host load.
+    from p4_mapreduce_spark.metrics import calibration_scan
 
-    def _calibration_run() -> None:
-        load(spark, sf_dir, "lineitem").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("l_extendedprice").alias("s"),
-        ).write.format("noop").mode("overwrite").save()
-
-    _calibration_run()
-    calib = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _calibration_run()
-        calib = min(calib, time.perf_counter() - t0)
-    calib = round(calib, 4)
+    calib = round(calibration_scan(spark, sf_dir), 4)
 
     # Each query runs six times: the first run pays one-time
     # whole-stage codegen compilation (~1s/query in this single JVM);

@@ -36,13 +36,20 @@ def _stage_list(spark) -> list[dict]:
         return json.load(r)
 
 
-def stage_snapshot(spark) -> set:
+def stage_snapshot(spark):
     """The set of completed (stageId, attemptId) pairs right now.
-    Take one BEFORE the run you want to measure."""
+    Take one BEFORE the run you want to measure. Returns None when the
+    listing fails (UI off, transient REST error) — callers pass it to
+    stage_metrics_since, which turns None into an error payload
+    instead of silently attributing the WHOLE session's stage history
+    to the measured query (a review-caught failure mode: one urlopen
+    timeout on the before-snapshot would otherwise make the next
+    query's bytes sum 40 queries of history and read as a phantom
+    regression in GATE_LOG)."""
     try:
         return {(st["stageId"], st["attemptId"]) for st in _stage_list(spark)}
     except Exception:
-        return set()
+        return None
 
 
 def stage_metrics_since(spark, before: set, settle_sec: float = 0.25) -> dict:
@@ -56,6 +63,8 @@ def stage_metrics_since(spark, before: set, settle_sec: float = 0.25) -> dict:
     across the new stages (straggler evidence), with the median of
     that same stage alongside for the skew ratio.
     """
+    if before is None:
+        return {"error": "before-snapshot failed: metrics unattributable"}
     try:
         stages = _stage_list(spark)
         for _ in range(2):
@@ -97,3 +106,34 @@ def stage_metrics_since(spark, before: set, settle_sec: float = 0.25) -> dict:
             out["max_task_ms"] = round(dur[-1], 1)
             out["med_task_ms_of_max_stage"] = round(dur[0], 1)
     return out
+
+
+def calibration_scan(spark, sf_dir: str, runs: int = 5) -> float:
+    """THE calibration protocol, shared by bench.py, the budget
+    updater/gate (measure_ratios), the recenter probe, and the A/B
+    tool: warm lineitem metadata, one unbilled warm run, then
+    min-of-``runs`` wall of a lineitem count+sum noop write. Four
+    hand-rolled copies of this loop had already diverged risk-wise
+    (the gate's contention guard assumes the protocol is identical
+    everywhere) — change it HERE or nowhere.
+    """
+    import time
+
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.sources.tables import load
+
+    def run() -> None:
+        load(spark, sf_dir, "lineitem").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("s"),
+        ).write.format("noop").mode("overwrite").save()
+
+    load(spark, sf_dir, "lineitem").count()  # warm FS metadata
+    run()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best

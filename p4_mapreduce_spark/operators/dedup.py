@@ -2576,7 +2576,12 @@ def minhash_band_tuning_audit(
             ]
         )
         long = mh.select("gh", F.posexplode(bands).alias("band_id", "sig"))
-        cand = (
+        # candidate frame read TWICE (count arm + verify arm) — the
+        # review-caught duplicate: without materialization each arm
+        # re-runs the band self-join, and the 16x1 arm's blowup is
+        # exactly what the audit prices. Pair-output-proportional, so
+        # the bounded-frame rule allows it (size-gated like the rest).
+        cand = stage_ck(
             long.select(F.col("gh").alias("ga"), "band_id", "sig")
             .join(
                 long.select(F.col("gh").alias("gb"), "band_id", "sig"),
@@ -2584,7 +2589,8 @@ def minhash_band_tuning_audit(
             )
             .where(F.col("ga") < F.col("gb"))
             .select("ga", "gb")
-            .distinct()
+            .distinct(),
+            src_bytes=_db,
         )
         ver = (
             cand.join(x, "ga")
@@ -2604,6 +2610,9 @@ def minhash_band_tuning_audit(
     cfg = per_cfg[0]
     for c in per_cfg[1:]:
         cfg = cfg.unionByName(c)
+    # 4-row table read twice (output rows + the 16x1 reference) —
+    # always materialize (trivial) so no arm executes twice
+    cfg = stage_ck(cfg)
     ref = cfg.where(F.col("n_bands") == 16).select(
         F.col("nv").alias("ref_nv")
     )

@@ -147,6 +147,10 @@ def test_stage_metrics_degrade_without_ui():
         stage_snapshot,
     )
 
-    assert stage_snapshot(_Spark()) == set()
-    out = stage_metrics_since(_Spark(), set())
+    # snapshot failure is None, NOT an empty set — an empty set would
+    # attribute the whole session's stage history to the next query
+    before = stage_snapshot(_Spark())
+    assert before is None
+    out = stage_metrics_since(_Spark(), before)
     assert "error" in out
+    assert "unattributable" in out["error"]

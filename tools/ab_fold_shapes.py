@@ -105,19 +105,10 @@ def main() -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # calibration scan, same protocol as bench.py / the budget updater
-    load(spark, sf_dir, "lineitem").count()
-    def calib_run():
-        noop(load(spark, sf_dir, "lineitem").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("l_extendedprice").alias("s"),
-        ))
-    calib_run()
-    calib = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        calib_run()
-        calib = min(calib, time.perf_counter() - t0)
+    # calibration scan: the SHARED protocol (metrics.calibration_scan)
+    from p4_mapreduce_spark.metrics import calibration_scan
+
+    calib = calibration_scan(spark, sf_dir)
 
     cases = {
         "dedup_minhash_lsh": {

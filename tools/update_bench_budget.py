@@ -37,28 +37,16 @@ def measure_ratios(spark, sf_dir: str, runs: int = 2, only=None) -> dict:
     headliners (the gate's retry pass re-measures only the over-budget
     queries, with a FRESH calibration so a transient spike in the
     original calibration can't poison the retry ratios too)."""
-    import pyspark.sql.functions as F
-
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def calibration() -> None:
-        noop(
-            load(spark, sf_dir, "lineitem").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("l_extendedprice").alias("s"),
-            )
-        )
+    from p4_mapreduce_spark.metrics import (
+        calibration_scan,
+        stage_metrics_since,
+        stage_snapshot,
+    )
 
-    load(spark, sf_dir, "lineitem").count()  # warm FS metadata
-    calibration()
-    calib = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        calibration()
-        calib = min(calib, time.perf_counter() - t0)
-
-    from p4_mapreduce_spark.metrics import stage_metrics_since, stage_snapshot
+    calib = calibration_scan(spark, sf_dir)
 
     registry = load_all()
     ratios: dict[str, float] = {}
@@ -104,31 +92,13 @@ def recenter(spark, sf_dir: str, probes: int = 5, gap_s: float = 20.0) -> float:
     calibration)."""
     import time as _time
 
-    import pyspark.sql.functions as F
+    from p4_mapreduce_spark.metrics import calibration_scan
 
-    def noop(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
-
-    def calibration() -> None:
-        noop(
-            load(spark, sf_dir, "lineitem").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("l_extendedprice").alias("s"),
-            )
-        )
-
-    load(spark, sf_dir, "lineitem").count()
     vals = []
     for i in range(probes):
         if i:
             _time.sleep(gap_s)
-        calibration()
-        best = float("inf")
-        for _ in range(5):
-            t0 = _time.perf_counter()
-            calibration()
-            best = min(best, _time.perf_counter() - t0)
-        vals.append(round(best, 4))
+        vals.append(round(calibration_scan(spark, sf_dir), 4))
     vals.sort()
     print(f"calibration probes: {vals}")
     return vals[len(vals) // 2]
@@ -137,7 +107,8 @@ def recenter(spark, sf_dir: str, probes: int = 5, gap_s: float = 20.0) -> float:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--recenter" in sys.argv:
-        spark = get_spark(app_name="bench-budget", shuffle_partitions=8)
+        spark = get_spark(app_name="bench-budget", shuffle_partitions=8,
+                          extra_conf={"spark.ui.enabled": "true"})
         spark.sparkContext.setLogLevel("ERROR")
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_BUDGET.json")
@@ -156,13 +127,34 @@ if __name__ == "__main__":
             f.write("\n")
         print(f"recentered {path}: calibration_sec={center}")
         sys.exit(0)
-    # SAME session config as tests/conftest.py: the gate replays the
-    # protocol in the pytest session, and ratios-to-calibration cancel
-    # host speed but NOT config differences — a budget measured at 32
-    # shuffle partitions reads 2x slow for shuffle-heavy queries when
-    # the gate runs at 8 (measured: ann_lsh_incremental 6.3 -> 15.9).
-    spark = get_spark(app_name="bench-budget", shuffle_partitions=8)
+    # SAME session config as tests/conftest.py (incl. the UI, which
+    # serves the REST stage metrics — a review-caught omission left
+    # every stage_metrics entry an error dict in the first r12
+    # budget): the gate replays the protocol in the pytest session,
+    # and ratios-to-calibration cancel host speed but NOT config
+    # differences — a budget measured at 32 shuffle partitions reads
+    # 2x slow for shuffle-heavy queries when the gate runs at 8
+    # (measured: ann_lsh_incremental 6.3 -> 15.9).
+    spark = get_spark(app_name="bench-budget", shuffle_partitions=8,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    if "--metrics-only" in sys.argv:
+        # refresh ONLY the plan-determined byte baselines (one pass,
+        # one timed-protocol run per headliner, ratios untouched —
+        # bytes do not drift with host state so a single run is exact)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_BUDGET.json")
+        with open(path) as f:
+            out = json.load(f)
+        m = measure_ratios(spark, sf_dir, runs=1)
+        out["stage_metrics"] = m.get("metrics", {})
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        errs = [n for n, v in out["stage_metrics"].items() if "error" in v]
+        print(f"rewrote stage_metrics for {len(out['stage_metrics'])} "
+              f"headliners ({len(errs)} errors: {errs[:3]})")
+        sys.exit(0)
     # TWO full passes, per-query MIN (r8): this shared host shows
     # transient contention spikes that inflate shuffle/UDF-heavy
     # queries 5-10x while the scan-bound calibration barely moves
