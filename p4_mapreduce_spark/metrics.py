@@ -87,6 +87,11 @@ def stage_metrics_since(spark, before: set, settle_sec: float = 0.25) -> dict:
         ),
         "max_task_ms": 0,
         "med_task_ms_of_max_stage": 0,
+        # r13 (ADVICE): count taskSummary polls that failed, so a
+        # zero max_task_ms is distinguishable from an unpolled one —
+        # the straggler signal GATE_LOG adjudicates on must not read
+        # 0 silently when the REST endpoint flaked.
+        "task_summary_errors": 0,
     }
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -100,6 +105,7 @@ def stage_metrics_since(spark, before: set, settle_sec: float = 0.25) -> dict:
             with urllib.request.urlopen(url, timeout=10) as r:
                 summ = json.load(r)
         except Exception:
+            out["task_summary_errors"] += 1
             continue
         dur = summ.get("duration") or [0, 0]
         if dur[-1] > out["max_task_ms"]:

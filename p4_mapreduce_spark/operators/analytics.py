@@ -1382,6 +1382,15 @@ _HOT_BIN_CAP = 2048
 # cap, a bin >64*2048 = 131k sessions degrades gracefully to growing
 # cells again — raise the cap alongside executor count at that scale.
 _HOT_BIN_MAX_SALTS = 64
+# r13 (verdict ask #7): the hot list is calendar-bounded TODAY (one
+# row per >cap 15-min bin, so a year of data tops out ~35k rows), but
+# nothing structurally asserted that — a future bin-width change could
+# have turned hot.collect() into a silent driver OOM. The guard bounds
+# the transfer in-plan (limit(cap+1) caps bytes shipped regardless of
+# how many bins qualify) and falls back to the unsalted-but-correct
+# AQE join above the cap, loudly: salting is result-identical pair-
+# space reshaping, so correctness never depends on it.
+_HOT_LIST_CAP = 100_000
 
 
 @register(
@@ -1538,7 +1547,27 @@ def overlap_pairs_rollup(sess: DataFrame, skew_safe: bool = True) -> DataFrame:
         # No hot bins (the common case) -> plain AQE join, zero
         # scaffolding; the collect doubles as the lazy checkpoint's
         # materialization so later readers reuse it either way.
-        hot_rows = hot.collect()
+        # NOTE (r12 ADVICE): this collect runs an eager Spark job at
+        # DataFrame-CONSTRUCTION time (explain-only callers pay it,
+        # and the salt plan freezes to build-time data) — accepted
+        # because AQE coalescing can only be beaten by a user-pinned
+        # partition count, which needs the cell total driver-side.
+        # limit(cap+1) bounds the transfer structurally (see
+        # _HOT_LIST_CAP); pass skew_safe=False to skip the job.
+        hot_rows = hot.limit(_HOT_LIST_CAP + 1).collect()
+        if len(hot_rows) > _HOT_LIST_CAP:
+            import warnings
+
+            warnings.warn(
+                f"overlap_pairs_rollup: hot-bin list exceeds "
+                f"_HOT_LIST_CAP={_HOT_LIST_CAP} rows — falling back to "
+                "the unsalted AQE join (results identical; stragglers "
+                "possible). Widen _OVERLAP_BIN_US or raise the cap "
+                "with executor memory.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hot_rows = []
         if hot_rows:
             total_cells = sum(int(r["_ns"]) ** 2 for r in hot_rows)
             # 2x the cell count: with P == cells, balls-in-bins hash

@@ -92,6 +92,40 @@ _DISPERSION_MAX = 2.0
 _SCALE_MAX = 3.0
 
 
+def _match_center(c, budget: dict):
+    """r13 (verdict ask #4): this host's QUIET calibration is BIMODAL
+    (GATE_LOG: a ~0.10s fast mode and a ~0.245s slow mode — cache/
+    frequency state, both genuinely idle), so a single-center guard
+    kept SKIPping sessions that landed on the mode the budget didn't.
+    The budget carries the measured centers (tools/recenter_gate.py):
+    each with the RATIO_SCALE its GATE_LOG entries actually read vs
+    the budget ratios (fast mode: calibration speeds up ~2.4x but the
+    shuffle-bound headliners only ~1.1x, so ratios inflate ~2.1x —
+    a constant of the mode, not noise: per-entry factor p75/p25 stays
+    ~1.2 inside each mode).
+
+    Returns ``(center_calibration, ratio_scale)`` for the center
+    nearest ``c`` within _CALIB_DEV_MAX (the budget's own
+    calibration_sec always counts as a center with scale 1.0, since
+    its ratios were measured against it), or None when ``c`` sits near
+    no known center (genuinely contended session).
+    """
+    cands = []
+    bc = budget.get("calibration_sec")
+    if bc:
+        cands.append((float(bc), 1.0))
+    for ctr in budget.get("calibration_centers", []):
+        cc = ctr.get("calibration_sec")
+        if cc:
+            cands.append((float(cc), float(ctr.get("ratio_scale", 1.0))))
+    best = None
+    for cc, s in cands:
+        dev = max(c / cc, cc / c)
+        if dev <= _CALIB_DEV_MAX and (best is None or dev < best[0]):
+            best = (dev, cc, s)
+    return None if best is None else (best[1], best[2])
+
+
 def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
     """Pure gate verdict. Returns (verdict, message) where verdict is
     'skip' | 'pass' | 'fail'.
@@ -111,21 +145,31 @@ def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
             "`python tools/update_bench_budget.py` and commit the diff"
         )
 
-    # Guard 1: calibration comparability. The budget's ratios were
-    # taken against ITS calibration; a session whose calibration
-    # deviates >1.5x is measuring a different machine state.
+    # Guard 1 (r13: two-center form): the session must sit near SOME
+    # known quiet-mode center; its ratios are then normalized by that
+    # center's measured scale so the rest of the gate (median rescale,
+    # dispersion, per-query thresholds) compares budget-units to
+    # budget-units regardless of which mode the host woke up in.
     bc = budget.get("calibration_sec")
     c = got["calibration_sec"]
-    if bc and max(c / bc, bc / c) > _CALIB_DEV_MAX:
+    center = _match_center(c, budget) if c and bc else None
+    if bc and center is None:
+        known = [bc] + [
+            ctr.get("calibration_sec")
+            for ctr in budget.get("calibration_centers", [])
+        ]
         return "skip", (
             f"session calibration {c}s deviates >{_CALIB_DEV_MAX}x from "
-            f"the budget's {bc}s — host state is not comparable to the "
-            "budget session; re-run when quiet (or re-baseline with "
-            "tools/update_bench_budget.py if the machine changed)"
+            f"every known quiet-mode center {known} — host state is not "
+            "comparable to the budget session; re-run when quiet (or "
+            "re-baseline with tools/update_bench_budget.py / "
+            "tools/recenter_gate.py if the machine changed)"
         )
+    s_open = center[1] if center else 1.0
+    got_norm = {n: r / s_open for n, r in got["ratios"].items()}
 
     factors = {
-        n: r / bratios[n] for n, r in got["ratios"].items() if bratios[n] > 0
+        n: r / bratios[n] for n, r in got_norm.items() if bratios[n] > 0
     }
     # Guard 2: factor dispersion. Contention inflates shuffle/UDF-heavy
     # queries 5-10x while scan-bound ones barely move; under that,
@@ -163,11 +207,12 @@ def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
                 out.append(
                     f"{name}: ratio {ratios[name]:.2f} > allowed "
                     f"{allowed:.2f} (budget {bratios[name]}, session "
-                    f"scale {scale:.2f}, session calib {c}s)"
+                    f"scale {scale:.2f}, center scale {s_open}, "
+                    f"session calib {c}s)"
                 )
         return out
 
-    failures = over_budget(got["ratios"])
+    failures = over_budget(got_norm)
     if not failures:
         return "pass", ""
     # Guard 3: retry pass. A contention spike rarely hits the same
@@ -175,27 +220,30 @@ def evaluate_gate(budget: dict, got: dict, remeasure) -> tuple[str, str]:
     names = [f.split(":", 1)[0] for f in failures]
     retry = remeasure(names)
     rc = retry.get("calibration_sec")
-    # Guard 4 (r10, ADVICE low): a retry whose own calibration deviates
-    # from the budget's ran under non-comparable state — its ratios are
-    # untrustworthy in BOTH directions (a contended-slow calibration
-    # deflates time/calibration and min() would clear a real
-    # regression), so discard them.
-    retry_comparable = not (
-        rc and bc and max(rc / bc, bc / rc) > _CALIB_DEV_MAX
-    )
-    if not retry_comparable:
+    # Guard 4 (r10, ADVICE low; r13 two-center form): a retry whose own
+    # calibration sits near NO known center ran under non-comparable
+    # state — its ratios are untrustworthy in BOTH directions (a
+    # contended-slow calibration deflates time/calibration and min()
+    # would clear a real regression), so discard them. A retry at a
+    # KNOWN center is normalized by that center's scale, like pass 1.
+    retry_center = _match_center(rc, budget) if rc and bc else None
+    if rc and bc and retry_center is None:
         # No comparable confirmation exists: a FAIL here would rest on
         # the unconfirmed first pass, and a PASS on deflated retry
         # ratios. Neither verdict is defensible.
         return "skip", (
             f"retry pass ran under non-comparable state (retry "
-            f"calibration {rc}s vs budget {bc}s deviates "
-            f">{_CALIB_DEV_MAX}x) — first-pass over-budget queries "
-            f"{sorted(names)} cannot be confirmed or cleared; re-run "
-            "when quiet"
+            f"calibration {rc}s sits near no known quiet-mode center; "
+            f"budget {bc}s, deviation >{_CALIB_DEV_MAX}x) — first-pass "
+            f"over-budget queries {sorted(names)} cannot be confirmed "
+            "or cleared; re-run when quiet"
         )
+    s_retry = retry_center[1] if retry_center else 1.0
     merged = {
-        n: min(got["ratios"][n], retry["ratios"].get(n, float("inf")))
+        n: min(
+            got_norm[n],
+            retry["ratios"].get(n, float("inf")) / s_retry,
+        )
         for n in names
     }
     failures = over_budget(merged)
@@ -262,6 +310,14 @@ def test_headline_ratios_within_budget(spark):
         "msg": msg,
         "budget_calibration_sec": budget.get("calibration_sec"),
         "session_calibration_sec": got.get("calibration_sec"),
+        # r13: which quiet-mode center the session matched (None =
+        # none; ratios below are RAW, divide by the center's
+        # ratio_scale to get budget-units)
+        "matched_center": (
+            _match_center(got["calibration_sec"], budget)
+            if got.get("calibration_sec")
+            else None
+        ),
         "ratios": got.get("ratios"),
         # r12: plan-determined bytes + straggler signal per query —
         # host-independent, so a post-hoc judge can separate contention
@@ -418,6 +474,104 @@ def test_gate_fails_fleet_wide_slowdown():
     }
     verdict, msg = evaluate_gate(_budget(), got, _no_retry)
     assert verdict == "fail" and "scale factor" in msg
+
+
+def _bimodal_budget():
+    # the measured host shape (GATE_LOG r12): budget ratios taken in
+    # the ~0.245s slow quiet mode; the ~0.10s fast quiet mode reads
+    # calibration 2.4x faster but headliners only ~1.1x faster, so
+    # ratios inflate ~2.1x — a constant of the mode
+    b = _budget(0.2)
+    b["calibration_centers"] = [
+        {"calibration_sec": 0.1, "ratio_scale": 2.1},
+        {"calibration_sec": 0.245, "ratio_scale": 1.0},
+    ]
+    return b
+
+
+def test_gate_two_center_fast_mode_session_passes():
+    # r13 (verdict ask #4): calibration 0.103 deviates 1.94x from the
+    # budget's 0.2 — the single-center guard SKIPped here (2 of the
+    # last 6 suite-context runs). With the fast center known, the
+    # session matches it and its mode-inflated ratios (4.0 * 2.1)
+    # normalize back to budget-units -> PASS, not SKIP.
+    got = {
+        "calibration_sec": 0.103,
+        "ratios": {f"q{i}": 4.0 * 2.1 for i in range(_N)},
+    }
+    verdict, msg = evaluate_gate(_bimodal_budget(), got, _no_retry)
+    assert verdict == "pass", msg
+
+
+def test_gate_two_center_regression_still_fails_in_fast_mode():
+    # center normalization must not become a pardon: a real regression
+    # measured in the fast mode (2.6x over its mode-scaled budget)
+    # reproduces on a fast-mode retry -> FAIL naming the query
+    ratios = {f"q{i}": 4.0 * 2.1 for i in range(_N)}
+    ratios["q4"] = 4.0 * 2.1 * 2.6
+    got = {"calibration_sec": 0.102, "ratios": ratios}
+
+    def remeasure(names):
+        return {
+            "calibration_sec": 0.104,
+            "ratios": {n: 4.0 * 2.1 * 2.5 for n in names},
+        }
+
+    verdict, msg = evaluate_gate(_bimodal_budget(), got, remeasure)
+    assert verdict == "fail" and "q4" in msg
+
+
+def test_gate_two_center_cross_mode_retry_clears_transient():
+    # first pass in the slow mode spikes one query; the retry lands in
+    # the FAST mode and measures the mode-inflated-but-healthy ratio.
+    # Guard 4 must normalize it by the fast center's scale — not
+    # discard it (the pre-r13 behavior: rc deviates from the budget ->
+    # unadjudicable SKIP), and not compare it raw (2.1x-inflated, the
+    # transient would look confirmed) -> the spike clears: PASS.
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q6"] = 10.0
+    got = {"calibration_sec": 0.245, "ratios": ratios}
+
+    def remeasure(names):
+        return {
+            "calibration_sec": 0.102,
+            "ratios": {n: 4.1 * 2.1 for n in names},
+        }
+
+    verdict, msg = evaluate_gate(_bimodal_budget(), got, remeasure)
+    assert verdict == "pass", msg
+
+
+def test_gate_two_center_cross_mode_persisting_regression_is_drift_skip():
+    # the regression persists through a cross-mode retry: the merged
+    # ratio stays over budget, but the calibration moved 0.245 -> 0.102
+    # between the opening and the retry (>1.65x) — the host state
+    # changed mid-session, so guard 5's conservative verdict (SKIP,
+    # re-run when stable) still wins over a FAIL issued across modes.
+    ratios = {f"q{i}": 4.0 for i in range(_N)}
+    ratios["q6"] = 10.0
+    got = {"calibration_sec": 0.245, "ratios": ratios}
+
+    def remeasure(names):
+        return {
+            "calibration_sec": 0.102,
+            "ratios": {n: 9.9 * 2.1 for n in names},
+        }
+
+    verdict, msg = evaluate_gate(_bimodal_budget(), got, remeasure)
+    assert verdict == "skip" and "drift" in msg and "q6" in msg
+
+
+def test_gate_two_center_neither_center_skips():
+    # a genuinely contended session (calibration near NO quiet mode)
+    # must still skip — the centers widen the acceptance set to the
+    # measured modes, not to everything
+    got = {
+        "calibration_sec": 0.5,
+        "ratios": {f"q{i}": 4.0 for i in range(_N)},
+    }
+    verdict, msg = evaluate_gate(_bimodal_budget(), got, _no_retry)
+    assert verdict == "skip" and "not comparable" in msg
 
 
 def test_gate_fails_missing_budget():

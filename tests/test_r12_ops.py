@@ -53,6 +53,7 @@ def test_stage_ck_reliable_parity(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, fn(spark, sf_dir).collect()))
 
     prior_dir = spark.sparkContext.getCheckpointDir()
+    prior_size_gate = stagemat.SIZE_GATE
     stagemat.RELIABLE = True
     stagemat.SIZE_GATE = False  # force materialization at test SF
     try:
@@ -63,7 +64,7 @@ def test_stage_ck_reliable_parity(spark, sf_dir, tmp_path):
         got = sorted(map(tuple, fn(spark, sf_dir).collect()))
     finally:
         stagemat.RELIABLE = False
-        stagemat.SIZE_GATE = True
+        stagemat.SIZE_GATE = prior_size_gate
         if prior_dir is not None:
             spark.sparkContext.setCheckpointDir(prior_dir)
     assert got == want

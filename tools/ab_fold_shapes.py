@@ -83,7 +83,16 @@ def _checksum(df) -> tuple:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=3)
+    def _at_least_one(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                "--runs must be >= 1 (the before-snapshot is taken on "
+                "the last timed run)"
+            )
+        return n
+
+    ap.add_argument("--runs", type=_at_least_one, default=3)
     ap.add_argument("--sf-dir", default=None, help="override corpus dir")
     ap.add_argument(
         "--queries", default=None,
