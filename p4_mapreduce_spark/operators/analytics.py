@@ -1471,7 +1471,11 @@ _HOT_LIST_CAP = 100_000
     f"spreads across ns^2 tasks of ~{_HOT_BIN_CAP}^2 pairs each; "
     "cold bins pay nothing. The islands windows are busiest-user "
     "bounded (merge_event_intervals' reviewed class). All span math "
-    "exact integer micros.",
+    "exact integer micros. NOTE: building this DataFrame runs one "
+    "eager Spark job (the hot-bin census the salt plan needs driver-"
+    "side; bounded by _HOT_LIST_CAP in-plan, falling back to the "
+    "unsalted result-identical join above it) — explain-only callers "
+    "pay that job; overlap_pairs_rollup(skew_safe=False) skips it.",
     tags=("events", "join", "window", "aggregation"),
 )
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:

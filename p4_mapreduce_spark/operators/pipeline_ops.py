@@ -283,13 +283,19 @@ _SPLIT_CASE_SQL = """CASE WHEN strpos('0123456789abcdef',
     "expectation ns*nl/n; per-cell contributions are floor-quantized "
     "to bigint micros so the per-split chi2 sum is exact in any "
     "reduction order, and the balanced verdict gates chi2 at 2 per "
-    "degree of freedom. Scale shape: one corpus scan into three tiny "
-    "marginal aggregates; everything after runs on splits x langs "
-    "rows. The 1-row total and the langs-count frame ride broadcast "
-    "cross joins.",
+    "degree of freedom. Scale shape (r13 fold): ONE corpus scan into "
+    "the (split, lang) contingency table — splits x langs rows, "
+    "lazily localCheckpoint-ed under the stagemat size gate — and "
+    "every marginal (per-split, per-lang, grand total, lang count) "
+    "is derived from THAT bounded frame instead of re-scanning the "
+    "corpus per marginal (the r10 shape printed 5 documents scans). "
+    "The 1-row total and the langs-count frame ride broadcast cross "
+    "joins.",
     tags=("pipeline", "quality", "stats"),
 )
 def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from p4_mapreduce_spark.stagemat import stage_ck, table_bytes
+
     docs = load(spark, sf_dir, "documents")
     nibble = F.instr(
         F.lit("0123456789abcdef"),
@@ -299,11 +305,16 @@ def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nibble <= 13, "train").when(nibble <= 15, "val").otherwise("test")
     )
     assigned = docs.select(split.alias("split"), "lang")
-    tot = assigned.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ms = assigned.groupBy("split").agg(F.count(F.lit(1)).alias("ns"))
-    ml = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    # the contingency table is the ONLY corpus-wide aggregation; it is
+    # bounded (splits x langs rows), so every marginal derives from it
+    obs = stage_ck(
+        assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("o")),
+        src_bytes=table_bytes(sf_dir),
+    )
+    tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    ms = obs.groupBy("split").agg(F.sum("o").alias("ns"))
+    ml = obs.groupBy("lang").agg(F.sum("o").alias("nl"))
     nlang = ml.agg(F.count(F.lit(1)).alias("n_langs"))
-    obs = assigned.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("o"))
     cells = (
         ms.crossJoin(F.broadcast(ml))
         .join(obs, ["split", "lang"], "left")

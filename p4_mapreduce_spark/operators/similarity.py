@@ -2068,3 +2068,171 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: embedding-space benchmark leakage (r13)
+# ---------------------------------------------------------------------------
+
+# Cosine threshold for "semantically contaminated", as a micro-int so
+# the comparison is pure integer in both engines. Production recipes
+# (e.g. phi-style decon) sit at 0.90-0.95+; the synthetic corpus's
+# cross-split cosine ceiling is ~0.6 (measured: max 0.47/0.51/0.60 at
+# sf0.001/0.01/0.1), so the registered threshold is set where the
+# corpus actually exercises the shape (23/23/329 flagged train docs at
+# the three SFs) — the operator is threshold-parametric either way.
+_DECON_SEM_TAU_MICRO = 350_000
+
+
+def _decon_sem_oracle() -> str:
+    cosm = (
+        f"CAST(floor(({cosine_sql('tr.embedding', 'te.embedding')})"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {_ann_band_sql('embedding', 0)} AS b0,
+               {_ann_band_sql('embedding', 1)} AS b1
+        FROM embeddings
+    ),
+    tr AS (SELECT * FROM b WHERE vec_id % 10 < 8),
+    te AS (SELECT * FROM b WHERE vec_id % 10 >= 8),
+    pairs AS (
+        SELECT tr.vec_id AS t_id, {cosm} AS cos_micro
+        FROM tr JOIN te ON tr.b0 = te.b0 OR tr.b1 = te.b1
+    ),
+    per_doc AS (
+        SELECT t_id,
+               sum(CASE WHEN cos_micro >= {_DECON_SEM_TAU_MICRO}
+                        THEN 1 ELSE 0 END) AS n_hits,
+               max(cos_micro) AS max_cos_micro
+        FROM pairs GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN p.n_hits > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST((sum(CASE WHEN p.n_hits > 0 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS contamination_ppm,
+           max(p.max_cos_micro) AS worst_cos_micro
+    FROM documents d LEFT JOIN per_doc p ON p.t_id = d.doc_id
+    WHERE d.doc_id % 10 < 8
+    GROUP BY 1
+    """
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=_decon_sem_oracle(),
+    doc="Semantic decontamination (r13 verdict ask #2): the n-gram "
+    "decon family (decontaminate_test_split / decontaminate_ngram_"
+    "exact) is exact-overlap only — a PARAPHRASED benchmark item "
+    "passes it untouched. This operator closes that hole in embedding "
+    "space: a train document (doc_id%10<8; embeddings.vec_id == "
+    "documents.doc_id, the retrieval-family identification) is "
+    "contaminated when some benchmark embedding (vec_id%10>=8) sits "
+    f"at cosine >= {_DECON_SEM_TAU_MICRO / 1e6} — compared as "
+    "micro-int, so the verdict is pure integer math on the "
+    "bit-identical dual-recipe cosine. Output is the per-SOURCE "
+    "contamination rollup: train count, contaminated count, exact-"
+    "integer ppm (floor division, both engines), and the split's "
+    "worst candidate cosine (how close the corpus sails to the "
+    "threshold even where it passes). Scale shape: the benchmark side "
+    "is eval-suite-sized -> its 2x4-bit sign-sketch band melt "
+    "BROADCASTS, so candidate generation is a map-side hash join over "
+    "the single train-side scan (the ann_lsh_bucketed hyperplanes, "
+    "shared constants in plan and oracle); a pair agreeing on both "
+    "bands would meet twice in the melt, so the first-shared-band "
+    "rule (keep band 1 matches only when band 0 differs — the "
+    "interval-overlap first-shared-bin trick) replaces the distinct "
+    "shuffle with a stateless filter; candidate cosines ride the "
+    "Arrow SIMD kernel; per-doc and per-source aggregations are "
+    "map-side-combined. Banding is the recall/throughput dial "
+    "(near-copies agree on both bands; production widens bands or "
+    "raises bits exactly like minhash_band_tuning_audit measures) — "
+    "the oracle replays the identical banding, so correctness is "
+    "exact for the registered configuration.",
+    headline=True,
+    tags=("dedup", "similarity", "vector", "pipeline", "audit"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            ann_band_col(F.col("embedding"), i).alias(f"band{i}")
+            for i in range(_ANN_BANDS)
+        ],
+    )
+    is_bench = F.col("vec_id") % 10 >= 8
+    melt = F.posexplode(
+        F.array(*[F.col(f"band{i}") for i in range(_ANN_BANDS)])
+    ).alias("band_id", "sig")
+    bench = b.where(is_bench).select(
+        F.col("embedding").alias("qe"),
+        *[F.col(f"band{i}").alias(f"qb{i}") for i in range(_ANN_BANDS)],
+        melt,
+    )
+    train = b.where(~is_bench).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("te"),
+        *[F.col(f"band{i}").alias(f"tb{i}") for i in range(_ANN_BANDS)],
+        melt,
+    )
+    # first-shared-band rule: a pair agreeing on several bands meets
+    # once per agreement in the melt equi-join; keeping only the row
+    # whose band_id is the FIRST agreeing band dedups with a stateless
+    # filter instead of a distinct shuffle
+    keep = F.col("band_id") == 0
+    no_earlier = F.lit(True)
+    for k in range(1, _ANN_BANDS):
+        no_earlier = no_earlier & (
+            F.col(f"tb{k - 1}") != F.col(f"qb{k - 1}")
+        )
+        keep = keep | ((F.col("band_id") == k) & no_earlier)
+    cand = train.join(F.broadcast(bench), ["band_id", "sig"]).where(keep)
+    scored = arrow_pair_cosine(cand.select("t_id", "te", "qe"), "te", "qe")
+    per_doc = (
+        scored.select(
+            "t_id",
+            F.floor(F.col("cosine_sim") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+        .groupBy("t_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cos_micro") >= F.lit(_DECON_SEM_TAU_MICRO), 1
+                ).otherwise(0)
+            ).alias("n_hits"),
+            F.max("cos_micro").alias("max_cos_micro"),
+        )
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 < 8)
+        .select("doc_id", "source")
+    )
+    rolled = docs.join(per_doc, docs.doc_id == per_doc.t_id, "left")
+    return (
+        rolled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.max("max_cos_micro").alias("worst_cos_micro"),
+        )
+        .select(
+            "source",
+            "n_train",
+            "n_contaminated",
+            F.expr(
+                "CAST((n_contaminated * 1000000) div n_train AS BIGINT)"
+            ).alias("contamination_ppm"),
+            "worst_cos_micro",
+        )
+    )

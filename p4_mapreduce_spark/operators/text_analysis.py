@@ -2637,3 +2637,112 @@ def pii_regex_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flagged_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII span redaction: the cleaning half of the PII screen (r13)
+# ---------------------------------------------------------------------------
+
+# (output column, pattern, replacement tag) in PRIORITY order: an
+# earlier category's span consumes the text it covers, so a later
+# pattern can neither re-match inside it nor straddle its boundary
+# (tags carry no digits and no '@', and \b still holds against '['/
+# ']'). Email outranks the digit shapes because its local-part class
+# contains '-' and '.', i.e. a phone/SSN glued to an address is PART
+# of the address span; SSN outranks phone as the more specific shape.
+_PII_REDACT = (
+    ("n_emails", _PII_EMAIL, "[EMAIL]"),
+    ("n_ssns", _PII_SSN, "[SSN]"),
+    ("n_phones", _PII_PHONE, "[PHONE]"),
+    ("n_ipv4s", _PII_IPV4, "[IPV4]"),
+)
+
+
+def _pii_redact_oracle() -> str:
+    steps = []
+    prev = "documents"
+    carried = ["doc_id", "length(text) AS n0"]
+    r = "text"
+    for i, (name, pat, tag) in enumerate(_PII_REDACT, start=1):
+        steps.append(
+            f"s{i} AS (SELECT {', '.join(carried)},\n"
+            f"    len(regexp_extract_all({r}, '{pat}')) AS {name},\n"
+            f"    regexp_replace({r}, '{pat}', '{tag}', 'g') AS r\n"
+            f"    FROM {prev})"
+        )
+        prev = f"s{i}"
+        carried = ["doc_id", "n0"] + [n for n, _, _ in _PII_REDACT[:i]]
+        r = "r"
+    counts = " + ".join(n for n, _, _ in _PII_REDACT)
+    tagmass = " + ".join(
+        f"{len(tag)} * {n}" for n, _, tag in _PII_REDACT
+    )
+    casts = ",\n           ".join(
+        f"CAST({n} AS BIGINT) AS {n}" for n, _, _ in _PII_REDACT
+    )
+    return f"""
+    WITH {', '.join(steps)}
+    SELECT doc_id,
+           r AS redacted_text,
+           {casts},
+           CAST({counts} AS BIGINT) AS n_redactions,
+           CAST(n0 - length(r) + {tagmass} AS BIGINT) AS chars_redacted
+    FROM {prev}
+    """
+
+
+@register(
+    "pii_redact_spans",
+    oracle=_pii_redact_oracle(),
+    doc="PII span redaction (r13 verdict ask #3): pii_regex_screen "
+    "counts but cannot clean — this emits the REDACTED text plus the "
+    "per-doc surgery card (per-category redaction counts, total, and "
+    "chars_redacted = the exact character mass the cut spans "
+    "covered, reconstructed as n0 - len(redacted) + sum(tag_len * "
+    "count)). It is the regex twin of the ExactSubstr span-surgery "
+    "path (dedup_span_cutlist -> dedup_span_apply): per category the "
+    "regex engine materializes the maximal non-overlapping leftmost "
+    "match set — the cut list — and the tag splice is the apply; "
+    "CROSS-category overlap is resolved by the priority chain in "
+    "_PII_REDACT (each step's counts are taken on the PREVIOUS "
+    "step's output, so a phone glued into an email local-part is "
+    "counted zero times and redacted once, as [EMAIL] — the overlap "
+    "semantics the planted test pins). Clean docs pass through "
+    "byte-identical with an all-zero card. Dialect safety: the "
+    "screen's lookaround-free patterns match identically in Java and "
+    "RE2, replacement tags contain no '$'/'\\\\' metacharacters, and "
+    "both engines substitute left-to-right over non-overlapping "
+    "matches, so the redacted STRING (not just the counts) is "
+    "hash-checked against DuckDB. Scale shape: one corpus scan, "
+    "stateless per-row JVM regex work inside whole-stage codegen, "
+    "ZERO shuffles — the ideal 100 TB operator; compose with "
+    "training_shards_surgical for the write-back.",
+    headline=True,
+    tags=("text", "governance", "pipeline"),
+)
+def pii_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n0"), F.col("text").alias("r")
+    )
+    for name, pat, tag in _PII_REDACT:
+        # count on the CURRENT text, then splice — withColumn order
+        # makes each category see its predecessors' redactions
+        df = df.withColumn(
+            name, F.regexp_count(F.col("r"), F.lit(pat))
+        ).withColumn("r", F.regexp_replace(F.col("r"), pat, tag))
+    counts = [F.col(n) for n, _, _ in _PII_REDACT]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    tagmass = F.lit(0)
+    for n, _, tag in _PII_REDACT:
+        tagmass = tagmass + F.lit(len(tag)) * F.col(n)
+    return df.select(
+        "doc_id",
+        F.col("r").alias("redacted_text"),
+        *[F.col(n).cast("bigint").alias(n) for n, _, _ in _PII_REDACT],
+        total.cast("bigint").alias("n_redactions"),
+        (F.col("n0") - F.length("r") + tagmass)
+        .cast("bigint")
+        .alias("chars_redacted"),
+    )

@@ -418,6 +418,12 @@ _BIG_TABLE_SCAN_BOUNDS = {
     # (recall needs independent candidate sets), so the pin records
     # the audited arm count rather than a foldable rescan.
     "ann_lsh_recall": 11,
+    # r13 audit (sweep re-measured, per-arm): 5 documents prints = ONE
+    # [text] scan (the tf explode, pre-filtered to the query terms
+    # before its shuffle), one column-less count(*) scan (corpus
+    # n_docs for idf — rides parquet row-group metadata), and three
+    # [doc_id]-only prints from the dl/score joins + runtime bloom
+    # builds. The text is touched once; the extras are key-width.
     "bm25_search_topk": 5,
     # r11: bpe_* rounds are localCheckpoint-ed (the doubled-per-round
     # lineage printed 17/15 corpus scans; now the corpus is touched
@@ -432,6 +438,10 @@ _BIG_TABLE_SCAN_BOUNDS = {
     # r11: decontaminate_test_split got the dedup_minhash_incremental
     # checkpoint treatment (10 -> 2 cold; the pin leaves the same
     # headroom for call-order-dependent runtime bloom-filter builds).
+    # r13 re-audit: still 2 cold prints, both [doc_id]-only member
+    # expansions — the +4 headroom is exclusively for the
+    # InjectRuntimeFilter bloom scans that appear once the sig-table
+    # persist is marked (beneficial pruning, not rescans).
     "decontaminate_test_split": 6,
     "dedup_jaccard_prefix": 4,
     # r11: dedup_minhash_incremental's side flags / band melt /
@@ -460,13 +470,36 @@ _BIG_TABLE_SCAN_BOUNDS = {
     "dedup_ngram_jaccard": 4,
     "frequent_itemsets_pairs": 4,
     "heavy_hitters_words": 3,
+    # r13 audit: composes the bm25 subtree (its 5 prints above, same
+    # shapes) + the tf-idf arm's checkpointed posting tables — the two
+    # retrieval modalities being fused ARE the semantics; the only
+    # extra print is key-width.
     "hybrid_search_rrf": 5,
     "inverted_index_build": 3,
+    # r13 audit: 7 embeddings prints, ALL [vec_id]-only (the vector
+    # payloads ride the k-means/ADC checkpointed subtrees) — the exact
+    # arm, the three nprobe arms (1/2/4 — independent candidate sets
+    # are the tuning curve's semantics, like ann_lsh_recall), and the
+    # final per-query left-joins each print one key-width membership
+    # scan.
     "ivfadc_nprobe_recall": 7,
     "ivfadc_recall_audit": 3,
+    # r13 audit: 5 lineitem prints = the hot-key census + the hot
+    # left-semi + the cold left-anti (the routing IS the semantics — a
+    # single-scan variant is the plain join this operator exists to
+    # avoid) + two runtime bloom builds; orders prints twice (hot-semi
+    # build side + cold probe side). All [l_orderkey]/[o_orderkey]
+    # key-width.
     "join_skew_split_hot_keys": 5,
     # r11: kl_source_drift checkpoints swc + kept (8 -> 0 printed).
     "kl_source_drift": 4,
+    # r13 audit: 6 documents prints, all [text]-only md5/shingle
+    # projections — the audit's two arms (LSH candidate pairs vs the
+    # exact-Jaccard ground-truth verify) each re-expand pair ids to
+    # text like dedup_minhash_lsh's member expansions; the signature
+    # subtree itself is persisted/checkpointed (its scans don't
+    # print). Ground truth NEEDS the exact arm — fold further only by
+    # dropping the audit's point.
     "minhash_recall_audit": 6,
     # r11: mixture checkpoints the (lang x 256) histogram (9 -> 0).
     "mixture_temperature_resample": 4,
@@ -482,6 +515,12 @@ _BIG_TABLE_SCAN_BOUNDS = {
     # r12 fold: unigram + bigram count models localCheckpoint-ed — 7
     # -> 1 printed (the final scoring pass; +bloom headroom).
     "quality_bigram_logppl": 3,
+    # r13 audit: 5 documents prints, all [doc_id]-only — the three
+    # composed screens (Gopher/repetition/entropy) join their verdict
+    # frames back on doc_id and the entropy arm's two aggregations
+    # each print a key-width membership scan; the text-bearing screen
+    # work fuses with checkpointed/shared subtrees. Key-width prints,
+    # not text rescans.
     "quality_screen_funnel": 5,
     "quality_unigram_logppl": 4,
     "rfm_customer_segments": 4,
@@ -491,7 +530,9 @@ _BIG_TABLE_SCAN_BOUNDS = {
     # r11: source_vocab_jaccard checkpoints swc + the pruned presence
     # table (12 -> 0 printed; bloom headroom).
     "source_vocab_jaccard": 4,
-    "split_balance_audit": 5,
+    # r13: split_balance_audit folded (5 -> 0 printed) — every marginal
+    # now derives from the checkpointed (split, lang) contingency
+    # table, so the pin is gone (default 2 applies).
     "subquery_scalar": 4,
     "text_tfidf_top_terms": 3,
     # r11: tfidf_doc_knn checkpoints the weighted posting table and

@@ -62,3 +62,105 @@ def test_overlap_hot_list_under_cap_salts_without_warning(spark):
     finally:
         analytics._HOT_LIST_CAP, analytics._HOT_BIN_CAP = prev_cap, prev_hot
     assert got == want
+
+
+def test_decontaminate_semantic_planted_paraphrase(spark, tmp_path):
+    """Planted paraphrase: bench vec 8 is train vec 0 scaled 2x with a
+    tiny wiggle (cosine ~1 — the embedding-space fingerprint of a
+    paraphrase, which the n-gram decon family cannot see); train vec 1
+    points at a different axis (cosine ~0 vs every bench vec). The
+    per-source rollup must flag exactly srcA."""
+    from p4_mapreduce_spark.functions.vector import EMBEDDING_DIM
+    from p4_mapreduce_spark.operators.similarity import (
+        _DECON_SEM_TAU_MICRO,
+        decontaminate_semantic,
+    )
+    from tests.test_r11_ops import _mini_sf
+
+    def vec(axis: float, scale: float = 1.0, wiggle: float = 0.0):
+        v = [0.0] * EMBEDDING_DIM
+        v[0] = axis * scale
+        v[1] = wiggle
+        v[2] = 0.1 * scale  # keep a second nonzero dim so bands differ
+        return v
+
+    ortho = [0.0] * EMBEDDING_DIM
+    ortho[5] = 1.0
+    ortho[7] = -0.3
+    embeddings = [
+        (0, vec(1.0), 0),                     # train: the original
+        (1, ortho, 0),                        # train: unrelated
+        (8, vec(1.0, scale=2.0, wiggle=0.01), 1),  # bench: paraphrase of 0
+        (9, [0.01 * (i % 7 - 3) for i in range(EMBEDDING_DIM)], 1),
+    ]
+    docs = [
+        (0, "the quick brown fox", "en", "srcA"),
+        (1, "completely unrelated text", "en", "srcB"),
+        (8, "a quick brown fox paraphrase", "en", "srcE"),
+        (9, "another benchmark item", "en", "srcE"),
+    ]
+    sf = _mini_sf(tmp_path, docs=docs, embeddings=embeddings)
+    got = {
+        r["source"]: r
+        for r in decontaminate_semantic(spark, sf).collect()
+    }
+    assert set(got) == {"srcA", "srcB"}, got  # bench sources excluded
+    a, b = got["srcA"], got["srcB"]
+    assert (a["n_train"], a["n_contaminated"], a["contamination_ppm"]) == (
+        1,
+        1,
+        1_000_000,
+    )
+    assert a["worst_cos_micro"] >= _DECON_SEM_TAU_MICRO
+    assert (b["n_train"], b["n_contaminated"], b["contamination_ppm"]) == (
+        1,
+        0,
+        0,
+    )
+    assert (
+        b["worst_cos_micro"] is None
+        or b["worst_cos_micro"] < _DECON_SEM_TAU_MICRO
+    )
+
+
+def test_pii_redact_spans_planted(spark, tmp_path):
+    """Planted PII shapes, pinning the overlap semantics: a phone
+    glued into an email local-part ('-' and digits are legal there)
+    is ONE email span — counted zero times as a phone, redacted once
+    as [EMAIL] — and clean docs pass through byte-identical with an
+    all-zero card."""
+    from p4_mapreduce_spark.operators.text_analysis import pii_redact_spans
+    from tests.test_r11_ops import _mini_sf
+
+    overlap = "contact 555-867-5309john@example.com now"
+    multi = "call 555-867-5309 or ssn 123-45-6789 at 10.0.0.1"
+    clean = "no personal data here, just 42 plain words."
+    docs = [
+        (0, overlap, "en", "srcA"),
+        (1, multi, "en", "srcA"),
+        (2, clean, "en", "srcB"),
+    ]
+    sf = _mini_sf(tmp_path, docs=docs)
+    got = {r["doc_id"]: r for r in pii_redact_spans(spark, sf).collect()}
+
+    a = got[0]
+    assert a["redacted_text"] == "contact [EMAIL] now"
+    assert (a["n_emails"], a["n_phones"], a["n_ssns"], a["n_ipv4s"]) == (
+        1, 0, 0, 0,
+    )
+    assert a["n_redactions"] == 1
+    assert a["chars_redacted"] == len("555-867-5309john@example.com")
+
+    m = got[1]
+    assert m["redacted_text"] == "call [PHONE] or ssn [SSN] at [IPV4]"
+    assert (m["n_emails"], m["n_phones"], m["n_ssns"], m["n_ipv4s"]) == (
+        0, 1, 1, 1,
+    )
+    assert m["n_redactions"] == 3
+    assert m["chars_redacted"] == len("555-867-5309") + len(
+        "123-45-6789"
+    ) + len("10.0.0.1")
+
+    c = got[2]
+    assert c["redacted_text"] == clean  # byte-identical pass-through
+    assert c["n_redactions"] == 0 and c["chars_redacted"] == 0

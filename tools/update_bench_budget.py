@@ -138,6 +138,40 @@ if __name__ == "__main__":
     spark = get_spark(app_name="bench-budget", shuffle_partitions=8,
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    if "--add" in sys.argv:
+        # Add/refresh ONLY the named headliners (comma-separated) —
+        # the policy-correct path when a NEW headline query lands:
+        # existing ratios stay untouched (no silent re-baseline of 47
+        # queries to admit one), the file diff is exactly the new
+        # entries. Run ALONE like the full updater.
+        names = set(
+            sys.argv[sys.argv.index("--add") + 1].split(",")
+        )
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_BUDGET.json")
+        with open(path) as f:
+            out = json.load(f)
+        p1 = measure_ratios(spark, sf_dir, only=names)
+        p2 = measure_ratios(spark, sf_dir, only=names)
+        missing = names - set(p1["ratios"])
+        if missing:
+            print(f"not headliners / unknown: {sorted(missing)}")
+            sys.exit(1)
+        for n in names:
+            out["ratios"][n] = min(p1["ratios"][n], p2["ratios"][n])
+            out.setdefault("stage_metrics", {})[n] = p2["metrics"].get(
+                n, {}
+            )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(
+            f"added {sorted(names)}: "
+            f"{ {n: out['ratios'][n] for n in sorted(names)} } "
+            f"(calibrations {p1['calibration_sec']}, "
+            f"{p2['calibration_sec']})"
+        )
+        sys.exit(0)
     if "--metrics-only" in sys.argv:
         # refresh ONLY the plan-determined byte baselines (one pass,
         # one timed-protocol run per headliner, ratios untouched —
@@ -164,6 +198,16 @@ if __name__ == "__main__":
     # far more stable budget than any single pass.
     p1 = measure_ratios(spark, sf_dir)
     p2 = measure_ratios(spark, sf_dir)
+    # r13: carry gate metadata that is NOT a measurement of this run —
+    # the quiet-mode centers come from GATE_LOG history
+    # (tools/recenter_gate.py) and would be silently dropped by the
+    # fresh dict below
+    _path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BUDGET.json")
+    _prev = {}
+    if os.path.exists(_path):
+        with open(_path) as f:
+            _prev = json.load(f)
     out = {
         # MEAN of the two passes, not min: the gate's contention guard
         # compares raw session calibration against this value with a
@@ -187,6 +231,12 @@ if __name__ == "__main__":
         # and one WITH byte growth reads as a plan regression)
         "stage_metrics": p2.get("metrics", {}),
     }
+    if "calibration_centers" in _prev:
+        out["calibration_centers"] = _prev["calibration_centers"]
+    if "calibration_center_protocol" in _prev:
+        out["calibration_center_protocol"] = _prev[
+            "calibration_center_protocol"
+        ]
     out["sf_dir"] = sf_dir
     out["protocol"] = (
         "ratio = min-of-2 steady-state query time / min-of-5 lineitem "
