@@ -2079,9 +2079,75 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e.g. phi-style decon) sit at 0.90-0.95+; the synthetic corpus's
 # cross-split cosine ceiling is ~0.6 (measured: max 0.47/0.51/0.60 at
 # sf0.001/0.01/0.1), so the registered threshold is set where the
-# corpus actually exercises the shape (23/23/329 flagged train docs at
-# the three SFs) — the operator is threshold-parametric either way.
+# corpus actually exercises the shape — the operator is
+# threshold-parametric either way.
 _DECON_SEM_TAU_MICRO = 350_000
+_DECON_BANDS = 2
+# Adaptive band WIDTH (the semdedup bits-ladder pattern): a fixed
+# 4-bit band has a constant ~2^-4 per-band collision rate, which makes
+# the candidate count GROW QUADRATICALLY (O(N_train x N_bench / 16)) —
+# fine at test SF, a scale-killer at 100 TB. The ladder widens the
+# band by one bit per doubling of the benchmark count beyond
+# _DECON_BUCKET_TARGET, so expected candidates stay
+# ~N_train x _DECON_BANDS x _DECON_BUCKET_TARGET — LINEAR in the
+# corpus. Widening trades recall exactly like every LSH family here
+# (a near-copy agrees on every confident sign; the dial is measured
+# by the minhash_band_tuning_audit recipe, not guessed).
+_DECON_MIN_BITS = 4
+_DECON_MAX_BITS = 12
+_DECON_BUCKET_TARGET = 512
+
+# A dedicated seeded plane pool (2 bands x 12 bits); HYPERPLANES stays
+# the ANN family's 8-plane pool, untouched.
+_rng_decon = random.Random(4242)
+_DECON_PLANES: list[list[float]] = [
+    [round(_rng_decon.gauss(0.0, 1.0), 6) for _ in range(EMBEDDING_DIM)]
+    for _ in range(_DECON_BANDS * _DECON_MAX_BITS)
+]
+
+
+def _decon_bits(nb: int) -> int:
+    """Band width from the benchmark-side count — integer-compare for
+    integer-compare with the oracle's CASE ladder."""
+    for b in range(_DECON_MIN_BITS, _DECON_MAX_BITS):
+        if nb <= _DECON_BUCKET_TARGET * (2 ** (b - _DECON_MIN_BITS)):
+            return b
+    return _DECON_MAX_BITS
+
+
+def _decon_bits_sql() -> str:
+    cases = " ".join(
+        f"WHEN n <= {_DECON_BUCKET_TARGET * 2 ** (b - _DECON_MIN_BITS)} "
+        f"THEN {b}"
+        for b in range(_DECON_MIN_BITS, _DECON_MAX_BITS)
+    )
+    return f"CASE {cases} ELSE {_DECON_MAX_BITS} END"
+
+
+def _decon_sketch_sql(col: str, band: int) -> str:
+    """Full 12-bit sign sketch of band ``band`` — the variable-width
+    band key is this modulo 2^bits (low bit j carries weight 2^j, so
+    the modulo IS the width-``bits`` sketch)."""
+    bits = []
+    for j in range(_DECON_MAX_BITS):
+        i = band * _DECON_MAX_BITS + j
+        d = dot_sql(col, _hyperplane_array_sql(_DECON_PLANES[i]))
+        bits.append(f"(CASE WHEN ({d}) > 0 THEN {2**j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _decon_sketch_col(col: F.Column, band: int) -> F.Column:
+    cd = as_double(col)
+    acc = F.lit(0)
+    for j in range(_DECON_MAX_BITS):
+        i = band * _DECON_MAX_BITS + j
+        plane = F.array(*[F.lit(v) for v in _DECON_PLANES[i]]).cast(
+            "array<double>"
+        )
+        acc = acc + F.when(dot(cd, plane) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+    return acc
 
 
 def _decon_sem_oracle() -> str:
@@ -2089,18 +2155,37 @@ def _decon_sem_oracle() -> str:
         f"CAST(floor(({cosine_sql('tr.embedding', 'te.embedding')})"
         " * 1000000.0 + 0.5) AS BIGINT)"
     )
+    sketches = ",\n               ".join(
+        f"{_decon_sketch_sql('embedding', b)} AS f{b}"
+        for b in range(_DECON_BANDS)
+    )
+    keys = ",\n           ".join(
+        f"f{b} % (1 << (SELECT b FROM bits)) AS b{b}"
+        for b in range(_DECON_BANDS)
+    )
+    bandor = " OR ".join(
+        f"tr.b{b} = te.b{b}" for b in range(_DECON_BANDS)
+    )
     return f"""
-    WITH b AS (
+    WITH nb AS (
+        SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 >= 8
+    ),
+    bits AS (SELECT {_decon_bits_sql()} AS b FROM nb),
+    s AS (
         SELECT vec_id, embedding,
-               {_ann_band_sql('embedding', 0)} AS b0,
-               {_ann_band_sql('embedding', 1)} AS b1
+               {sketches}
         FROM embeddings
     ),
-    tr AS (SELECT * FROM b WHERE vec_id % 10 < 8),
-    te AS (SELECT * FROM b WHERE vec_id % 10 >= 8),
+    keyed AS (
+        SELECT vec_id, embedding,
+           {keys}
+        FROM s
+    ),
+    tr AS (SELECT * FROM keyed WHERE vec_id % 10 < 8),
+    te AS (SELECT * FROM keyed WHERE vec_id % 10 >= 8),
     pairs AS (
         SELECT tr.vec_id AS t_id, {cosm} AS cos_micro
-        FROM tr JOIN te ON tr.b0 = te.b0 OR tr.b1 = te.b1
+        FROM tr JOIN te ON {bandor}
     ),
     per_doc AS (
         SELECT t_id,
@@ -2139,46 +2224,61 @@ def _decon_sem_oracle() -> str:
     "integer ppm (floor division, both engines), and the split's "
     "worst candidate cosine (how close the corpus sails to the "
     "threshold even where it passes). Scale shape: the benchmark side "
-    "is eval-suite-sized -> its 2x4-bit sign-sketch band melt "
-    "BROADCASTS, so candidate generation is a map-side hash join over "
-    "the single train-side scan (the ann_lsh_bucketed hyperplanes, "
-    "shared constants in plan and oracle); a pair agreeing on both "
-    "bands would meet twice in the melt, so the first-shared-band "
-    "rule (keep band 1 matches only when band 0 differs — the "
+    "is eval-suite-sized -> its sign-sketch band melt BROADCASTS, so "
+    "candidate generation is a map-side hash join over the single "
+    "train-side scan; band WIDTH is corpus-adaptive (the semdedup "
+    "bits-ladder pattern: +1 bit per doubling of the benchmark count "
+    f"past {_DECON_BUCKET_TARGET}, floor {_DECON_MIN_BITS} / cap "
+    f"{_DECON_MAX_BITS}, derived by pure integer comparisons in both "
+    "engines from the same count — a FIXED 4-bit band keeps a "
+    "constant 1/16 pair collision rate and grows candidates "
+    "quadratically; the ladder pins expected candidates to "
+    "~N_train x bands x target, linear), with the eager benchmark "
+    "count following semdedup_pipeline's reviewed driver-side-k "
+    "precedent; a pair agreeing on several bands would meet once per "
+    "agreement in the melt, so the first-shared-band rule (keep a "
+    "band-k match only when every earlier band differs — the "
     "interval-overlap first-shared-bin trick) replaces the distinct "
     "shuffle with a stateless filter; candidate cosines ride the "
     "Arrow SIMD kernel; per-doc and per-source aggregations are "
     "map-side-combined. Banding is the recall/throughput dial "
-    "(near-copies agree on both bands; production widens bands or "
-    "raises bits exactly like minhash_band_tuning_audit measures) — "
-    "the oracle replays the identical banding, so correctness is "
-    "exact for the registered configuration.",
+    "(near-copies agree on every confident sign bit; production "
+    "measures the dial the way minhash_band_tuning_audit does) — the "
+    "oracle replays the identical ladder and planes, so correctness "
+    "is exact for whatever width the corpus selects.",
     headline=True,
     tags=("dedup", "similarity", "vector", "pipeline", "audit"),
 )
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_bench = F.col("vec_id") % 10 >= 8
+    # eager benchmark-side count (vec_id-only pushdown scan) — the
+    # bits ladder needs it to BUILD the band-key expressions; the
+    # oracle derives the same integer in its nb/bits CTEs
+    nb = emb.where(is_bench).count()
+    bits = _decon_bits(nb)
     b = emb.select(
         "vec_id",
         "embedding",
         *[
-            ann_band_col(F.col("embedding"), i).alias(f"band{i}")
-            for i in range(_ANN_BANDS)
+            (_decon_sketch_col(F.col("embedding"), i) % F.lit(2**bits))
+            .cast("int")
+            .alias(f"band{i}")
+            for i in range(_DECON_BANDS)
         ],
     )
-    is_bench = F.col("vec_id") % 10 >= 8
     melt = F.posexplode(
-        F.array(*[F.col(f"band{i}") for i in range(_ANN_BANDS)])
+        F.array(*[F.col(f"band{i}") for i in range(_DECON_BANDS)])
     ).alias("band_id", "sig")
     bench = b.where(is_bench).select(
         F.col("embedding").alias("qe"),
-        *[F.col(f"band{i}").alias(f"qb{i}") for i in range(_ANN_BANDS)],
+        *[F.col(f"band{i}").alias(f"qb{i}") for i in range(_DECON_BANDS)],
         melt,
     )
     train = b.where(~is_bench).select(
         F.col("vec_id").alias("t_id"),
         F.col("embedding").alias("te"),
-        *[F.col(f"band{i}").alias(f"tb{i}") for i in range(_ANN_BANDS)],
+        *[F.col(f"band{i}").alias(f"tb{i}") for i in range(_DECON_BANDS)],
         melt,
     )
     # first-shared-band rule: a pair agreeing on several bands meets
@@ -2187,7 +2287,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter instead of a distinct shuffle
     keep = F.col("band_id") == 0
     no_earlier = F.lit(True)
-    for k in range(1, _ANN_BANDS):
+    for k in range(1, _DECON_BANDS):
         no_earlier = no_earlier & (
             F.col(f"tb{k - 1}") != F.col(f"qb{k - 1}")
         )
