@@ -164,3 +164,61 @@ def test_pii_redact_spans_planted(spark, tmp_path):
     c = got[2]
     assert c["redacted_text"] == clean  # byte-identical pass-through
     assert c["n_redactions"] == 0 and c["chars_redacted"] == 0
+
+
+def test_streaming_semantic_decon_twin_and_replay(spark, sf_dir, tmp_path):
+    """Streaming semantic decon == the batch rollup: streaming the
+    train embeddings through micro-batches verified against the
+    frozen benchmark band index must reproduce decontaminate_semantic
+    row-for-row, and the derived rollup must be idempotent under a
+    replayed batch (frozen index -> byte-identical verdict rows, the
+    per-t_id max-merge collapses them)."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.registry import load_all
+    from p4_mapreduce_spark.sources.tables import load
+    from p4_mapreduce_spark.streaming.windows import (
+        semantic_decon_from_state,
+        streaming_semantic_decon,
+    )
+
+    base = str(tmp_path / "train_emb")
+    load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 10 < 8
+    ).repartition(4).write.mode("overwrite").parquet(base)
+
+    state = str(tmp_path / "state")
+    q = streaming_semantic_decon(
+        spark, base, sf_dir, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    verdicts = spark.read.parquet(f"{state}/verdicts")
+    batch_ids = {
+        r.batch_id for r in verdicts.select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 2, "need >= 2 micro-batches"
+
+    def canon(df):
+        return sorted(
+            (
+                r["source"],
+                int(r["n_train"]),
+                int(r["n_contaminated"]),
+                int(r["contamination_ppm"]),
+                None
+                if r["worst_cos_micro"] is None
+                else int(r["worst_cos_micro"]),
+            )
+            for r in df.collect()
+        )
+
+    got = canon(semantic_decon_from_state(spark, state, sf_dir))
+    want = canon(load_all()["decontaminate_semantic"].fn(spark, sf_dir))
+    assert got == want
+
+    # replay idempotency: re-append one batch's verdict rows verbatim
+    verdicts.where(F.col("batch_id") == min(batch_ids)).write.mode(
+        "append"
+    ).parquet(f"{state}/verdicts")
+    assert canon(semantic_decon_from_state(spark, state, sf_dir)) == want
