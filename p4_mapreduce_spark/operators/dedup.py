@@ -1155,7 +1155,13 @@ _CDC_ANCHOR_HEX = "0"
     tags=("dedup", "text", "pipeline"),
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from p4_mapreduce_spark.sources.tables import spread_small_scan
+
+    # explode-amplification guard (r13): the CDC fold does one md5 per
+    # token — see tables.spread_small_scan (no-op at scale)
+    docs = spread_small_scan(
+        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     is_anchor = lambda w: (
         F.substring(F.md5(w), 1, 1) == F.lit(_CDC_ANCHOR_HEX)
@@ -1916,7 +1922,16 @@ def _span_windows(docs: DataFrame) -> DataFrame:
     stage that touches text — the streaming twin runs it per ingest
     batch and keeps ONLY these rows as state (the window index)."""
     L = _CUTLIST_L
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("t"))
+    # r13 explode-amplification guard: the stride-1 window hash does
+    # one md5 per TOKEN — per-row CPU that input-split sizing cannot
+    # see (tables.spread_small_scan: no-op whenever the scan already
+    # yields >= a round of splits, i.e. always at the 100 TB steady
+    # state; at local SF it breaks the one-small-file serial stage)
+    from p4_mapreduce_spark.sources.tables import spread_small_scan
+
+    toks = spread_small_scan(
+        docs.sparkSession, docs.select("doc_id", "text")
+    ).select("doc_id", F.split("text", " ", -1).alias("t"))
     wh = F.conv(
         F.substring(
             F.md5(F.concat_ws(" ", F.slice("t", F.col("pos"), L))), 1, 12

@@ -1945,6 +1945,10 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign_frame,
     )
 
+    # (r13: measured — a spread_small_scan guard here LOSES 0.5s at
+    # sf0.1: the Arrow kernels over 2k vectors are cheaper than the
+    # added shuffle; the embeddings table's per-row CPU is capped-k
+    # bounded, not token-amplified)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
     k, bits = _semdedup_k_bits(n)

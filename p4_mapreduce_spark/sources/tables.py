@@ -72,3 +72,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view (for the SQL-flavored queries)."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Explode-amplification guard (r13): repartition ``df`` to
+    defaultParallelism ONLY when its scan yields fewer splits than
+    cores. CPU-amplifying operators (token/trigram explodes, in-tree
+    codec decodes, per-row Arrow kernels) multiply each input byte
+    10-300x — invisible to input-split sizing, so a corpus that
+    arrives in one small file (local SF; a freshly-ingested shard on
+    a cluster) runs the whole amplified map in one task. At the
+    100 TB steady state the scan already has >= a round of splits and
+    this is a NO-OP — no shuffle is added where splits are plentiful.
+    Call it on the NARROW projection the operator actually consumes,
+    so the guard shuffle (when it fires) moves minimal bytes."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
