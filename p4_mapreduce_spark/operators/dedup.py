@@ -1160,7 +1160,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode-amplification guard (r13): the CDC fold does one md5 per
     # token — see tables.spread_small_scan (no-op at scale)
     docs = spread_small_scan(
-        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents").select("doc_id", "text")
     )
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     is_anchor = lambda w: (
@@ -1929,9 +1929,9 @@ def _span_windows(docs: DataFrame) -> DataFrame:
     # state; at local SF it breaks the one-small-file serial stage)
     from p4_mapreduce_spark.sources.tables import spread_small_scan
 
-    toks = spread_small_scan(
-        docs.sparkSession, docs.select("doc_id", "text")
-    ).select("doc_id", F.split("text", " ", -1).alias("t"))
+    toks = spread_small_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ", -1).alias("t")
+    )
     wh = F.conv(
         F.substring(
             F.md5(F.concat_ws(" ", F.slice("t", F.col("pos"), L))), 1, 12

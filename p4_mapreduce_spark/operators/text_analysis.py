@@ -2502,14 +2502,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus that arrives in fewer splits than cores (one small
     # parquet file at local SF; a freshly-ingested shard on a
     # cluster) runs the whole explode+partial-agg in those few tasks
-    # (THE suite's fattest task, 4.6s of a 4.7s wall). Spreading the
-    # narrow (doc_id, text) projection first is a corpus-sized but
-    # pre-amplification shuffle; when the scan already yields >= a
-    # round of splits (the 100 TB steady state) this is a no-op and
-    # adds nothing. Measured 4.22s -> 1.17s at sf0.1.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # (THE suite's fattest task, 4.6s of a 4.7s wall). Measured
+    # 4.22s -> 1.17s at sf0.1; no-op at the 100 TB steady state.
+    from p4_mapreduce_spark.sources.tables import spread_small_scan
+
+    docs = spread_small_scan(docs)
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     n3 = F.size(ws) - F.lit(2)
     # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty

@@ -74,7 +74,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame) -> DataFrame:
     """Explode-amplification guard (r13): repartition ``df`` to
     defaultParallelism ONLY when its scan yields fewer splits than
     cores. CPU-amplifying operators (token/trigram explodes, in-tree
@@ -86,7 +86,7 @@ def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     this is a NO-OP — no shuffle is added where splits are plentiful.
     Call it on the NARROW projection the operator actually consumes,
     so the guard shuffle (when it fires) moves minimal bytes."""
-    par = spark.sparkContext.defaultParallelism
+    par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

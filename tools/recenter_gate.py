@@ -105,6 +105,11 @@ def main() -> int:
     lo_vals, hi_vals = two_means_log([e["calib"] for e in entries])
     centers = []
     for member_vals in (lo_vals, hi_vals):
+        # r13 review fix: a unimodal host (all calibrations tie into
+        # one cluster) leaves the other cluster EMPTY — median([])
+        # would raise; skip it and emit the single center instead.
+        if not member_vals:
+            continue
         vals = set(round(v, 6) for v in member_vals)
         members = [e for e in entries if round(e["calib"], 6) in vals]
         med = statistics.median(e["calib"] for e in members)
@@ -117,10 +122,10 @@ def main() -> int:
             print(
                 f"cluster at ~{med:.3f}s has only {len(kept)} trimmed "
                 f"entries (< {MIN_ENTRIES}) — not enough evidence to "
-                "call it a quiet mode",
+                "call it a quiet mode; skipping it",
                 file=sys.stderr,
             )
-            return 1
+            continue
         centers.append(
             {
                 "calibration_sec": round(
@@ -137,6 +142,10 @@ def main() -> int:
             }
         )
 
+    if not centers:
+        print("no cluster had enough trimmed entries — not writing",
+              file=sys.stderr)
+        return 1
     print(json.dumps(centers, indent=1))
     if args.dry_run:
         return 0
