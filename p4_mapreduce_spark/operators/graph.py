@@ -631,10 +631,22 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     rbs = [f"rb{r}" for r in range(_DH_ROWS)]
-    hashed = pxdf.select(
-        "doc_id",
-        _phash_hex_col().alias("phash"),
-        *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+    # r13: materialize the decoded per-doc hash frame ONCE — it feeds
+    # the ph_edges join directly AND the distinct-hash aggregate g
+    # (itself read by four branches), so without the checkpoint the
+    # per-row codec decode re-runs per branch (compute exchange reuse
+    # cannot fold — see multimodal_phash_neardup). Doc-count-bounded
+    # narrow rows (id + 16-char hash + 8 ints); compute_heavy exempts
+    # it from the byte-keyed size gate, which cannot price decode CPU.
+    from p4_mapreduce_spark.stagemat import stage_ck
+
+    hashed = stage_ck(
+        pxdf.select(
+            "doc_id",
+            _phash_hex_col().alias("phash"),
+            *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+        ),
+        compute_heavy=True,
     )
     g = hashed.groupBy("phash", *rbs).agg(
         F.min("doc_id").alias("min_doc_id")
@@ -788,19 +800,45 @@ def label_propagation(edges: DataFrame, n_rounds: int = _LPA_ROUNDS) -> DataFram
     Returns DataFrame[node, community] after exactly ``n_rounds``
     rounds.
     """
-    edges = edges.localCheckpoint()
+    # r13 round-shape notes (measured, see OPTIMIZATION_r13.md): the
+    # per-round wall here is NOT data movement — AQE broadcasts the
+    # node-sized label frame into the edge join at test scale, and the
+    # only real shuffle is the (dst, label) pair aggregation — it is
+    # per-round planning + stage execution (under AQE even a LAZY
+    # localCheckpoint materializes every non-result stage at toRdd
+    # time). Two changes that survived a same-session min-of-3 A/B at
+    # sf0.1: per-round checkpoints go lazy (eager=True re-ran the
+    # result stage as its own job per round: 4.8 -> 3.7s; the warmed
+    # re-run of the eager shape still read 3.9s), and ROUND 1's
+    # label join is fused away — the seed labeling is the identity
+    # (label(node) = node), so joining edges to it just rewrites
+    # src -> src; aggregating (dst, src) directly is the same exact
+    # integer computation minus one join pass over the full edge list
+    # (the connected_components seed precedent, applied generically:
+    # every src IS a node, and the keep-prior left join below still
+    # covers in-degree-0 nodes). An explicit pre-partition of the
+    # edge checkpoint was tried and REVERTED: PySpark's
+    # localCheckpoint drops outputPartitioning (Scan ExistingRDD
+    # re-exchanges), so it only added a shuffle.
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(n_rounds):
-        counts = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("n"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+    for rnd in range(n_rounds):
+        if rnd == 0:
+            joined = edges.select(
+                F.col("dst").alias("n"), F.col("src").alias("label")
+            )
+        else:
+            joined = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("n"), "label"
+            )
+        counts = joined.groupBy("n", "label").agg(
+            F.count(F.lit(1)).alias("c")
         )
         argmax = (
             counts.groupBy("n")
@@ -816,7 +854,7 @@ def label_propagation(edges: DataFrame, n_rounds: int = _LPA_ROUNDS) -> DataFram
             .select(
                 "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -907,21 +945,49 @@ def lpa_semisync(
     neighbor labels — plus one node-sized keep-prior left join; no
     Window partitions anywhere.
     """
-    edges = edges.localCheckpoint()
+    # r13 (guide §2.3 — shuffle/aggregate fewer rows): the
+    # semi-synchronous structure's own lever is that a half-step
+    # updates ONLY one color class, so edges whose dst is in the other
+    # class contribute nothing — their counts/argmax rows were
+    # computed and then discarded by the when(cls, ...) gate.
+    # Pre-filtering the checkpointed edge list on the dst's color
+    # halves every half-step's join+aggregate input on a 2-colored
+    # graph (the where() rides the materialized frame). The color
+    # predicate is written over `node`, so it is rebound onto dst via
+    # a temporary column. Results identical: the discarded rows never
+    # influenced any kept label. The very first half-step additionally
+    # fuses its label join away (seed labels are the identity — the
+    # label_propagation round-1 fusion). Same-session min-of-3 A/B at
+    # sf0.1: 6.99s unmodified -> 6.71s filter-only -> 5.97s
+    # filter+fuse (the unmodified shape re-read 6.51s warm).
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    first = True
     for _ in range(max_rounds):
         before = labels
         for cls in (color0, ~color0):
-            counts = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy(F.col("dst").alias("n"), "label")
-                .agg(F.count(F.lit(1)).alias("c"))
+            e_cls = (
+                edges.withColumn("node", F.col("dst"))
+                .where(cls)
+                .drop("node")
+            )
+            if first:
+                joined = e_cls.select(
+                    F.col("dst").alias("n"), F.col("src").alias("label")
+                )
+                first = False
+            else:
+                joined = e_cls.join(
+                    labels, e_cls.src == labels.node
+                ).select(F.col("dst").alias("n"), "label")
+            counts = joined.groupBy("n", "label").agg(
+                F.count(F.lit(1)).alias("c")
             )
             argmax = (
                 counts.groupBy("n")

@@ -1156,11 +1156,12 @@ def fit_pca_top_component(
     ~1e6-scaled component).
 
     ONE bounded Spark job (the kmeans/PQ-codebook precedent — plan-
-    build constants, never data): each vector explodes to 64
-    (i, m_i, marr) rows and a single map-side-combined aggregation
-    per i returns the count, the per-dimension sum, and the 64
-    UNCENTERED cross sums — map-side partials reduce every partition
-    to 64 rows before the one shuffle, so shuffle volume is
+    build constants, never data): each task computes its partial
+    UNCENTERED Gram with one numpy int64 matmul over Arrow batches
+    (r13 — replacing the 64x explode + 64-product-sum aggregate; all
+    statistics are int sums/maxes, so the partials reduce exactly),
+    and one tiny groupBy sums the D(D+1)/2 upper-triangle entries plus
+    per-dimension sums/maxes — shuffle volume is
     corpus-size-independent and the corpus is scanned ONCE for the
     fit (r10 fold: the separate means pass was a second full scan).
     The centered Gram then derives exactly in driver ints:
@@ -1185,31 +1186,87 @@ def fit_pca_top_component(
     Gram.
     """
     D = _PCA_D
-    m_cols = [
-        F.floor(emb["embedding"][i].cast("double") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias(f"m{i}")
-        for i in range(D)
-    ]
-    mdf = emb.select(
-        F.array(*m_cols).alias("marr")
-    )
-    g_rows = (
-        mdf.select("marr", F.posexplode("marr").alias("i", "mi"))
-        .groupBy("i")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("mi").alias("s"),
-            F.max(F.abs(F.col("mi"))).alias("mx"),
-            *[
-                F.sum(F.col("mi") * F.col("marr")[j]).alias(f"g{j}")
-                for j in range(D)
+
+    # r13 fit-shape rewrite (guide §2.3/§4.2 — aggregate before you
+    # shuffle, vectorize the per-row work): the r10 shape exploded each
+    # vector into 64 (i, mi, marr) rows — a 64x row and ~64x byte
+    # amplification feeding a 64-group aggregate with 64 named product
+    # sums, all interpreted per element. The Gram is the textbook
+    # partial-aggregable statistic, so compute per-task partials with
+    # one numpy integer matmul (M^T M per Arrow batch) and reduce the
+    # D(D+1)/2 upper-triangle sums in one tiny groupBy. Bit-identical
+    # by construction: floor(float64(x)*1e6+0.5) is the same IEEE
+    # sequence elementwise, and every downstream number is an int64
+    # sum/max whose value is order-independent (numpy int64 wraps
+    # exactly like Spark's non-ANSI long sum — the same PRECONDITION
+    # guard below still decides trustworthiness, from the same
+    # aggregate). Measured at sf0.1: fit 2.1-2.3s -> 0.44-0.52s warm
+    # (the Catalyst no-explode alternative — 2080 sum() columns in one
+    # HashAggregate — measured 24-42s and was rejected). Shuffle
+    # volume stays corpus-size-independent: one (i, j, partial) row
+    # set per task.
+    import numpy as np
+    import pyarrow as pa
+
+    def _gram_partials(batches):
+        acc = None
+        n_rows = 0
+        s_acc = None
+        mx_acc = None
+        for batch in batches:
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            m = np.floor(
+                flat.astype(np.float64).reshape(-1, D) * 1e6 + 0.5
+            ).astype(np.int64)
+            if not m.shape[0]:
+                continue
+            n_rows += m.shape[0]
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+            ss = m.sum(axis=0)
+            s_acc = ss if s_acc is None else s_acc + ss
+            mm = np.abs(m).max(axis=0)
+            mx_acc = mm if mx_acc is None else np.maximum(mx_acc, mm)
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(D)
+        # two row families: (i, j>=0) upper-triangle Gram partials and
+        # (i, -1) per-dimension sum/max partials; n rides every row so
+        # any single group's sum(n) is the corpus count
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([iu, np.arange(D)]).astype(np.int32)
+                ),
+                pa.array(
+                    np.concatenate(
+                        [ju, np.full(D, -1, dtype=np.int64)]
+                    ).astype(np.int32)
+                ),
+                pa.array(np.full(len(iu) + D, n_rows, dtype=np.int64)),
+                pa.array(np.concatenate([acc[iu, ju], s_acc])),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(len(iu), dtype=np.int64), mx_acc]
+                    )
+                ),
             ],
+            names=["i", "j", "n", "v", "mx"],
+        )
+
+    rows = (
+        emb.select("embedding")
+        .mapInArrow(_gram_partials, "i int, j int, n long, v long, mx long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("v").alias("v"),
+            F.max("mx").alias("mx"),
         )
         .collect()
     )
-    by_i = {r["i"]: r for r in g_rows}
-    n = by_i[0]["n"]
+    by_ij = {(r["i"], r["j"]): r for r in rows}
+    n = by_ij[(0, -1)]["n"]
     # r11 ADVICE fix: Spark's non-ANSI long sums WRAP silently, so the
     # Gram-magnitude ratchet below could be fed already-wrapped sums
     # and pass (while the DuckDB oracle's hugeint->bigint cast errors
@@ -1219,7 +1276,7 @@ def fit_pca_top_component(
     # int64 the sums are provably exact. Costs nothing per row and
     # fails loudly with the remediation (shard the fit / widen to
     # decimal) instead of silently rotating onto a garbage component.
-    mmax = max(int(by_i[i]["mx"]) for i in range(D))
+    mmax = max(int(by_ij[(i, -1)]["mx"]) for i in range(D))
     if n * mmax * mmax >= (1 << 63):
         raise OverflowError(
             f"PCA cross sums may exceed int64 (n={n}, max|m|={mmax}: "
@@ -1227,12 +1284,16 @@ def fit_pca_top_component(
             "sums would wrap silently; shard the fit or switch the "
             "cross sums to decimal(38,0) before trusting this corpus"
         )
-    s = [by_i[i]["s"] for i in range(D)]
+    s = [int(by_ij[(i, -1)]["v"]) for i in range(D)]
     mu = [s[i] // n for i in range(D)]  # python // == floor
+
+    def _uncentered(i: int, j: int) -> int:
+        return int(by_ij[(min(i, j), max(i, j))]["v"])  # symmetric
+
     # centered Gram from the uncentered cross sums — exact int algebra
     gmat = {
         i: [
-            by_i[i][f"g{j}"] - mu[i] * s[j] - mu[j] * s[i] + n * mu[i] * mu[j]
+            _uncentered(i, j) - mu[i] * s[j] - mu[j] * s[i] + n * mu[i] * mu[j]
             for j in range(D)
         ]
         for i in range(D)
@@ -1290,19 +1351,29 @@ def embedding_pca_power_iteration(
     emb = load(spark, sf_dir, "embeddings")
     _n, mu, v = fit_pca_top_component(emb)
     D = _PCA_D
-    terms = [
-        (
+    # r13: the projection as ONE aggregate() fold instead of a 64-term
+    # chained-add expression tree — the chain cost ~1.2s of Catalyst
+    # analysis per DataFrame build (a 64-deep left-leaning tree the
+    # optimizer re-walks per rule), dwarfing the 2000-row execution.
+    # The fold is the identical left-to-right bigint sum (integer adds
+    # are order-independent anyway; asserted result-identical), with
+    # mu/v as two array literals. Measured at sf0.1: build+exec
+    # 1.7s -> 0.65s, whole query (fit included) 3.1-3.9s -> ~1.0s.
+    mu_arr = F.array(*[F.lit(int(m)) for m in mu]).cast("array<bigint>")
+    v_arr = F.array(*[F.lit(int(x)) for x in v]).cast("array<bigint>")
+    ed = F.col("embedding").cast("array<double>")
+    p = F.aggregate(
+        F.sequence(F.lit(0), F.lit(D - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + (
             F.floor(
-                emb["embedding"][i].cast("double") * F.lit(1000000.0) + F.lit(0.5)
-            ).cast("long")
-            - F.lit(mu[i])
+                F.element_at(ed, i + 1) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint")
+            - F.element_at(mu_arr, i + 1)
         )
-        * F.lit(v[i])
-        for i in range(D)
-    ]
-    p = terms[0]
-    for t in terms[1:]:
-        p = p + t
+        * F.element_at(v_arr, i + 1),
+    )
     agg = (
         emb.select("label", p.alias("p"))
         .groupBy("label")

@@ -38,6 +38,7 @@ from p4_mapreduce_spark.operators.codecs import (
 )
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
+from p4_mapreduce_spark.stagemat import stage_ck
 
 ASSET_SCHEMA = (
     "doc_id bigint, media_type string, payload binary, "
@@ -774,9 +775,21 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _phash_hex_col().alias("phash"),
         *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
     )
-    g = hashed.groupBy("phash", *rbs).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("min_doc_id"),
+    # r13: materialize the distinct-hash aggregate ONCE. g is read by
+    # four branches (both band-melt join sides + ga + gb); without the
+    # checkpoint each branch re-runs the whole decode->hash subtree —
+    # per-row codec CPU that exchange reuse does not fold (AQE's
+    # broadcast rewrites break subtree equality). compute_heavy: the
+    # corpus-size gate prices re-derivation as a byte scan, which
+    # cannot see decode CPU. Measured at sf0.1: 4.07s -> 1.79s; the
+    # frame is distinct-hash-bounded (8-byte key + counts), so the
+    # bounded-checkpoint rule allows it at any corpus size.
+    g = stage_ck(
+        hashed.groupBy("phash", *rbs).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        ),
+        compute_heavy=True,
     )
     bnd = g.select(
         "phash",

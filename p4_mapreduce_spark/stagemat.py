@@ -68,16 +68,29 @@ def table_bytes(sf_dir: str, table: str = "documents"):
     return None
 
 
-def stage_ck(df: DataFrame, src_bytes=None) -> DataFrame:
+def stage_ck(df: DataFrame, src_bytes=None, compute_heavy=False) -> DataFrame:
     """Lazy localCheckpoint under the stage-materialization policy;
     identity when the A/B seam is flipped to the r10 shape OR when the
     corpus-size gate says the rescan is cheaper than the checkpoint;
     reliable filesystem checkpoint when RELIABLE deployment mode is
-    on."""
+    on.
+
+    ``compute_heavy`` exempts the frame from the corpus-size gate
+    (r13): the gate prices a re-derivation as a SCAN of ``src_bytes``,
+    which is the right model for relational subtrees but wrong when
+    the subtree's cost is per-row CPU that byte-sizing cannot see —
+    in-tree codec decodes, Arrow kernels, token explodes. Re-running
+    an image decode because the source parquet is small repays none of
+    the checkpoint's savings (measured r13: multimodal_phash_neardup
+    4.07s -> 1.79s at sf0.1 once the decoded-hash aggregate is
+    materialized, while its source is 0.6 MB — far under the 16 MB
+    gate). The STAGE_MAT A/B seam still applies, so the fold-shape
+    probe can price these checkpoints too."""
     if not STAGE_MAT:
         return df
     if (
         SIZE_GATE
+        and not compute_heavy
         and src_bytes is not None
         and src_bytes < STAGE_MAT_MIN_BYTES
     ):
