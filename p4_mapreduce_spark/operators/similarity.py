@@ -37,6 +37,7 @@ from p4_mapreduce_spark.functions.vector import (
 )
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
+from p4_mapreduce_spark.stagemat import stage_ck
 
 QUERY_IDS = (0, 1, 2, 3, 4)
 TOP_K = 10
@@ -668,6 +669,82 @@ def arrow_pair_cosine(
             )
 
     return pairs.mapInArrow(gen, out_schema)
+
+
+def arrow_sign_bands(
+    df: DataFrame,
+    emb_col: str,
+    planes: list[list[float]],
+    band_bits: int,
+    out_names: list[str],
+    mod: int | None = None,
+) -> DataFrame:
+    """Append one int column per band to ``df``: band ``b``'s value is
+    ``sum_j (dot(emb, planes[b*band_bits + j]) > 0) * 2**j`` (then
+    ``% mod`` when given) — the sign-sketch LSH key every banded
+    family here uses, computed on the Arrow batch path (r13).
+
+    Bit-identical to the Catalyst fold builders (``ann_band_col`` /
+    ``_decon_sketch_col`` / ``_bucket_col``): float32→float64 upcast
+    is exact, elementwise products are the same IEEE multiplies,
+    ``np.cumsum(axis=1)`` adds sequentially in element order, and the
+    fold's ``0.0 +`` seed can only turn a -0.0 total into +0.0 —
+    invisible to the ``> 0`` sign test, the ONLY consumer of these
+    dots (the ``arrow_pair_cosine`` argument, applied to sketches).
+
+    Why it exists (guide §4.1/§4.2 + §7.3): the Catalyst builders
+    assemble each plane as 64 ``F.lit`` calls — a band ladder is
+    1.5k+ py4j round-trips and a literal-heavy tree Catalyst
+    re-analyzes on EVERY DataFrame build (measured: the 24-dot decon
+    sketch frame costs ~1.9s of per-build analysis against ~0.3s of
+    execution), while this kernel is one plan node and a vectorized
+    numpy pass. The streaming twins keep the Catalyst builders (tiny
+    per-batch frames; equivalence is numeric, proven by the
+    batch==streaming tests)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_bands = len(out_names)
+    assert len(planes) >= n_bands * band_bits
+    pmat = np.array(
+        planes[: n_bands * band_bits], dtype=np.float64
+    )  # (n_bands*band_bits, dim)
+    dim = pmat.shape[1]
+    in_names = [f.name for f in df.schema.fields]
+    ei = in_names.index(emb_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + ", ".join(f"{n} int" for n in out_names)
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                bands = [
+                    np.empty(0, dtype=np.int32) for _ in range(n_bands)
+                ]
+            else:
+                flat = batch.column(ei).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                e = flat.astype(np.float64).reshape(-1, dim)
+                bands = []
+                for b in range(n_bands):
+                    acc = np.zeros(e.shape[0], dtype=np.int64)
+                    for j in range(band_bits):
+                        d = np.cumsum(
+                            e * pmat[b * band_bits + j], axis=1
+                        )[:, -1]
+                        acc += (d > 0).astype(np.int64) << j
+                    if mod is not None:
+                        acc %= mod
+                    bands.append(acc.astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(in_names))]
+                + [pa.array(b) for b in bands],
+                names=in_names + list(out_names),
+            )
+
+    return df.mapInArrow(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1772,18 +1849,34 @@ def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.when(is_new, F.col("vec_id"))).alias("vids_new"),
         F.collect_list(F.when(~is_new, F.col("vec_id"))).alias("vids_ex"),
     )
-    sig_arr = F.array(
-        *[ann_band_col(F.col("embedding"), b) for b in range(_ANN_BANDS)]
+    # r13: band signatures via the Arrow sign-sketch kernel (identical
+    # ints — see arrow_sign_bands), and the banded rep table is
+    # checkpointed ONCE: it feeds both join sides, so without the
+    # checkpoint the scan -> md5 -> groupBy collapse -> sketch subtree
+    # ran twice per action (distinct-vector-bounded rows, so the
+    # bounded-checkpoint rule allows it; compute_heavy because the
+    # byte-keyed size gate cannot price the md5+sketch CPU).
+    rs = stage_ck(
+        arrow_sign_bands(
+            reps,
+            "embedding",
+            HYPERPLANES,
+            _ANN_BAND_BITS,
+            [f"b{i}" for i in range(_ANN_BANDS)],
+        ),
+        compute_heavy=True,
     )
-    bnd = reps.withColumn("sigs", sig_arr).select(
+    bnd = rs.select(
         "gh",
         "embedding",
         "has_new",
         "has_ex",
         "vids_new",
         "vids_ex",
-        F.element_at("sigs", 1).alias("band0"),
-        F.posexplode("sigs").alias("band_id", "sig"),
+        F.col("b0").alias("band0"),
+        F.posexplode(
+            F.array(*[F.col(f"b{i}") for i in range(_ANN_BANDS)])
+        ).alias("band_id", "sig"),
     )
     left = bnd.where(F.col("has_new") == 1).select(
         F.col("gh").alias("gh_n"),
@@ -1957,10 +2050,15 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bits == 0:
         sub = F.lit(0).cast("long")
     else:
-        sketch = ann_band_col(F.col("embedding"), 0) + ann_band_col(
-            F.col("embedding"), 1
-        ) * F.lit(16)
-        sub = (sketch % F.lit(2**bits)).cast("long")
+        # r13: the 8-bit sub-block sketch via the Arrow kernel — ONE
+        # band of 8 bits over the shared hyperplane pool is exactly
+        # band0 + 16*band1 (weights 2^0..2^7), same ints as the
+        # Catalyst ladder it replaces (which cost ~0.6s of per-build
+        # analysis for its 512 literal plane elements).
+        asg = arrow_sign_bands(
+            asg, "embedding", HYPERPLANES, 8, ["_sk"]
+        )
+        sub = (F.col("_sk") % F.lit(2**bits)).cast("long")
     blk = (F.col("cluster").cast("long") * F.lit(256) + sub).alias("blk")
     return _semdedup_verdict(
         asg.select("vec_id", "embedding", blk), "blk"
@@ -2261,15 +2359,20 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle derives the same integer in its nb/bits CTEs
     nb = emb.where(is_bench).count()
     bits = _decon_bits(nb)
-    b = emb.select(
-        "vec_id",
+    # r13: the band keys ride the Arrow sign-sketch kernel instead of
+    # the Catalyst ladder — the 24-dot `_decon_sketch_col` frame cost
+    # ~1.9s of per-build Catalyst analysis (24 x 64 literal plane
+    # elements) against ~0.3s of execution; `arrow_sign_bands` is one
+    # plan node with the planes held driver-side, bit-identical on the
+    # `> 0` sign test (see its docstring). The Catalyst builder stays
+    # for the streaming twin.
+    b = arrow_sign_bands(
+        emb,
         "embedding",
-        *[
-            (_decon_sketch_col(F.col("embedding"), i) % F.lit(2**bits))
-            .cast("int")
-            .alias(f"band{i}")
-            for i in range(_DECON_BANDS)
-        ],
+        _DECON_PLANES,
+        _DECON_MAX_BITS,
+        [f"band{i}" for i in range(_DECON_BANDS)],
+        mod=2**bits,
     )
     melt = F.posexplode(
         F.array(*[F.col(f"band{i}") for i in range(_DECON_BANDS)])
