@@ -691,6 +691,17 @@ def frequent_itemsets_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("arr"))
     )
+    # r13: three consumers (pairs, isupp, nb) share the orderkey
+    # EXCHANGE but each re-ran the collect_set aggregation above it
+    # (stage metrics: two ~2.7/0.5 core-second reduce stages reading
+    # the same 6.3 MB shuffle). The basket frame is bounded (one row
+    # per order, arr <= |brands| = 25), so materialize it once;
+    # compute_heavy because the duplicated cost is post-shuffle agg
+    # CPU, which the byte-keyed corpus-size gate cannot price
+    # (interleaved A/B at sf0.1: min 2.02 -> 1.83s, <= in 4/5 pairs).
+    from p4_mapreduce_spark.stagemat import stage_ck
+
+    baskets = stage_ck(baskets, compute_heavy=True)
     # ordered combinations of the sorted set: (arr[i], arr[j]) for i<j
     pairs = baskets.select(
         F.explode(
@@ -1391,6 +1402,11 @@ _HOT_BIN_MAX_SALTS = 64
 # AQE join above the cap, loudly: salting is result-identical pair-
 # space reshaping, so correctness never depends on it.
 _HOT_LIST_CAP = 100_000
+# r13 A/B seam (the stagemat.STAGE_MAT idiom): False restores the
+# pre-r13 unsalted pair-join shape (probe side at the checkpointed
+# frame's own partition count) so the spread's cost/benefit stays
+# re-measurable on demand. Semantics identical either way.
+_UNSALTED_PROBE_SPREAD = True
 
 
 @register(
@@ -1596,7 +1612,28 @@ def overlap_pairs_rollup(sess: DataFrame, skew_safe: bool = True) -> DataFrame:
                 F.col("a.sb") == F.col("b.sb"),
             ]
         else:
-            a = binned.alias("a")
+            # r13 (guide §2.5, one level below the hot-bin case): with
+            # no hot bins the pair join is a broadcast hash join whose
+            # PROBE side streams with the checkpointed session frame's
+            # partition count — at local SF that frame arrives as ONE
+            # split, so the whole output-explosive pair expansion +
+            # partial rollup ran as a single 2.2s task (max_task ==
+            # med_task across three sessions; the explosion is in the
+            # OUTPUT, so AQE's input-byte sizing cannot see it). The
+            # hot-list collect above already materialized the
+            # checkpoint, so probing the partition count costs no
+            # extra job; spread the probe side to the session's
+            # parallelism only when it sits below it — a no-op at the
+            # 100 TB steady state, where the islands shuffle already
+            # leaves a full round of partitions.
+            par = binned.sparkSession.sparkContext.defaultParallelism
+            probe = binned
+            if (
+                _UNSALTED_PROBE_SPREAD
+                and binned.rdd.getNumPartitions() < par
+            ):
+                probe = binned.repartition(par)
+            a = probe.alias("a")
             b = binned.alias("b")
     else:
         a = binned.alias("a")

@@ -51,6 +51,7 @@ from p4_mapreduce_spark.operators.text_analysis import (
 from p4_mapreduce_spark.registry import REGISTRY as _REG
 from p4_mapreduce_spark.registry import register
 from p4_mapreduce_spark.sources.tables import load
+from p4_mapreduce_spark.stagemat import stage_ck, table_bytes
 
 _N_SHARDS = 8
 
@@ -306,10 +307,20 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at first action, after which every downstream branch reads the
     # materialized RDD. This took the pipeline's printed big-table
     # scan count from 14-18 to 5 (pin lowered in the same commit).
-    sides = docs.groupBy(F.md5("text").alias("gh")).agg(
+    # r13: the three stage checkpoints below predate the r12
+    # corpus-size gate (raw localCheckpoint calls), so at local SF the
+    # pipeline still paid three sequential materialization jobs per
+    # build while every "rescan" they prevent is served by the module
+    # persist / OS page cache — exactly the cost the r12 quiet-host
+    # A/B priced for the gated queries. Routing them through stage_ck
+    # (same src_bytes policy) keeps the audited 5-scan at-scale fold
+    # shape (tests/test_plans.py audits with the gate disabled) and
+    # reverts to the cheaper rescan shape below 16 MB of corpus.
+    _db = table_bytes(sf_dir)
+    sides = stage_ck(docs.groupBy(F.md5("text").alias("gh")).agg(
         F.max(is_test.cast("int")).alias("has_test"),
         F.max((~is_test).cast("int")).alias("has_train"),
-    ).localCheckpoint(eager=False)
+    ), src_bytes=_db)
     sigs = _minhash_sig_table(spark, sf_dir)
     # Checkpoint two NARROW projections rather than the wide table:
     # a checkpointed RDD is row-stored, so every downstream read
@@ -319,8 +330,8 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). The melt and the shingle projection are each read
     # exactly twice, carry only what their readers use, and both stay
     # distinct-text-sized.
-    bands_ck = melt_bands(sigs).localCheckpoint(eager=False)
-    sh_ck = sigs.select("gh", "shingles").localCheckpoint(eager=False)
+    bands_ck = stage_ck(melt_bands(sigs), src_bytes=_db)
+    sh_ck = stage_ck(sigs.select("gh", "shingles"), src_bytes=_db)
     bl = bands_ck.join(sides, "gh")
     tr_b = bl.where(F.col("has_train") == 1).select(
         F.col("gh").alias("gh_tr"), "band_id", "sig"

@@ -1393,6 +1393,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     is_t = F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+    # (r13: measured — a spread_small_scan guard here LOSES ~0.25s at
+    # sf0.1 in an interleaved A/B: the two ~0.4s single-task bigram
+    # passes are too small to repay the guard's exchange + stage
+    # latency. The guard pays only for heavy amplification — see
+    # text_ngram_novelty's 4.6s trigram explode.)
     toks = docs.select(
         "doc_id", is_t.alias("is_t"), ws.alias("ws")
     ).where(F.size("ws") >= 2)
