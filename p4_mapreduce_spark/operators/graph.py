@@ -820,44 +820,105 @@ def label_propagation(edges: DataFrame, n_rounds: int = _LPA_ROUNDS) -> DataFram
     # edge checkpoint was tried and REVERTED: PySpark's
     # localCheckpoint drops outputPartitioning (Scan ExistingRDD
     # re-exchanges), so it only added a shuffle.
+    #
+    # r14 (guide §2.4 — remove the keep-prior join outright): the
+    # keep-prior left join is replaced by a ZERO-COUNT SENTINEL row
+    # per node unioned into the argmax input. Real neighbor counts
+    # are >= 1 so their struct key (-c, label) is strictly below the
+    # sentinel's (0, prior); the sentinel therefore wins exactly when
+    # a node has no in-neighbor rows — bit-identical to
+    # coalesce(argmax, prior) (pure integer argmax, pinned by the
+    # python-replica fuzz test). This deletes one join + one broadcast
+    # build per round, and the SEED label frame (union+distinct over
+    # both endpoint columns) goes with it: round 1's sentinels are
+    # emitted straight off the edge checkpoint with duplicates, which
+    # the map-side partial min() folds before the exchange.
     edges = edges.localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
-    )
+    if n_rounds <= 0:
+        return (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("community"))
+        )
+    labels = None
     for rnd in range(n_rounds):
         if rnd == 0:
             joined = edges.select(
                 F.col("dst").alias("n"), F.col("src").alias("label")
             )
+            sentinels = edges.select(
+                F.col("dst").alias("n"),
+                F.col("dst").alias("label"),
+                F.lit(0).cast("long").alias("c"),
+            ).union(
+                edges.select(
+                    F.col("src").alias("n"),
+                    F.col("src").alias("label"),
+                    F.lit(0).cast("long").alias("c"),
+                )
+            )
         else:
             joined = edges.join(labels, edges.src == labels.node).select(
                 F.col("dst").alias("n"), "label"
             )
+            sentinels = labels.select(
+                F.col("node").alias("n"),
+                "label",
+                F.lit(0).cast("long").alias("c"),
+            )
         counts = joined.groupBy("n", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
-        argmax = (
-            counts.groupBy("n")
+        labels = (
+            counts.unionByName(sentinels)
+            .groupBy("n")
             .agg(
                 F.min(
-                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("lb")
+                    )
                 ).alias("t")
             )
-            .select(F.col("n").alias("node"), F.col("t.lb").alias("nl"))
-        )
-        labels = (
-            labels.join(argmax, "node", "left")
-            .select(
-                "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
-            )
+            .select(F.col("n").alias("node"), F.col("t.lb").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 
+
+def _lpa_count_argmax(joined: DataFrame, sentinels: DataFrame) -> DataFrame:
+    """One LPA half-update: most-frequent in-neighbor label with
+    min-label tie-break over ``joined`` (n, label) rows, keep-prior via
+    the zero-count sentinel union (see label_propagation). Emits
+    (node, label, changed) where ``changed`` compares against the
+    sentinel's prior label."""
+    counts = joined.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.unionByName(sentinels)
+        .groupBy("n")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+            ).alias("t"),
+            F.min(F.when(F.col("c") == 0, F.col("label"))).alias("prior"),
+        )
+        .select(
+            F.col("n").alias("node"),
+            F.col("t.lb").alias("label"),
+            (F.col("t.lb") != F.col("prior")).alias("changed"),
+        )
+    )
+
+
+def _sentinels_from(frame: DataFrame, col: str) -> DataFrame:
+    """Duplicate-tolerant identity sentinels (n, n, 0) off an edge
+    column — the map-side partial min folds duplicates before the
+    exchange, so no distinct pre-pass is needed."""
+    return frame.select(
+        F.col(col).alias("n"),
+        F.col(col).alias("label"),
+        F.lit(0).cast("long").alias("c"),
+    )
 
 
 @register(
@@ -897,6 +958,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r14: a bipartite-split twin (per-side label frames over a
+    # single-direction edge checkpoint, measured with and without
+    # threaded checkpoint materialization) LOST the interleaved A/B
+    # to this generic sentinel shape (4.45 vs 4.11 best of 4 pairs):
+    # synchronous rounds double the checkpoint count when split, and
+    # AQE materializes every lazy checkpoint's exchanges eagerly and
+    # sequentially at construction, so the split pays 4 exchanges a
+    # round against the generic path's 2. The semisync twin keeps the
+    # split (see _lpa_bipartite_semisync) where it does win.
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -960,17 +1030,34 @@ def lpa_semisync(
     # label_propagation round-1 fusion). Same-session min-of-3 A/B at
     # sf0.1: 6.99s unmodified -> 6.71s filter-only -> 5.97s
     # filter+fuse (the unmodified shape re-read 6.51s warm).
+    # r14 (guide §2.4): the keep-prior left join per half-step is gone
+    # — replaced by the zero-count sentinel union (see
+    # label_propagation), which also yields the prior label inside the
+    # SAME aggregation, so each half-step's changed flags come out of
+    # the argmax for free and the super-round's convergence check is a
+    # flag count over the checkpointed frames instead of a
+    # label-vs-before join. Bit-identical: pure integer argmax, the
+    # sentinel (0, prior) loses to every real count (-c <= -1), and
+    # the python-replica fuzz test pins the semantics.
+    # A half-step updates EVERY node of its color class (each has a
+    # sentinel), so after the two half-steps all flags are from this
+    # super-round: half 1's flags ride through half 2's passthrough,
+    # half 2 refreshes its own class. The seed's False flags are never
+    # counted (both halves overwrite before the first count).
     edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .select("node", F.col("node").alias("label"))
+        .select(
+            "node",
+            F.col("node").alias("label"),
+            F.lit(False).alias("changed"),
+        )
         .localCheckpoint(eager=False)
     )
     first = True
     for _ in range(max_rounds):
-        before = labels
         for cls in (color0, ~color0):
             e_cls = (
                 edges.withColumn("node", F.col("dst"))
@@ -986,41 +1073,24 @@ def lpa_semisync(
                 joined = e_cls.join(
                     labels, e_cls.src == labels.node
                 ).select(F.col("dst").alias("n"), "label")
-            counts = joined.groupBy("n", "label").agg(
-                F.count(F.lit(1)).alias("c")
-            )
-            argmax = (
-                counts.groupBy("n")
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("c")).alias("nc"),
-                            F.col("label").alias("lb"),
-                        )
-                    ).alias("t")
-                )
-                .select(F.col("n").alias("node"), F.col("t.lb").alias("nl"))
+            updated = _lpa_count_argmax(
+                joined,
+                labels.where(cls).select(
+                    F.col("node").alias("n"),
+                    "label",
+                    F.lit(0).cast("long").alias("c"),
+                ),
             )
             # lazy: the super-round's changed-count action (below)
             # materializes both half-steps in one job instead of one
             # eager checkpoint job per half-step
             labels = (
-                labels.join(argmax, "node", "left")
-                .select(
-                    "node",
-                    F.when(cls, F.coalesce("nl", "label"))
-                    .otherwise(F.col("label"))
-                    .alias("label"),
+                updated.unionByName(
+                    labels.where(~cls).select("node", "label", "changed")
                 )
                 .localCheckpoint(eager=False)
             )
-        changed = (
-            labels.join(
-                before.withColumnRenamed("label", "old"), "node"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = labels.where(F.col("changed")).count()
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("community"))
@@ -1086,6 +1156,86 @@ def _lpa_semisync_oracle() -> str:
     )
 
 
+def _lpa_bipartite_semisync(fwd: DataFrame, max_rounds: int) -> DataFrame:
+    """Semi-synchronous LPA specialized to a PROPER 2-coloring (r14):
+    ``fwd`` is one direction of a bipartite edge list, side A = fwd.src
+    (the first color class, updated first each super-round), side B =
+    fwd.dst. Identical labels to lpa_semisync(fwd UNION reverse(fwd),
+    node in side A, max_rounds): with a proper coloring each half-step
+    reads ONLY the other side's labels, so the label state splits into
+    two frames — side A's update joins side B's labels and vice versa,
+    with the second half-step reading the FIRST's refreshed frame
+    (the semi-synchronous contract). Wins vs the generic path
+    (single-direction edge checkpoint, no keep-prior join, no doubled
+    scan+filter) plus the changed count reads the two frames' fused
+    flags instead of joining against a before-frame. Equality with the
+    generic path is pinned by tests/test_graph.py."""
+    fwd = fwd.localCheckpoint(eager=False)
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    la = lb = None
+    first = True
+    for rnd in range(max_rounds):
+        # half-step 1: side A adopts from side B's current labels
+        if first:
+            la = _lpa_count_argmax(
+                rev.select(
+                    F.col("dst").alias("n"), F.col("src").alias("label")
+                ),
+                _sentinels_from(rev, "dst"),
+            ).localCheckpoint(eager=False)
+        else:
+            la = _lpa_count_argmax(
+                rev.join(lb, rev.src == lb.node).select(
+                    F.col("dst").alias("n"), "label"
+                ),
+                la.select(
+                    F.col("node").alias("n"),
+                    "label",
+                    F.lit(0).cast("long").alias("c"),
+                ),
+            ).localCheckpoint(eager=False)
+        # half-step 2: side B adopts from side A's REFRESHED labels
+        lb = _lpa_count_argmax(
+            fwd.join(la, fwd.src == la.node).select(
+                F.col("dst").alias("n"), "label"
+            ),
+            _sentinels_from(fwd, "dst")
+            if first
+            else lb.select(
+                F.col("node").alias("n"),
+                "label",
+                F.lit(0).cast("long").alias("c"),
+            ),
+        ).localCheckpoint(eager=False)
+        first = False
+        # Convergence-check economics (r14): the count's ONLY effect is
+        # the break, so skipping it never changes labels (a stable
+        # labeling is a fixpoint; extra rounds are no-ops). Skip it (a)
+        # on the first two super-rounds — a seed-identity labeling
+        # measurably churns there (15919/14866 changed of 16k nodes on
+        # this corpus) and a converged round-1/2 graph merely runs
+        # fixpoint rounds to round 3 — and (b) on the bound's last
+        # round, where the loop ends regardless. Two driver actions
+        # (and their materialization barriers) saved per run.
+        if rnd < 2 and rnd < max_rounds - 1:
+            continue
+        if rnd == max_rounds - 1:
+            break
+        changed = (
+            la.select("changed")
+            .unionAll(lb.select("changed"))
+            .where(F.col("changed"))
+            .count()
+        )
+        if changed == 0:
+            break
+    return (
+        la.select("node", "label")
+        .union(lb.select("node", "label"))
+        .select("node", F.col("label").alias("community"))
+    )
+
+
 @register(
     "graph_lpa_semisync",
     oracle=_lpa_semisync_oracle(),
@@ -1122,12 +1272,10 @@ def graph_lpa_semisync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return lpa_semisync(
-        edges, F.col("node") < F.lit(_LPA_COLOR_SPLIT), _LPA_SEMI_MAX_ROUNDS
-    )
+    # r14: bipartite by construction (src < 1e9 <= dst; symmetrized
+    # list = fwd + reverse) and color0 = the src side, so the
+    # proper-2-coloring specialization applies — identical labels.
+    return _lpa_bipartite_semisync(fwd, _LPA_SEMI_MAX_ROUNDS)
 
 
 # ---------------------------------------------------------------------------

@@ -133,3 +133,36 @@ def test_pagerank_purchase_graph_shape(spark, sf_dir):
     # tolerance covers the 1e-6 per-round rank quantization the
     # registered query applies for oracle determinism
     assert abs(sum(ranks) - len(pr)) < 1e-5 * len(pr)
+
+
+def test_lpa_bipartite_semisync_equals_generic(spark):
+    """r14: the bipartite-split semisync twin (per-side label frames
+    over a single-direction edge checkpoint, sentinel keep-prior) must
+    produce EXACTLY the generic lpa_semisync labels on a proper
+    2-coloring — including keep-prior ties and a side-B node with a
+    single in-neighbor. K_{2,3} plus a pendant edge exercises argmax
+    ties, convergence early-stop, and the round-1 identity fusion."""
+    import pyspark.sql.functions as F
+
+    from p4_mapreduce_spark.operators.graph import (
+        _lpa_bipartite_semisync,
+        lpa_semisync,
+    )
+
+    fwd_list = [(1, 100), (1, 101), (2, 100), (2, 101), (2, 102), (3, 103)]
+    fwd = spark.createDataFrame(fwd_list, "src long, dst long")
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for rounds in (1, 3, 6):
+        generic = {
+            (r["node"], r["community"])
+            for r in lpa_semisync(
+                edges, F.col("node") < 100, rounds
+            ).collect()
+        }
+        bip = {
+            (r["node"], r["community"])
+            for r in _lpa_bipartite_semisync(fwd, rounds).collect()
+        }
+        assert bip == generic, (rounds, sorted(bip), sorted(generic))
