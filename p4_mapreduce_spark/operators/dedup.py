@@ -1094,6 +1094,16 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_ANCHOR_HEX = "0"
 
 
+# r14 work-proportional spread calibration (tables.spread_small_scan):
+# token-md5 kernels (CDC anchor fold, stride-1 window hashes) amplify
+# each SOURCE PARQUET byte into roughly 16 bytes' worth of hashing
+# work — the constant is calibrated so the sf0.1 corpus (0.59 MB)
+# lands at ~10 tasks, where the measured wall matches or beats the
+# flat-32 spread (r14 probe; the 8-core driver bench had been beating
+# the 32-core one on this family under the flat target).
+_SPREAD_AMP_TOKEN_MD5 = 16
+
+
 @register(
     "cdc_chunk_dedup",
     oracle=f"""
@@ -1156,11 +1166,16 @@ _CDC_ANCHOR_HEX = "0"
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p4_mapreduce_spark.sources.tables import spread_small_scan
+    from p4_mapreduce_spark.stagemat import table_bytes
 
     # explode-amplification guard (r13): the CDC fold does one md5 per
-    # token — see tables.spread_small_scan (no-op at scale)
+    # token — see tables.spread_small_scan (no-op at scale). r14: the
+    # target is work-proportional (measured: ~10 tasks at sf0.1 beat
+    # the flat 32 — see _SPREAD_AMP_TOKEN_MD5).
     docs = spread_small_scan(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        src_bytes=table_bytes(sf_dir),
+        amp=_SPREAD_AMP_TOKEN_MD5,
     )
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     is_anchor = lambda w: (
@@ -1907,17 +1922,25 @@ _CUTLIST_RUNS_CTES = _cutlist_runs_ctes()
     headline=True,
 )
 def dedup_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _span_runs(load(spark, sf_dir, "documents"))
+    from p4_mapreduce_spark.stagemat import table_bytes
+
+    return _span_runs(
+        load(spark, sf_dir, "documents"), src_bytes=table_bytes(sf_dir)
+    )
 
 
-def _span_runs(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+def _span_runs(
+    docs: DataFrame, skew_safe: bool = True, src_bytes: int | None = None
+) -> DataFrame:
     """The cut list as a frame: (doc_id, run_start, run_end, run_len,
     n_windows) — shared by the emitter query and the surgery consumer
     (mirrors the shared _CUTLIST_RUNS_CTES on the oracle side)."""
-    return _runs_from_windows(_span_windows(docs), skew_safe=skew_safe)
+    return _runs_from_windows(
+        _span_windows(docs, src_bytes=src_bytes), skew_safe=skew_safe
+    )
 
 
-def _span_windows(docs: DataFrame) -> DataFrame:
+def _span_windows(docs: DataFrame, src_bytes: int | None = None) -> DataFrame:
     """Stride-1 L-token window hashes: (doc_id, pos, wh). The only
     stage that touches text — the streaming twin runs it per ingest
     batch and keeps ONLY these rows as state (the window index)."""
@@ -1929,9 +1952,11 @@ def _span_windows(docs: DataFrame) -> DataFrame:
     # state; at local SF it breaks the one-small-file serial stage)
     from p4_mapreduce_spark.sources.tables import spread_small_scan
 
-    toks = spread_small_scan(docs.select("doc_id", "text")).select(
-        "doc_id", F.split("text", " ", -1).alias("t")
-    )
+    toks = spread_small_scan(
+        docs.select("doc_id", "text"),
+        src_bytes=src_bytes,
+        amp=_SPREAD_AMP_TOKEN_MD5,
+    ).select("doc_id", F.split("text", " ", -1).alias("t"))
     wh = F.conv(
         F.substring(
             F.md5(F.concat_ws(" ", F.slice("t", F.col("pos"), L))), 1, 12
@@ -2089,10 +2114,16 @@ def _runs_from_windows(
     headline=True,
 )
 def dedup_span_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _surgery_frame(load(spark, sf_dir, "documents"))
+    from p4_mapreduce_spark.stagemat import table_bytes
+
+    return _surgery_frame(
+        load(spark, sf_dir, "documents"), src_bytes=table_bytes(sf_dir)
+    )
 
 
-def _surgery_frame(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+def _surgery_frame(
+    docs: DataFrame, skew_safe: bool = True, src_bytes: int | None = None
+) -> DataFrame:
     """dedup_span_surgery over an arbitrary documents frame — the one
     body shared by the registered query and the hypothesis fuzz (which
     pins it against a pure-python keeper reference).
@@ -2113,7 +2144,9 @@ def _surgery_frame(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
     (measured 2.8x at 30k docs). The min-of-struct is exactly
     row_number()==1 under (doc_id, run_start) ordering because struct
     comparison is lexicographic."""
-    return _surgery_card(_marked_runs(docs, skew_safe=skew_safe))
+    return _surgery_card(
+        _marked_runs(docs, skew_safe=skew_safe, src_bytes=src_bytes)
+    )
 
 
 def _surgery_card(marked: DataFrame) -> DataFrame:
@@ -2147,13 +2180,17 @@ def _surgery_card(marked: DataFrame) -> DataFrame:
     )
 
 
-def _marked_runs(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+def _marked_runs(
+    docs: DataFrame, skew_safe: bool = True, src_bytes: int | None = None
+) -> DataFrame:
     """Per-run keeper card: (doc_id, nt, run_start, run_len, ch,
     keeper) — one row per maximal run plus one synthetic row per
     runless doc. Shared by the surgery card (aggregates it) and the
     apply step (uses the non-keeper rows as the cut set)."""
     return _mark_keepers_from(
-        docs, _span_runs(docs, skew_safe=skew_safe), skew_safe=skew_safe
+        docs,
+        _span_runs(docs, skew_safe=skew_safe, src_bytes=src_bytes),
+        skew_safe=skew_safe,
     )
 
 
@@ -2298,14 +2335,20 @@ def _apply_clean_ctes() -> str:
     headline=True,
 )
 def dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _apply_frame(load(spark, sf_dir, "documents"))
+    from p4_mapreduce_spark.stagemat import table_bytes
+
+    return _apply_frame(
+        load(spark, sf_dir, "documents"), src_bytes=table_bytes(sf_dir)
+    )
 
 
-def _apply_frame(docs: DataFrame, skew_safe: bool = True) -> DataFrame:
+def _apply_frame(
+    docs: DataFrame, skew_safe: bool = True, src_bytes: int | None = None
+) -> DataFrame:
     """dedup_span_apply over an arbitrary documents frame (shared with
     the planted fixture and the hypothesis fuzz)."""
     return _apply_from_marked(
-        _marked_runs(docs, skew_safe=skew_safe),
+        _marked_runs(docs, skew_safe=skew_safe, src_bytes=src_bytes),
         docs.select("doc_id", F.split("text", " ", -1).alias("t")),
     )
 

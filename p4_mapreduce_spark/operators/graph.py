@@ -68,10 +68,11 @@ def connected_components(
 
     - self-loops ride inside the symmetrized edge list, so own label +
       neighbor labels arrive through one join (no union branch);
-    - the edge list is repartitioned on the join key BEFORE its one-off
-      localCheckpoint — LogicalRDD preserves outputPartitioning, so
-      rounds re-shuffle only the (node, component) labels, never the
-      edges;
+    - the symmetrized list is built by a single explode pass over the
+      caller's edge build and checkpointed once (r14; the former
+      pre-checkpoint repartition(dst) was removed — PySpark's
+      localCheckpoint drops outputPartitioning, so that exchange was
+      paid every build and never reused by the round joins);
     - the seed labels are one aggregation (min node id over the
       self-inclusive neighborhood = propagation round 1 without a
       join);
@@ -105,18 +106,35 @@ def connected_components(
             eager
         )
 
-    # Materialize the caller's edge build ONCE before the 4-way union —
-    # unioning the raw plan would re-execute it (possibly an expensive
-    # hash/decode pipeline) four times at checkpoint time.
-    e0 = _ckpt(edges.selectExpr("src", "dst"))
+    # r14: symmetrize + self-loop in ONE pass over the caller's edge
+    # build via explode (the r13 shape checkpointed the raw build
+    # eagerly and then 4-way-unioned that checkpoint — one extra
+    # materialization job and four rescans per construction; the
+    # explode reads each input row once and emits the same four rows).
+    # The old repartition(dst) is GONE: PySpark's localCheckpoint drops
+    # outputPartitioning (measured r13 — Scan ExistingRDD re-exchanges
+    # regardless), so the exchange it added was paid on every build and
+    # never reused by the round joins; those stream the checkpoint
+    # against the broadcast/shuffled label frame on their own terms.
+    # The checkpoint itself goes lazy: the seed label-sum collect below
+    # is the first action and materializes it in the same job.
     sym = _ckpt(
-        e0.union(e0.selectExpr("dst AS src", "src AS dst"))
-        .union(e0.selectExpr("src AS src", "src AS dst"))
-        .union(e0.selectExpr("dst AS src", "dst AS dst"))
-        .distinct()  # collapse duplicate self-loops (one per endpoint
+        edges.selectExpr("src", "dst")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                    F.struct(F.col("src").alias("s"), F.col("src").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("dst").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .distinct(),  # collapse duplicate self-loops (one per endpoint
         # occurrence otherwise — degree-many for hubs), halving every
         # round's join input for star-heavy dup graphs
-        .repartition(F.col("dst"))
+        eager=False,
     )
 
     # seed = min node id over each self-inclusive neighborhood: exactly
@@ -609,10 +627,8 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PH_BAND_HEX,
         _PH_BANDS,
         _PH_HAM_MAX,
-        PHASH_SCHEMA,
-        _decode_px,
-        _phash_hex_col,
-        _phash_rowbyte_col,
+        PHASH_HASH_SCHEMA,
+        _decode_hash,
         assets_from_documents,
     )
     from p4_mapreduce_spark.sources.tables import load
@@ -629,7 +645,6 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spread_for_cpu(
         assets_from_documents(spark, sf_dir).select("doc_id", "payload")
     )
-    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
     rbs = [f"rb{r}" for r in range(_DH_ROWS)]
     # r13: materialize the decoded per-doc hash frame ONCE — it feeds
     # the ph_edges join directly AND the distinct-hash aggregate g
@@ -638,14 +653,11 @@ def crossmodal_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot fold — see multimodal_phash_neardup). Doc-count-bounded
     # narrow rows (id + 16-char hash + 8 ints); compute_heavy exempts
     # it from the byte-keyed size gate, which cannot price decode CPU.
+    # r14: the kernel emits the dHash directly (see _decode_hash).
     from p4_mapreduce_spark.stagemat import stage_ck
 
     hashed = stage_ck(
-        pxdf.select(
-            "doc_id",
-            _phash_hex_col().alias("phash"),
-            *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
-        ),
+        assets.mapInPandas(_decode_hash, schema=PHASH_HASH_SCHEMA),
         compute_heavy=True,
     )
     g = hashed.groupBy("phash", *rbs).agg(

@@ -648,6 +648,66 @@ def _decode_px(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  
         yield pd.DataFrame(out)
 
 
+PHASH_HASH_SCHEMA = "doc_id bigint, phash string, " + ", ".join(
+    f"rb{r} int" for r in range(_DH_ROWS)
+)
+
+
+def _decode_hash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """PNG-encode each payload, decode it back through the real codec,
+    and emit the dHash DIRECTLY: the 64-bit hex string plus the 8 row
+    bytes (r14). The r13 shape emitted the raw 72-pixel grid
+    (``_decode_px``) and rebuilt each row byte in Catalyst via
+    ``aggregate(sequence(0,7), ...)`` HOFs — 16 evaluations per row (8
+    rb columns + 8 inside the hex concat), measured at 25 core-seconds
+    of interpreted lambda time per pass at sf0.1, plus a 72-int Python
+    list per row through pandas->Arrow. Here the same comparisons run
+    as ONE vectorized numpy pass over the batch (guide §4.2);
+    bit-identical by construction: uint8 ``left < right`` per (row,
+    col) with weight ``1 << col``, and ``%02x`` formatting equals
+    ``lpad(lower(hex(rb)), 2, '0')`` for 0..255."""
+    import numpy as np
+    import pandas as pd
+
+    rb_cols = [f"rb{r}" for r in range(_DH_ROWS)]
+
+    def frame(ids: list, grids: list) -> "pd.DataFrame":
+        if not ids:
+            out = {"doc_id": pd.Series([], dtype="int64"),
+                   "phash": pd.Series([], dtype="object")}
+            for c in rb_cols:
+                out[c] = pd.Series([], dtype="int32")
+            return pd.DataFrame(out)
+        g = np.frombuffer(b"".join(grids), dtype=np.uint8).reshape(
+            len(ids), _DH_ROWS, _DH_COLS
+        )
+        bits = (g[:, :, :-1] < g[:, :, 1:]).astype(np.int32)
+        rb = (bits << np.arange(_DH_COLS - 1, dtype=np.int32)).sum(
+            axis=2, dtype=np.int32
+        )
+        out = {
+            "doc_id": ids,
+            "phash": [row.tobytes().hex() for row in rb.astype(np.uint8)],
+        }
+        for r, c in enumerate(rb_cols):
+            out[c] = rb[:, r]
+        return pd.DataFrame(out)
+
+    for pdf in batches:
+        ids: list = []
+        grids: list = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            if not raw:
+                continue
+            png = png_encode_gray(raw, _IMG_WIDTH)
+            _w, _h, _c, px = png_decode(png)
+            px = bytes(px[: len(raw)])  # drop encoder padding
+            ids.append(doc_id)
+            grids.append((px + b"\x00" * _DH_NPIX)[:_DH_NPIX])
+        yield frame(ids, grids)
+
+
 @register(
     "multimodal_phash_dedup",
     oracle=f"""
@@ -678,9 +738,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spread_for_cpu(
         assets_from_documents(spark, sf_dir).select("doc_id", "payload")
     )
-    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+    # r14: the kernel emits the dHash directly (see _decode_hash) —
+    # the former _decode_px + Catalyst-HOF hex rebuild double-priced
+    # every row.
+    pxdf = assets.mapInPandas(_decode_hash, schema=PHASH_HASH_SCHEMA)
     return (
-        pxdf.select("doc_id", _phash_hex_col().alias("phash"))
+        pxdf.select("doc_id", "phash")
         .groupBy("phash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -768,13 +831,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spread_for_cpu(
         assets_from_documents(spark, sf_dir).select("doc_id", "payload")
     )
-    pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+    # r14: dHash computed inside the kernel (one numpy pass; see
+    # _decode_hash) instead of 16 Catalyst HOF evaluations per row.
     rbs = [f"rb{r}" for r in range(_DH_ROWS)]
-    hashed = pxdf.select(
-        "doc_id",
-        _phash_hex_col().alias("phash"),
-        *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
-    )
+    hashed = assets.mapInPandas(_decode_hash, schema=PHASH_HASH_SCHEMA)
     # r13: materialize the distinct-hash aggregate ONCE. g is read by
     # four branches (both band-melt join sides + ga + gb); without the
     # checkpoint each branch re-runs the whole decode->hash subtree —

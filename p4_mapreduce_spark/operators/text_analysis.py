@@ -2510,8 +2510,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (THE suite's fattest task, 4.6s of a 4.7s wall). Measured
     # 4.22s -> 1.17s at sf0.1; no-op at the 100 TB steady state.
     from p4_mapreduce_spark.sources.tables import spread_small_scan
+    from p4_mapreduce_spark.stagemat import table_bytes
 
-    docs = spread_small_scan(docs)
+    # r14: work-proportional target — at ~300x trigram amplification
+    # the sf0.1 corpus still saturates every core (the r13 measured
+    # win stands); only genuinely tiny corpora spread less now.
+    docs = spread_small_scan(docs, src_bytes=table_bytes(sf_dir), amp=300)
     ws = F.filter(F.split("text", " ", -1), lambda x: x != "")
     n3 = F.size(ws) - F.lit(2)
     # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty

@@ -74,19 +74,50 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Explode-amplification guard (r13): repartition ``df`` to
-    defaultParallelism ONLY when its scan yields fewer splits than
-    cores. CPU-amplifying operators (token/trigram explodes, in-tree
-    codec decodes, per-row Arrow kernels) multiply each input byte
-    10-300x — invisible to input-split sizing, so a corpus that
-    arrives in one small file (local SF; a freshly-ingested shard on
-    a cluster) runs the whole amplified map in one task. At the
-    100 TB steady state the scan already has >= a round of splits and
-    this is a NO-OP — no shuffle is added where splits are plentiful.
-    Call it on the NARROW projection the operator actually consumes,
-    so the guard shuffle (when it fires) moves minimal bytes."""
+# ~1 MiB of AMPLIFIED intermediate per spread task: below that, task
+# scheduling + exchange latency outweigh the parallelism (measured r14
+# at sf0.1: the token-md5 family runs no slower — usually faster — at
+# 8-10 tasks than at 32, and the 8-core driver bench had been BEATING
+# the 32-core one on exactly these queries because its flat spread
+# target was 8).
+_SPREAD_TASK_WORK = 1 << 20
+
+
+def spread_small_scan(
+    df: DataFrame, src_bytes: int | None = None, amp: int | None = None
+) -> DataFrame:
+    """Explode-amplification guard (r13): repartition ``df`` when its
+    scan yields fewer splits than cores. CPU-amplifying operators
+    (token/trigram explodes, in-tree codec decodes, per-row Arrow
+    kernels) multiply each input byte 10-300x — invisible to
+    input-split sizing, so a corpus that arrives in one small file
+    (local SF; a freshly-ingested shard on a cluster) runs the whole
+    amplified map in one task. At the 100 TB steady state the scan
+    already has >= a round of splits and this is a NO-OP — no shuffle
+    is added where splits are plentiful. Call it on the NARROW
+    projection the operator actually consumes, so the guard shuffle
+    (when it fires) moves minimal bytes.
+
+    r14 (verdict ask #8 — work-proportional target): a flat
+    defaultParallelism target over-fans tiny corpora (the r13 scaling
+    block showed 8 cores BEATING 32 on the span/CDC family because 32
+    near-empty tasks cost more scheduling than they buy). When the
+    caller passes ``src_bytes`` (driver-side FS metadata, no job) and
+    ``amp`` (the operator's byte-amplification factor), the target
+    becomes one task per ~1 MiB of amplified work, capped at
+    defaultParallelism and floored at the scan's own split count —
+    identical to the old behavior at scale (cap) and on genuinely
+    amplifying operators (trigram explode at 300x still saturates the
+    cores), but small corpora get a proportionate task count."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= par:
+        return df
+    target = par
+    if src_bytes and amp:
+        target = min(
+            par, max(cur, -((-src_bytes * amp) // _SPREAD_TASK_WORK))
+        )
+    if target <= cur:
+        return df
+    return df.repartition(int(target))

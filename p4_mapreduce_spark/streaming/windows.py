@@ -1402,7 +1402,7 @@ def streaming_phash_neardup(
     Each micro-batch:
 
     1. builds the asset payloads and runs the REAL codec round-trip
-       dHash (the shared ``_decode_px`` + hex/row-byte columns, so
+       dHash (the shared ``_decode_hash`` kernel, so
        batch and streaming hashes can never drift), collapsing to
        DISTINCT batch hashes (the collapse rule at the hash level);
     2. keeps only hashes NEVER SEEN in prior batches (anti-join
@@ -1429,10 +1429,8 @@ def streaming_phash_neardup(
         _PH_BAND_HEX,
         _PH_BANDS,
         _PH_HAM_MAX,
-        PHASH_SCHEMA,
-        _decode_px,
-        _phash_hex_col,
-        _phash_rowbyte_col,
+        PHASH_HASH_SCHEMA,
+        _decode_hash,
     )
 
     docs = stream_documents(spark, docs_dir)
@@ -1444,13 +1442,10 @@ def streaming_phash_neardup(
         assets = batch_df.where(F.length("text") > 0).select(
             "doc_id", F.encode("text", "utf-8").alias("payload")
         )
-        pxdf = assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+        # r14: the shared kernel emits the dHash directly (see
+        # _decode_hash) — same hashes as the batch op by construction
         hashed_b = (
-            pxdf.select(
-                "doc_id",
-                _phash_hex_col().alias("phash"),
-                *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
-            )
+            assets.mapInPandas(_decode_hash, schema=PHASH_HASH_SCHEMA)
             .groupBy("phash", *rbs)
             .agg(F.min("doc_id").alias("min_doc_id"))
             .localCheckpoint()  # batch-bounded, never corpus-sized

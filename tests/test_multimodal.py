@@ -45,3 +45,41 @@ def test_frame_sample_non_ascii(spark):
         for f in range(4)
     )
     assert rows == want
+
+
+def test_decode_hash_matches_catalyst_hof_reference(spark, sf_dir):
+    """r14: `_decode_hash` computes the dHash (hex + 8 row bytes)
+    inside the numpy kernel; the r13 shape decoded to a 72-pixel grid
+    (`_decode_px`) and rebuilt the bytes with Catalyst aggregate()
+    HOFs. Both paths must agree byte-for-byte on the real corpus —
+    the old path stays in-tree exactly as this test's reference."""
+    from p4_mapreduce_spark.operators.multimodal import (
+        _DH_ROWS,
+        PHASH_HASH_SCHEMA,
+        PHASH_SCHEMA,
+        _decode_hash,
+        _decode_px,
+        _phash_hex_col,
+        _phash_rowbyte_col,
+        assets_from_documents,
+    )
+
+    assets = assets_from_documents(spark, sf_dir).select("doc_id", "payload")
+    rbs = [f"rb{r}" for r in range(_DH_ROWS)]
+    new = {
+        tuple(r)
+        for r in assets.mapInPandas(
+            _decode_hash, schema=PHASH_HASH_SCHEMA
+        ).collect()
+    }
+    old = {
+        tuple(r)
+        for r in assets.mapInPandas(_decode_px, schema=PHASH_SCHEMA)
+        .select(
+            "doc_id",
+            _phash_hex_col().alias("phash"),
+            *[_phash_rowbyte_col(r).alias(c) for r, c in enumerate(rbs)],
+        )
+        .collect()
+    }
+    assert new == old and len(new) > 0
