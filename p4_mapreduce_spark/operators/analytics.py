@@ -699,8 +699,6 @@ def frequent_itemsets_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute_heavy because the duplicated cost is post-shuffle agg
     # CPU, which the byte-keyed corpus-size gate cannot price
     # (interleaved A/B at sf0.1: min 2.02 -> 1.83s, <= in 4/5 pairs).
-    from p4_mapreduce_spark.stagemat import stage_ck
-
     baskets = stage_ck(baskets, compute_heavy=True)
     # ordered combinations of the sorted set: (arr[i], arr[j]) for i<j
     pairs = baskets.select(
@@ -1626,10 +1624,18 @@ def overlap_pairs_rollup(sess: DataFrame, skew_safe: bool = True) -> DataFrame:
             # parallelism only when it sits below it — a no-op at the
             # 100 TB steady state, where the islands shuffle already
             # leaves a full round of partitions.
+            # r14 (ADVICE): the partition probe is gated on the stage
+            # checkpoint actually being in effect — on the
+            # STAGE_MAT=False A/B path `binned` is a raw plan, and the
+            # .rdd conversion would finalize its adaptive plan (and
+            # can execute upstream shuffle stages an extra time).
+            from p4_mapreduce_spark.stagemat import STAGE_MAT
+
             par = binned.sparkSession.sparkContext.defaultParallelism
             probe = binned
             if (
                 _UNSALTED_PROBE_SPREAD
+                and STAGE_MAT
                 and binned.rdd.getNumPartitions() < par
             ):
                 probe = binned.repartition(par)

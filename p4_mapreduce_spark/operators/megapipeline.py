@@ -201,7 +201,9 @@ def _shards_oracle(surgical: bool = False) -> str:
     tags=("pipeline", "dedup", "quality", "text"),
 )
 def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _manifest_from_docs(_survivors_frame(spark, sf_dir))
+    return _manifest_from_docs(
+        _survivors_frame(spark, sf_dir), src_bytes=table_bytes(sf_dir)
+    )
 
 
 @register(
@@ -230,13 +232,14 @@ def training_shards_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_shards_surgical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from p4_mapreduce_spark.operators.dedup import _apply_frame
 
+    _db = table_bytes(sf_dir)
     survivors = _survivors_frame(spark, sf_dir).localCheckpoint(eager=False)
     cleaned = (
-        _apply_frame(survivors)
+        _apply_frame(survivors, src_bytes=_db)
         .where(F.col("n_tokens_kept") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
     )
-    return _manifest_from_docs(cleaned)
+    return _manifest_from_docs(cleaned, src_bytes=_db)
 
 
 def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,11 +373,30 @@ def _survivors_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _manifest_from_docs(survivors: DataFrame) -> DataFrame:
+def _manifest_from_docs(
+    survivors: DataFrame, src_bytes: int | None = None
+) -> DataFrame:
     """Stages 4-5 (context-window chunking -> shard manifest) over an
     arbitrary (doc_id, text) frame."""
-    # --- stage 4: context-window chunking (zero shuffle)
-    toks = survivors.select("doc_id", F.split("text", " ", -1).alias("t"))
+    # --- stage 4: context-window chunking (zero shuffle). r14 (verdict
+    # ask #6): at local SF the survivor frame arrives AQE-coalesced to
+    # ONE partition, so the chunk explode + per-chunk hex hashing (a
+    # CPU amplifier invisible to byte sizing) ran as the pipeline's
+    # single fattest task (~700 ms, max == med in the r13 sidecar).
+    # Work-proportional spread; no-op at scale where the upstream
+    # shuffle already leaves a full round of partitions.
+    from p4_mapreduce_spark.sources.tables import spread_small_scan
+
+    # probe=False: the survivor frame has the whole pipeline's
+    # exchanges below it — a partition probe would execute that
+    # subtree once more just to count partitions (measured: stages
+    # 18 -> 34, input bytes doubled).
+    toks = spread_small_scan(
+        survivors.select("doc_id", "text"),
+        src_bytes=src_bytes,
+        amp=8,
+        probe=False,
+    ).select("doc_id", F.split("text", " ", -1).alias("t"))
     starts = F.sequence(
         F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
     )

@@ -1534,16 +1534,37 @@ def embedding_anisotropy_audit(
         .alias("sum_q2")
     )
     g = qdf.rollup("label").agg(*aggs)
-    norm2_milli = None
-    norm2_est = None
-    for i in range(d):
-        m = _aniso_milli_sql(f"s{i}", div="div")
-        sq = F.expr(f"(({m})) * (({m}))")
-        norm2_milli = sq if norm2_milli is None else norm2_milli + sq
-        # same squares in DOUBLE space (cast BEFORE squaring — the
-        # bigint square itself wraps first): the overflow estimator
-        sqd = F.expr(m).cast("double") * F.expr(m).cast("double")
-        norm2_est = sqd if norm2_est is None else norm2_est + sqd
+    # r14 (verdict ask #7): the former 64-term chained-add expression
+    # (each term holding the milli floor-div TWICE, squared, plus a
+    # double-space twin) blew past the JVM's 64 KB method limit —
+    # "ERROR CodeGenerator: failed to compile" and a silent fallback
+    # to interpreted evaluation for the whole final stage. Same
+    # arithmetic as an aggregate() HOF fold over the packed s_i array
+    # (the PCA-projection template): the milli downscale is the exact
+    # sign-safe floor-div — (s - r)/1000 divides exactly, and the
+    # double division of exactly-representable operands with an
+    # exactly-representable quotient is exact in IEEE for |s| < 2^53;
+    # any group big enough to break that bound (n > ~9e9 so |milli| >
+    # 9e12) has norm2 ~ 8e25, six orders past the guard, which raises
+    # regardless. Fold adds run left-to-right exactly like the old
+    # chain, so results are bit-identical.
+    milli_arr = F.transform(
+        F.array(*[F.col(f"s{i}") for i in range(d)]),
+        lambda s: (
+            (s - ((s % F.lit(1000) + F.lit(1000)) % F.lit(1000)))
+            / F.lit(1000)
+        ).cast("bigint"),
+    )
+    norm2_milli = F.aggregate(
+        milli_arr, F.lit(0).cast("bigint"), lambda a, m: a + m * m
+    )
+    # same squares in DOUBLE space (cast BEFORE squaring — the bigint
+    # square itself wraps first): the overflow estimator
+    norm2_est = F.aggregate(
+        milli_arr,
+        F.lit(0.0),
+        lambda a, m: a + m.cast("double") * m.cast("double"),
+    )
     # r12 ADVICE fix (no-wrap precondition, same failure class as the
     # PCA guard): in the COLLAPSED regime this audit exists to detect,
     # ||sum q||^2 ~ n^2 * 1e12 so norm2_milli ~ n^2 * 1e6 exceeds

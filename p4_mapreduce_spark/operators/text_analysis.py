@@ -1428,6 +1428,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r14: feats feeds BOTH the bucket histogram and the final per-doc
+    # rollup — without a checkpoint the bigram explode + md5 pass runs
+    # twice (the two ~0.4s single-task passes the r13 probe measured;
+    # r13's attempted fix was a SPREAD, which lost — the win is not
+    # parallelizing the pass, it is not repeating it). The frame is
+    # three ints per bigram; compute_heavy because the duplicated cost
+    # is per-row hash CPU the byte-keyed gate cannot price.
+    from p4_mapreduce_spark.stagemat import stage_ck
+
+    feats = stage_ck(feats, compute_heavy=True)
     counts = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_all"), F.sum("is_t").alias("c_t")
     )
@@ -2544,12 +2554,28 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the explicit distinct pre-pass goes too. Same semantics, same
     # oracle; measured 4.62s -> ~1.9s at sf0.1.
     raw = docs.select("doc_id", F.explode(tri).alias("g"))
-    first = raw.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    # r14 (verdict ask #5): ONE explode pass instead of two. The r13
+    # shape fed `raw` to two independent aggregations (vocabulary min
+    # by g; per-doc count_distinct), each re-running the tokenize +
+    # trigram explode — the duplicated 25 + 17 core-seconds the
+    # sidecar showed. Materializing the DISTINCT (doc_id, g) pair
+    # frame once (map-side partial dedup, one exchange) lets both
+    # aggregations read deduped rows: the vocabulary min over distinct
+    # pairs equals the min over raw, and n_trigrams becomes a plain
+    # count. compute_heavy because the duplicated cost is explode CPU
+    # the byte-keyed gate cannot price; at scale the checkpoint trades
+    # one spill-backed materialization of the deduped pair frame
+    # against a second full corpus explode + the count_distinct
+    # expand's shuffle of the same pairs.
+    from p4_mapreduce_spark.stagemat import stage_ck
+
+    pairs = stage_ck(raw.distinct(), compute_heavy=True)
+    first = pairs.groupBy("g").agg(F.min("doc_id").alias("fd"))
     novel = first.groupBy("fd").agg(
         F.count(F.lit(1)).alias("n_novel")
     )
-    tris = raw.groupBy("doc_id").agg(
-        F.count_distinct(F.col("g")).alias("n_trigrams")
+    tris = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams")
     )
     per = tris.join(
         novel, tris.doc_id == novel.fd, "left"

@@ -84,7 +84,10 @@ _SPREAD_TASK_WORK = 1 << 20
 
 
 def spread_small_scan(
-    df: DataFrame, src_bytes: int | None = None, amp: int | None = None
+    df: DataFrame,
+    src_bytes: int | None = None,
+    amp: int | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Explode-amplification guard (r13): repartition ``df`` when its
     scan yields fewer splits than cores. CPU-amplifying operators
@@ -108,16 +111,28 @@ def spread_small_scan(
     defaultParallelism and floored at the scan's own split count —
     identical to the old behavior at scale (cap) and on genuinely
     amplifying operators (trigram explode at 300x still saturates the
-    cores), but small corpora get a proportionate task count."""
+    cores), but small corpora get a proportionate task count.
+
+    ``probe=False`` (r14) skips the ``df.rdd`` partition-count probe:
+    on a frame with exchanges below it (a post-shuffle pipeline stage,
+    not a scan), the probe's toRdd conversion finalizes the adaptive
+    plan and EXECUTES the whole upstream subtree as extra jobs — the
+    megapipeline chunking spread doubled its input bytes that way
+    before this flag. The probe-free decision is bytes-only: spread to
+    the work-proportional target when the total amplified work is
+    under one round of ~1 MiB tasks (where the exchange costs
+    pennies), and leave the frame alone otherwise (at scale the
+    upstream shuffle already yields a full round of partitions).
+    Requires ``src_bytes`` and ``amp``."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    cur = df.rdd.getNumPartitions()
-    if cur >= par:
-        return df
-    target = par
     if src_bytes and amp:
-        target = min(
-            par, max(cur, -((-src_bytes * amp) // _SPREAD_TASK_WORK))
-        )
-    if target <= cur:
+        target = min(par, max(1, -((-src_bytes * amp) // _SPREAD_TASK_WORK)))
+    else:
+        target = par
+    if probe:
+        cur = df.rdd.getNumPartitions()
+        if cur >= target:
+            return df
+    elif target >= par or target <= 1:
         return df
     return df.repartition(int(target))

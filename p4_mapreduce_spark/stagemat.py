@@ -78,14 +78,18 @@ def stage_ck(df: DataFrame, src_bytes=None, compute_heavy=False) -> DataFrame:
     ``compute_heavy`` exempts the frame from the corpus-size gate
     (r13): the gate prices a re-derivation as a SCAN of ``src_bytes``,
     which is the right model for relational subtrees but wrong when
-    the subtree's cost is per-row CPU that byte-sizing cannot see —
-    in-tree codec decodes, Arrow kernels, token explodes. Re-running
-    an image decode because the source parquet is small repays none of
-    the checkpoint's savings (measured r13: multimodal_phash_neardup
-    4.07s -> 1.79s at sf0.1 once the decoded-hash aggregate is
-    materialized, while its source is 0.6 MB — far under the 16 MB
-    gate). The STAGE_MAT A/B seam still applies, so the fold-shape
-    probe can price these checkpoints too."""
+    the subtree's cost is CPU that byte-sizing cannot see. The
+    documented contract (broadened r14 per ADVICE — the r13 uses
+    already spanned both cases): (a) per-row kernel CPU — in-tree
+    codec decodes, Arrow kernels, token explodes (measured r13:
+    multimodal_phash_neardup 4.07s -> 1.79s at sf0.1 once the
+    decoded-hash aggregate is materialized, while its source is
+    0.6 MB — far under the 16 MB gate); and (b) post-shuffle
+    aggregation CPU re-run per consumer when the frame feeds several
+    branches (the frequent_itemsets basket frame). In both, what the
+    checkpoint saves is compute the byte-keyed gate prices at zero.
+    The STAGE_MAT A/B seam still applies, so the fold-shape probe can
+    price these checkpoints too."""
     if not STAGE_MAT:
         return df
     if (

@@ -76,6 +76,11 @@ import json
 import os
 import statistics
 
+import pytest
+
+# r14: the live perf gate replays timed headline runs (~4.5 min); slow-marked per the driver-window split (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 _BUDGET_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_BUDGET.json")
 _SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

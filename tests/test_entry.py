@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -45,6 +47,7 @@ def test_every_query_documented_in_coverage():
     )
 
 
+@pytest.mark.slow  # r14 driver-window split: constructs all 275 queries (~2 min); the driver's own oracle replay covers schema drift
 def test_no_query_outputs_nested_columns(spark, sf_dir):
     """Driver-contract guard: result canonicalizers sort/hash rows, so
     array/map/struct output columns crash them (round-1 ADVICE). Every

@@ -22,6 +22,9 @@ from tests.oracle import compare_frames
 
 # --- predicate AST ----------------------------------------------------------
 
+# r14: hypothesis fuzz vs DuckDB/python models (~2 min); slow-marked per the driver-window split (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 NUM_COLS = {
     "l_quantity": (1, 50),
     "l_extendedprice": (900.0, 100000.0),

@@ -13,6 +13,11 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
+# r14 driver-window split (see pytest.ini): the 275-query replay is
+# ~5 min and duplicates the check the driver itself performs against
+# __spark_entry__ (and tools/verify_contract.py replays on demand);
+# run it with `pytest -m slow` before committing operator changes.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, name):
     spec = REGISTRY[name]

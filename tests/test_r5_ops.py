@@ -669,6 +669,7 @@ from hypothesis import strategies as st
     toks=st.lists(st.integers(min_value=1, max_value=500),
                   min_size=2, max_size=8)
 )
+@pytest.mark.slow  # r14 driver-window split (see pytest.ini)
 def test_unimax_matches_reference_greedy(spark, tmp_path_factory, toks):
     """The windowed closed form must equal the sequential greedy
     (visit sources smallest-first; each takes min(4 * its tokens, an
@@ -709,6 +710,7 @@ def test_unimax_matches_reference_greedy(spark, tmp_path_factory, toks):
         min_size=1, max_size=40,
     )
 )
+@pytest.mark.slow  # r14 driver-window split (see pytest.ini)
 def test_skyline_fuzz_vs_bruteforce(spark, tmp_path_factory, pts):
     """Random (date, price) clouds with heavy ties: the calendar-
     reduced skyline must equal the O(n^2) weak-dominance definition."""
@@ -801,6 +803,7 @@ def test_quality_funnel_planted(spark, tmp_path):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow  # r14 driver-window split (see pytest.ini)
 def test_naive_bayes_fuzz_vs_reference(spark, tmp_path_factory, data):
     """Replicate the NB scoring (bigint-micro quantized lns, factored
     normalizer, score-desc/class-desc argmax) in pure Python on random
@@ -858,6 +861,7 @@ def test_naive_bayes_fuzz_vs_reference(spark, tmp_path_factory, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(data=st.data())
+@pytest.mark.slow  # r14 driver-window split (see pytest.ini)
 def test_frequent_itemsets_fuzz_vs_itertools(spark, tmp_path_factory, data):
     """Random baskets: supports/lift/confidence must match the direct
     itertools computation over the same threshold."""

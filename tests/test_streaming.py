@@ -16,6 +16,9 @@ from p4_mapreduce_spark.streaming.windows import (
 )
 
 
+# r14: end-to-end streaming twins (~5 min of micro-batch walls); slow-marked per the driver-window split (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 def _run_available_now(df, name: str):
     q = (
         df.writeStream.format("memory")
